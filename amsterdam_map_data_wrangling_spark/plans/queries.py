@@ -1,0 +1,487 @@
+"""The named analytical query catalog.
+
+Every operator class the reference exercises (SURVEY.md §2.4-§2.7:
+counts, union-distinct, filtered group-count top-k, LIKE filters,
+derived ratios, sorts/limits, the joins its FK schema implies) is
+re-expressed here over the driver's star-schema testdata, as a pair:
+
+- ``build(spark, sf_dir) -> DataFrame`` — the Spark plan (DataFrame API,
+  built-in functions only in hot paths);
+- ``oracle`` — an equivalent ANSI-SQL string DuckDB runs on the same
+  parquet, for the driver's row-count + schema + value-hash gate.
+
+Conventions that keep the hash compare honest:
+
+- every computed column is aliased identically on both sides;
+- doubles that pass through an aggregate are ``round(x, N)``-ed on both
+  sides (float summation order differs between engines);
+- every ``LIMIT`` carries a total tie-break ordering;
+- timestamps are grouped via ``date_trunc`` and returned as strings.
+
+Scale notes are per-query docstrings: each plan states why it holds at
+100 TB (broadcastability, partial agg, pushed filters, top-k rewrite).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+Build = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Build
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Build) -> Build:
+        QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, list(names))
+    return [dfs[n] for n in names]
+
+
+# ===========================================================================
+# Counts & set operations (reference A1, A2/U1 — Readme.md:159-171)
+# ===========================================================================
+
+
+@query(
+    "count_global",
+    "SELECT COUNT(*) AS cnt FROM lineitem",
+    "A1: global count. Scale: metadata-only parquet row-group count, no shuffle.",
+)
+def count_global(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "distinct_users_union",
+    """
+    SELECT COUNT(DISTINCT uid) AS num_users FROM (
+      SELECT o_custkey AS uid FROM orders
+      UNION ALL
+      SELECT c_custkey AS uid FROM customer
+    ) alles
+    """,
+    "A2/U1: COUNT(DISTINCT) over a UNION ALL of projected columns "
+    "(Readme.md:169-171). Scale: partial distinct per partition then "
+    "single-column shuffle; swap to approx_count_distinct at 100 TB "
+    "when ±2% is acceptable.",
+)
+def distinct_users_union(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    alles = orders.select(F.col("o_custkey").alias("uid")).unionAll(
+        customer.select(F.col("c_custkey").alias("uid"))
+    )
+    return alles.agg(F.count_distinct("uid").alias("num_users"))
+
+
+@query(
+    "custkeys_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    "Set op beyond reference (SURVEY §2.5): INTERSECT (distinct semantics).",
+)
+def custkeys_intersect(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return customer.select(F.col("c_custkey").alias("custkey")).intersect(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "custkeys_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    "Set op: EXCEPT (customers who never ordered), distinct semantics.",
+)
+def custkeys_except(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return customer.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+# ===========================================================================
+# Filtered group-count top-k (reference A3/A4/T1 — Readme.md:205-245)
+# ===========================================================================
+
+
+@query(
+    "topk_group_distinct",
+    """
+    SELECT event_type AS value, COUNT(DISTINCT user_id) AS num
+    FROM events
+    GROUP BY event_type
+    ORDER BY num DESC, value
+    LIMIT 10
+    """,
+    "A3 shape: GROUP BY + COUNT(DISTINCT) + ORDER BY DESC LIMIT "
+    "(busiest-postcode query, Readme.md:205-221). Scale: two-phase "
+    "distinct agg; top-k is TakeOrderedAndProject (no global sort).",
+)
+def topk_group_distinct(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count_distinct("user_id").alias("num"))
+        .orderBy(F.desc("num"), "value")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_group_count",
+    """
+    SELECT p_brand AS value, COUNT(*) AS num
+    FROM part
+    GROUP BY p_brand
+    ORDER BY num DESC, value
+    LIMIT 10
+    """,
+    "A4 shape: filtered group-count top-k (top-amenities query, "
+    "Readme.md:229-245). Scale: map-side partial count then tiny "
+    "shuffle of (brand, partial) pairs; top-k distributed.",
+)
+def topk_group_count(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("value"))
+        .agg(F.count("*").alias("num"))
+        .orderBy(F.desc("num"), "value")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_order_limit",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "T1: ORDER BY ... DESC LIMIT k → TakeOrderedAndProject: each "
+    "partition keeps a k-heap, driver merges k*P rows — no global sort "
+    "even at 100 TB.",
+)
+def topk_order_limit(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ===========================================================================
+# LIKE filters (reference A5 — Readme.md:193-200) & scans (T2)
+# ===========================================================================
+
+
+@query(
+    "like_filter_count",
+    "SELECT COUNT(*) AS cnt FROM part WHERE p_name LIKE '%re%'",
+    "A5: LIKE pattern filter + count ('coffee%shop%'). Case-sensitive "
+    "variant. Scale: predicate evaluated in the scan stage.",
+)
+def like_filter_count(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%re%")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "ilike_filter_count",
+    "SELECT COUNT(*) AS cnt FROM part WHERE lower(p_name) LIKE lower('%RE%')",
+    "A5 parity note: SQLite LIKE is case-insensitive by default "
+    "(SURVEY §2.4) — the explicit case-insensitive variant via lower().",
+)
+def ilike_filter_count(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter(F.lower(F.col("p_name")).like("%re%")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "scan_filter_project",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_size > 40 AND p_type LIKE '%BRASS%'
+    """,
+    "T2: un-aggregated filtered projection (the coffee-listing SELECT *, "
+    "Readme.md:178-186). Scale: column pruning + pushed predicates — the "
+    "parquet scan reads 3 of 6 columns and skips row groups on p_size stats.",
+)
+def scan_filter_project(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter((F.col("p_size") > 40) & F.col("p_type").like("%BRASS%")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+# ===========================================================================
+# Derived ratios over aggregates (reference A6 — Readme.md:226)
+# ===========================================================================
+
+
+@query(
+    "pct_shares",
+    """
+    SELECT event_type AS value, COUNT(*) AS num,
+           round(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY num DESC, value
+    """,
+    "A6: percentages of group counts against the total (the hand-computed "
+    "37.33% restaurant share). Scale: agg first (tiny result), then an "
+    "unpartitioned window over the already-reduced rows — safe because the "
+    "window input is |distinct groups|, not |rows|.",
+)
+def pct_shares(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    counts = events.groupBy(F.col("event_type").alias("value")).agg(
+        F.count("*").alias("num")
+    )
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "pct", F.round(100.0 * F.col("num") / F.sum("num").over(w), 2)
+    ).orderBy(F.desc("num"), "value")
+
+
+# ===========================================================================
+# Multi-aggregate rollup (flagship; TPC-H Q1 shape)
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2)                                   AS sum_qty,
+           round(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(AVG(l_quantity), 4)                                   AS avg_qty,
+           round(AVG(l_extendedprice), 4)                              AS avg_price,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "Flagship: multi-aggregate grouped rollup (TPC-H Q1 shape) — the "
+    "generalization of the reference's count-by-group queries. Scale: "
+    "pure map-side partial agg into a 4-6 group shuffle; filter pushed "
+    "to parquet (min/max row-group skip on l_shipdate).",
+)
+def pricing_summary(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3 — the FK schema the reference exists to serve)
+# ===========================================================================
+
+
+@query(
+    "join_revenue_by_priority",
+    """
+    SELECT o.o_orderpriority AS priority,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS num_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    "Equi inner join fact↔fact on the FK (tags→entities shape). Scale: "
+    "both sides shuffle on orderkey (or co-located if both bucketed by "
+    "orderkey at write time); AQE handles skewed keys.",
+)
+def join_revenue_by_priority(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("num_items"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "star_join_customers_by_region",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS num_customers,
+           round(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    "Star join with explicitly broadcast dims (nation 25 rows, region 5): "
+    "zero shuffle for the joins at any scale — only the final tiny agg "
+    "shuffles.",
+)
+def star_join_customers_by_region(spark, sf_dir):
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-semi join (EAV 'entities having tags' shape, SURVEY §2.3). "
+    "Scale: semi-join shuffles only the key column of the probe side.",
+)
+def semi_join_active_customers(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@query(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-anti join ('entities with no tags').",
+)
+def anti_join_inactive_customers(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+# ===========================================================================
+# Window / sequence semantics (ways_nodes.position analog, SURVEY §2.9)
+# ===========================================================================
+
+
+@query(
+    "ordered_position_per_group",
+    """
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1
+             AS position
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    "The ways_nodes (parent_id, child_id, position) ordered-list contract "
+    "(amsterdam_map_data_wrangling.py:152-159) as a window: 0-based "
+    "position per parent. Scale: partition-local sort per key after one "
+    "hash shuffle on the parent key.",
+)
+def ordered_position_per_group(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        lineitem.filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.row_number().over(w) - 1).alias("position"),
+        )
+    )
+
+
+@query(
+    "topn_per_group",
+    """
+    SELECT priority, o_orderkey, round(o_totalprice, 2) AS totalprice FROM (
+      SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Top-N per group (rank window) — the distributed generalization of "
+    "the reference's global top-k. Scale: one shuffle on the group key; "
+    "per-partition heap via window + filter.",
+)
+def topn_per_group(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def queries() -> dict[str, Build]:
+    return {name: spec.build for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

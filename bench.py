@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Headline benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES  # noqa: E402
+from amsterdam_map_data_wrangling_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="amdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not session startup.
+    QUERIES["count_global"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        # noop sink: materializes every column of every row (a bare
+        # .count() would let Catalyst prune the payload and under-measure)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

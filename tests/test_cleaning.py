@@ -1,0 +1,85 @@
+"""Cleaning-rule unit tests against the reference's documented
+before/after vectors (Readme.md:75-82 phones, :123-127 postcodes) and
+the key-split quirk ledger (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.functions.cleaning import (
+    is_problematic_key,
+    normalize_phone,
+    normalize_postcode,
+    split_tag_key,
+)
+
+# (raw, expected) — first three are the README's published pairs; the rest
+# cover every length branch of amsterdam_map_data_wrangling.py:131-146.
+PHONE_VECTORS = [
+    ("0206278954", "+31206278954"),  # 10 digits → +31 + drop leading 0
+    ("+31 (0)20 62 55 975", "+31206255975"),  # 12 digits → drop trunk 0
+    ("0900-8020", "+319008020"),  # 8 digits → +31 + drop leading 0
+    ("31206255537", "+31206255537"),  # 11 digits → '+' prefix
+    ("206255975", "+31206255975"),  # 9 digits → '+' prefix... (see note)
+    ("0031900802060", "+31900802060"),  # 13 digits → drop 00
+    ("9008020", "+319008020"),  # 7 digits → +31 prefix
+    ("12345", "12345"),  # unhandled length → digits passthrough
+    ("tel-unknown", ""),  # no digits at all → empty digits
+]
+# note: the 9-digit branch is '+'+digits per the reference (:135-136);
+# '206255975' → '+206255975'. Fix the vector to the reference semantics:
+PHONE_VECTORS[4] = ("206255975", "+206255975")
+
+POSTCODE_VECTORS = [
+    ("1074CM", "1074 CM"),
+    ("1073BP", "1073 BP"),
+    ("1071 ZD", "1071 ZD"),
+    (" 1016CJ ", "1016 CJ"),
+]
+
+KEY_SPLIT_VECTORS = [
+    ("addr:postcode", ("addr", "postcode")),
+    ("addr:street:name", ("addr", "street:name")),  # extra colons stay in key
+    ("naam:NL", ("regular", "naam:NL")),  # uppercase after colon → no split
+    ("amenity", ("regular", "amenity")),
+    ("_weird:_key", ("_weird", "_key")),
+]
+
+
+def _eval(spark, values: list[str], expr) -> list[str]:
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return [r[0] for r in df.select(expr(F.col("v")).alias("out")).collect()]
+
+
+def test_phone_vectors(spark):
+    raws = [v for v, _ in PHONE_VECTORS]
+    outs = _eval(spark, raws, normalize_phone)
+    for (raw, expected), got in zip(PHONE_VECTORS, outs):
+        assert got == expected, f"{raw!r}: {got!r} != {expected!r}"
+
+
+def test_postcode_vectors(spark):
+    raws = [v for v, _ in POSTCODE_VECTORS]
+    outs = _eval(spark, raws, normalize_postcode)
+    for (raw, expected), got in zip(POSTCODE_VECTORS, outs):
+        assert got == expected, f"{raw!r}: {got!r} != {expected!r}"
+
+
+def test_key_split(spark):
+    df = spark.createDataFrame([(k,) for k, _ in KEY_SPLIT_VECTORS], ["k"])
+    t, k = split_tag_key(F.col("k"))
+    rows = df.select(t.alias("type"), k.alias("key")).collect()
+    for (raw, expected), row in zip(KEY_SPLIT_VECTORS, rows):
+        assert (row["type"], row["key"]) == expected, raw
+
+
+@pytest.mark.parametrize(
+    "key,problematic",
+    [("a b", True), ("addr:postcode", False), ("x=y", True), ("name", False),
+     ("tag.dot", True), ("it's", True)],
+)
+def test_problemchars(spark, key, problematic):
+    df = spark.createDataFrame([(key,)], ["k"])
+    got = df.select(is_problematic_key(F.col("k")).alias("p")).collect()[0]["p"]
+    assert got is problematic
