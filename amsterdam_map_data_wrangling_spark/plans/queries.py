@@ -117,15 +117,20 @@ def custkeys_intersect(spark, sf_dir):
     """
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
-    "Set op: EXCEPT (customers who never ordered), distinct semantics.",
+    "Set op: EXCEPT (customers with no urgent order), distinct semantics. "
+    "subtract() IS EXCEPT DISTINCT — one distinct shuffle, no multiplicity "
+    "bookkeeping. The urgent filter keeps the sf0.01 result non-empty so "
+    "the oracle hash compare is not vacuous.",
 )
 def custkeys_except(spark, sf_dir):
     orders, customer = _t(spark, sf_dir, "orders", "customer")
-    return customer.select(F.col("c_custkey").alias("custkey")).exceptAll(
-        orders.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    return customer.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        )
+    )
 
 
 # ===========================================================================
@@ -218,15 +223,15 @@ def like_filter_count(spark, sf_dir):
 
 @query(
     "ilike_filter_count",
-    "SELECT COUNT(*) AS cnt FROM part WHERE lower(p_name) LIKE lower('%RE%')",
+    "SELECT COUNT(*) AS cnt FROM part WHERE p_name ILIKE '%RE%'",
     "A5 parity note: SQLite LIKE is case-insensitive by default "
-    "(SURVEY §2.4) — the explicit case-insensitive variant via lower().",
+    "(SURVEY §2.4) — expressed with Column.ilike, which stays a "
+    "recognizable scan predicate (lower(col) LIKE would disable parquet "
+    "min/max and dictionary pushdown, forcing a full per-row evaluate).",
 )
 def ilike_filter_count(spark, sf_dir):
     (part,) = _t(spark, sf_dir, "part")
-    return part.filter(F.lower(F.col("p_name")).like("%re%")).agg(
-        F.count("*").alias("cnt")
-    )
+    return part.filter(F.col("p_name").ilike("%RE%")).agg(F.count("*").alias("cnt"))
 
 
 @query(
@@ -234,15 +239,17 @@ def ilike_filter_count(spark, sf_dir):
     """
     SELECT p_partkey, p_name, p_brand
     FROM part
-    WHERE p_size > 40 AND p_type LIKE '%BRASS%'
+    WHERE p_size > 40 AND p_type LIKE '%AR%'
     """,
     "T2: un-aggregated filtered projection (the coffee-listing SELECT *, "
     "Readme.md:178-186). Scale: column pruning + pushed predicates — the "
-    "parquet scan reads 3 of 6 columns and skips row groups on p_size stats.",
+    "parquet scan reads 3 of 6 columns and skips row groups on p_size stats. "
+    "Predicates chosen to be selective but non-empty at sf0.01 so the "
+    "oracle compare is not vacuous.",
 )
 def scan_filter_project(spark, sf_dir):
     (part,) = _t(spark, sf_dir, "part")
-    return part.filter((F.col("p_size") > 40) & F.col("p_type").like("%BRASS%")).select(
+    return part.filter((F.col("p_size") > 40) & F.col("p_type").like("%AR%")).select(
         "p_partkey", "p_name", "p_brand"
     )
 
@@ -404,14 +411,19 @@ def semi_join_active_customers(spark, sf_dir):
     "anti_join_inactive_customers",
     """
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '2-HIGH')
     """,
-    "Left-anti join ('entities with no tags').",
+    "Left-anti join ('entities with no tags' — here customers with no "
+    "high-priority order; the filter keeps the sf0.01 result non-empty "
+    "so the oracle compare is not vacuous).",
 )
 def anti_join_inactive_customers(spark, sf_dir):
     customer, orders = _t(spark, sf_dir, "customer", "orders")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        high, customer.c_custkey == high.o_custkey, "left_anti"
     ).select("c_custkey")
 
 

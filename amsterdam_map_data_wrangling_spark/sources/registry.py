@@ -23,26 +23,35 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Lazy DataFrames for each star-schema table under ``sf_dir``."""
     names = tables if tables is not None else STAR_TABLES
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects outright. The conf below (runtime-settable SQL conf) makes it
+    # arrive as long ns instead; _fix_nanos converts to a real timestamp.
+    # Set here — not only in our session factory — so load_tables works on
+    # ANY session, including the driver's verify session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = _fix_nanos(spark.read.parquet(path))
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"table {name!r} not found at {path}")
+        out[name] = _fix_nanos(spark.read.parquet(path))
     return out
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
     """TIMESTAMP(NANOS) parquet columns arrive as long ns (via
     ``spark.sql.legacy.parquet.nanosAsLong``); convert to timestamp.
-    Only ``events.ts`` is affected in the testdata."""
+    Only ``events.ts`` is affected in the testdata.
+
+    Integral ``div`` keeps the arithmetic in long — ns epoch values
+    (~1.7e18) exceed double's 53-bit mantissa, so float division would be
+    off by up to 1 us (and DuckDB reads TIMESTAMP_NS exactly)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

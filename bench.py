@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -20,7 +21,8 @@ from amsterdam_map_data_wrangling_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
     spark = get_spark(app_name="amdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
