@@ -60,6 +60,20 @@ def normalize_postcode(v: Column) -> Column:
     )
 
 
+def clean_tag_value(raw_key: Column, split_key: Column, v: Column) -> Column:
+    """The reference's tag-value cleaning dispatch
+    (``amsterdam_map_data_wrangling.py:128-146``): postcode normalization
+    fires on the *post-split* key (so ``addr:postcode`` qualifies) and takes
+    priority (``if``/``elif``); phone normalization fires on the *raw*
+    pre-split key only (so ``contact:phone`` passes through unchanged).
+    """
+    return (
+        F.when(split_key == "postcode", normalize_postcode(v))
+        .when(raw_key == "phone", normalize_phone(v))
+        .otherwise(v)
+    )
+
+
 def normalize_phone(v: Column) -> Column:
     """Canonicalize a phone number to E.164-ish ``+31...`` form.
 
