@@ -1,0 +1,69 @@
+"""Text-analysis Column expressions for the documents table — all built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen); zero Python UDFs.
+
+These are the large-scale-training-pipeline text ops the engine adds beyond
+the reference surface (builder's brief): tokenization, n-grams, quality
+scoring, language-ID marker scoring, fingerprinting. Each composes into the
+oracle-gated queries in ``plans/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Marker-token sets for the language-ID heuristic. On real corpora these
+#: would be per-language stopword lists; scoring = |tokens ∩ markers| per
+#: language, argmax wins with a fixed priority order for ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "und", "nicht", "das"),
+    "fr": ("le", "et", "les", "des"),
+    "es": ("el", "y", "los", "las"),
+}
+
+#: "BPE-ish" token pattern: runs of word chars, or a single non-space
+#: non-word char (punctuation becomes its own token, as byte-level BPE
+#: pre-tokenizers do).
+BPE_ISH_PATTERN = r"(\w+|[^\w\s])"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (word runs + punctuation marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 1))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) that are in the marker set."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint (md5 hex of the normalized text) — the
+    exact-dedup key. Hex md5 is engine-portable (DuckDB computes the same)."""
+    return F.md5(normalized_text(text))
+
+
+def lexical_diversity(text: Column) -> Column:
+    """distinct/total token ratio — a quality-score component."""
+    return distinct_token_count(text) / token_count(text)

@@ -1,0 +1,239 @@
+"""Deduplication operators for the documents table — the training-pipeline
+family (exact, MinHash-LSH near-dup, SimHash, exact n-gram Jaccard), each
+expressed as compositions of built-in DataFrame ops. No all-pairs joins
+anywhere: every near-dup path goes through a bucketed (blocked) join, which
+is the property that survives 100 TB.
+
+Design notes per operator:
+
+- **Exact**: fingerprint = md5(normalized text); groupBy(fingerprint).
+  One shuffle on a high-cardinality key — embarrassingly scalable.
+- **MinHash**: k independent signature components h_i = min over shingles
+  of xxhash64(i, shingle); banding b×r (k = b·r) buckets candidates so
+  only same-band-hash pairs join. P(candidate) ≈ 1-(1-J^r)^b — the
+  standard S-curve; with k=16, b=4, r=4 the 0.5-Jaccard point is steep.
+  The shuffle is on (band_idx, band_hash) — bounded bucket sizes replace
+  the N² pair space.
+- **SimHash**: 16-bit signature from sign-summed per-token hash bits;
+  near-dups collide on bands of the signature.
+- **n-gram Jaccard**: exact verification for candidate pairs — shared
+  w-shingle blocking, |∩| via a groupBy on the pair key, Jaccard from
+  per-doc shingle counts. Document-frequency capping (drop shingles
+  appearing in > df_cap docs) bounds bucket fan-out, the same way stop-word
+  removal bounds posting lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.functions.text import fingerprint, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: one row per fingerprint with the
+    canonical keeper (min id) and the copy count."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame:
+    """Distinct word w-shingles per document: (id, shingle)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("l"))
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than w tokens must map to an empty shingle array explicitly
+    grams = F.when(
+        F.size("l") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - (w - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at("l", i + j) for j in range(w)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # per-doc dedup BEFORE the explode: (id, shingle) is distinct by
+    # construction, with zero shuffle (a .distinct() here would be a full
+    # exchange of every shingle row)
+    return toks.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """k-component MinHash signature per id from a (id, shingle) relation.
+
+    h_i(doc) = min over shingles of xxhash64(i, shingle) — k independent
+    hash families via the seed argument; one groupBy(id) computes all k
+    mins map-side-partially (a single shuffle of (id, k longs))."""
+    return sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of r = k/bands signature components,
+    explode to (band_idx, band_hash, id), self-join within buckets.
+
+    Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b, where
+    est_jaccard is the fraction of equal signature components."""
+    r = k // bands
+    banded = sig.select(
+        "id",
+        *[F.col(f"h{i}") for i in range(k)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.h{i}").alias(f"ha{i}") for i in range(k)],
+            *[F.col(f"b.h{i}").alias(f"hb{i}") for i in range(k)],
+        )
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(matches / F.lit(float(k)), 4).alias("est_jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
+    signature-estimated Jaccard ≥ threshold."""
+    sig = minhash_signatures(shingles(df, id_col, text_col, w), k)
+    return lsh_candidate_pairs(sig, k, bands).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """bits-wide SimHash per document: bit i is the sign of the sum over
+    tokens of ±1 according to bit i of xxhash64(token). Near-dup docs
+    (mostly-shared token multisets) get small Hamming distances."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    code = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return sums.select("id", code.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with shared-shingle blocking
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Exact word-w-gram Jaccard for every pair sharing ≥1 (non-stop)
+    shingle: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Blocking on the shingle key — never all-pairs. ``df_cap`` drops
+    shingles appearing in more than df_cap documents (stop-shingles), which
+    bounds per-bucket fan-out at scale; a true near-dup pair shares many
+    rare shingles, so recall is unaffected for thresholds ≥ ~0.3.
+
+    Plan shape (3 shuffles total, all on small aggregates): shingle
+    buckets via groupBy(shingle).collect_list — the per-bucket id lists
+    ARE the blocking buckets, so candidate pairs are generated by a narrow
+    array-pair expansion instead of a shingle self-join (which would
+    re-shuffle both sides and re-materialize the shingle rows)."""
+    sh = shingles(df, id_col, text_col, w)
+    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids")).filter(
+        F.size("ids") <= df_cap
+    )
+    capped = buckets.select(F.explode("ids").alias("id"))
+    # sizes over the SAME capped shingle set, so the Jaccard is consistent
+    # ("Jaccard over non-stop shingles")
+    sizes = capped.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # all unordered pairs within a bucket, normalized to id_a < id_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # no broadcast hint: `inter` (candidate pairs) is the small side and
+    # `sizes` grows with the corpus — AQE converts to broadcast from the
+    # runtime sizes, picking the correct side at any scale
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Everything stays JVM-side: dot products via ``zip_with`` + ``aggregate``
+higher-order functions in double precision (whole-stage codegen — no
+Python, no Arrow hop). Two search paths:
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set, score every (query, candidate) pair, per-query top-k
+  via a rank window. Linear in |corpus|·|queries|; right up to ~10⁶ rows
+  per executor-core-second, and the verifier for any ANN path.
+- **Sign-LSH ANN** — the scale path: deterministic b-bit bucket code from
+  the signs of the first b components (a fixed axis-aligned hyperplane
+  family); candidates are only same-bucket rows, so the join is blocked on
+  the code. Expected candidate fraction 2^-b of the corpus per query.
+  Deterministic by construction → oracle-checkable (unlike random
+  hyperplanes, whose planes differ per engine).
+
+At 100 TB the same shapes hold: the query side is always broadcast; the
+bucket join shuffles the corpus once on an 8-bit key (optionally salted by
+a second code byte when a bucket is hot); brute force becomes per-partition
+top-k + driver merge (TakeOrderedAndProject-like) rather than a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def sign_lsh_code(a: Column, bits: int = 8) -> Column:
+    """Deterministic bucket code: bit i set iff component i ≥ 0."""
+    return sum(
+        F.when(F.element_at(a, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), l2_norm(v).alias("nrm")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, sim) — k best candidates per query,
+    self excluded. Ranking is on round(sim, 4) with vec_id tie-break so the
+    ordering is engine-portable."""
+    from pyspark.sql import Window
+
+    emb = _prep(df, id_col, vec_col)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def ann_sign_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    sign-LSH bucket. Same output shape as :func:`cosine_topk`."""
+    from pyspark.sql import Window
+
+    emb = _prep(df, id_col, vec_col).withColumn("code", sign_lsh_code(F.col("v"), bits))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("code").alias("qcode"),
+        )
+    )
+    scored = (
+        emb.join(q, F.col("code") == F.col("qcode"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )

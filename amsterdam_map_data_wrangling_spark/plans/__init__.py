@@ -1,3 +1,21 @@
-from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES, QuerySpec
+"""Query catalog package — importing it registers every query module."""
 
-__all__ = ["QUERIES", "QuerySpec"]
+from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
+    dedup,
+    multimodal,
+    queries,
+    similarity,
+    text,
+    windows,
+    wrangling,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import (
+    QUERIES,
+    QuerySpec,
+    oracle_sql,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import (
+    queries as query_builders,
+)
+
+__all__ = ["QUERIES", "QuerySpec", "query_builders", "oracle_sql"]

@@ -1,0 +1,135 @@
+"""Deduplication queries over the documents table.
+
+``dedup_exact_groups`` and ``dedup_ngram_jaccard`` are fully oracle-gated
+(DuckDB computes the identical md5-fingerprint grouping / w-gram Jaccard).
+``dedup_minhash_pairs`` and ``dedup_simhash_bands`` depend on Spark's
+xxhash64 (no DuckDB twin), so they carry no oracle — the driver records the
+weaker rows-only check; their *semantics* are pytest-verified against the
+exact-Jaccard query instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+
+def _with_copies(documents):
+    """Union the corpus with re-keyed copies of every 10th doc — the
+    'two crawls overlap' scenario that gives exact dedup real groups."""
+    copies = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return documents.unionByName(copies)
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY fp
+    """,
+    "Exact dedup over a corpus with injected duplicate crawl: md5 of the "
+    "normalized text as fingerprint, min-id canonical keeper, copy count. "
+    "Scale: one groupBy shuffle on a 128-bit high-cardinality key — no "
+    "skew, no pairs; THE first stage of every dedup pipeline.",
+)
+def dedup_exact_groups(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(_with_copies(documents), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                  || ' ' || l[i+4] AS shingle
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    "Exact word-5-gram Jaccard near-dup pairs (threshold 0.5) via "
+    "shared-shingle blocking with document-frequency capping (df ≤ 50 "
+    "drops stop-shingles). Shingle width is THE blocking knob: w=5 makes "
+    "the shingle vocabulary so large that unrelated docs almost never "
+    "collide, so the pair space stays ~linear in the number of true "
+    "near-dups — the property that survives 100 TB (w=3 already blows the "
+    "pair space up 100x at sf0.1). Never an all-pairs join. Also the "
+    "exactness cross-check for the MinHash estimate.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    None,  # xxhash64 signatures have no DuckDB twin — rows-only at the gate
+    "MinHash-LSH near-dup candidates: 16-component signatures, 4 bands × "
+    "4 rows, bucket-join on (band_idx, band_hash), signature-estimated "
+    "Jaccard ≥ 0.5. Scale: the ONLY join is on band buckets — the pair "
+    "space never materializes; banding keeps bucket sizes ~uniform. "
+    "Exactness is cross-checked against dedup_ngram_jaccard in pytest.",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        documents, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash_bands",
+    None,  # xxhash64-based — rows-only at the gate
+    "SimHash (16-bit) per document plus band-bucket near-dup candidates: "
+    "docs agreeing on the full code are near-identical token multisets. "
+    "Scale: signature is one groupBy(id); candidate generation groups on "
+    "the code itself — no pairwise work.",
+)
+def dedup_simhash_bands(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    codes = simhash(documents, "doc_id", "text", bits=16)
+    return (
+        codes.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "simhash")
+    )

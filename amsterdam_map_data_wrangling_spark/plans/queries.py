@@ -24,39 +24,19 @@ Scale notes are per-query docstrings: each plan states why it holds at
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+from amsterdam_map_data_wrangling_spark.plans.catalog import (
+    QUERIES,
+    QuerySpec,
+    _t,
+    oracle_sql,
+    queries,
+    query,
+)
 
-Build = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    build: Build
-    oracle: str | None  # None → non-SQL-expressible, driver does rows-only
-    doc: str = ""
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None, doc: str = ""):
-    def deco(fn: Build) -> Build:
-        QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    dfs = load_tables(spark, sf_dir, list(names))
-    return [dfs[n] for n in names]
+__all__ = ["QUERIES", "QuerySpec", "query", "queries", "oracle_sql"]
 
 
 # ===========================================================================

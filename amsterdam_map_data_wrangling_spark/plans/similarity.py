@@ -1,0 +1,176 @@
+"""Similarity-search queries over the embeddings table, fully oracle-gated
+(the dot products are computed in double on both sides with identical
+sequential fold order; ranking is on round(sim,4) + vec_id tie-break, so
+Spark and DuckDB agree bit-for-bit — verified empirically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.similarity import (
+    ann_sign_lsh_topk,
+    cosine_topk,
+    dot,
+    l2_norm,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_E_CTE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings)
+"""
+
+_COSINE_CTE = _E_CTE + """
+    , q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+"""
+
+
+@query(
+    "knn_cosine_brute",
+    _COSINE_CTE
+    + """
+    , scored AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS sim
+      FROM e, q WHERE vec_id <> qid
+    ), ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    )
+    SELECT qid, vec_id, sim FROM ranked WHERE rn <= 3
+    """,
+    "Brute-force cosine top-3 per query vector (5 broadcast queries × full "
+    "corpus): zip_with/aggregate dot product in double, rank window per "
+    "query. Scale: query side broadcast (zero shuffle for the score join); "
+    "at 100 TB the rank becomes per-partition heap + tiny driver merge. "
+    "The exactness baseline every ANN run is measured against.",
+)
+def knn_cosine_brute(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3)
+
+
+@query(
+    "ann_sign_lsh",
+    _E_CTE
+    + """
+    , coded AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS code
+      FROM e
+    ), qc AS (
+      SELECT vec_id AS qid, v AS qv, code AS qcode FROM coded WHERE vec_id < 5
+    ), scored AS (
+      SELECT qid, c.vec_id,
+             round(list_dot_product(c.v, qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS sim
+      FROM coded c JOIN qc ON c.code = qc.qcode AND c.vec_id <> qc.qid
+    ), ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    )
+    SELECT qid, vec_id, sim FROM ranked WHERE rn <= 3
+    """,
+    "ANN via deterministic sign-LSH: 8-bit bucket code from component "
+    "signs; candidates restricted to the query's bucket (expected 1/256 of "
+    "the corpus), then exact cosine within. Scale: the corpus shuffles "
+    "once on the code; queries broadcast. Deterministic planes → "
+    "oracle-checkable, unlike random-hyperplane LSH.",
+)
+def ann_sign_lsh(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ann_sign_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
+
+
+@query(
+    "embedding_label_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "Per-cluster-label embedding stats (count, mean L2 norm) — the sanity "
+    "profile of a vector corpus. Scale: narrow per-row norm, tiny agg "
+    "shuffle on the label key.",
+)
+def embedding_label_stats(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        embeddings.select("label", l2_norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    _E_CTE
+    + """
+    , coded AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS code
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+    FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+    "Embedding-cosine near-duplicate detection with 4-bit sign-LSH "
+    "blocking — the embedding leg of the dedup family. Scale: the pair "
+    "join is blocked on the code (16 buckets here; more bits at scale), "
+    "never all-pairs across the corpus. Threshold 0.35 is tuned to this "
+    "synthetic corpus (which contains no true duplicate embeddings; "
+    "max in-bucket cosine ≈ 0.51) so the gate checks real pairs — a real "
+    "dedup run would use ≥ 0.9.",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.similarity import sign_lsh_code
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # norms precomputed once per row — computing them inside the pair
+    # predicate would triple the per-pair flops
+    coded = embeddings.select(
+        "vec_id", v.alias("v"), l2_norm(v).alias("nrm"), sign_lsh_code(v, 4).alias("code")
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.code") == F.col("b.code")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )

@@ -1,0 +1,218 @@
+"""Text-analysis queries over the documents table, oracle-gated.
+
+The large-scale-training-pipeline text surface: per-document stats, term
+frequencies, n-grams, quality scoring, language-ID marker scoring. All
+Spark sides are built-in Column expressions (``functions/text.py``); all
+oracles re-express the identical computation in DuckDB SQL.
+
+Note on the corpus: the synthetic documents' vocabulary is uniform across
+the ``lang`` labels (the label is metadata, not content), so the lang-ID
+query verifies the deterministic scoring machinery, not classifier quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    distinct_token_count,
+    lexical_diversity,
+    marker_score,
+    token_count,
+    tokens,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+
+@query(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_txt,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+           len(regexp_extract_all(text, '(\w+|[^\w\s])', 1)) AS n_bpe_ish,
+           round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')), 4) AS diversity
+    FROM documents
+    """,
+    "Per-document text statistics: char count, whitespace token count, "
+    "distinct tokens, BPE-ish token count (word runs + punctuation), "
+    "lexical diversity. Scale: narrow projection, one pass, no shuffle — "
+    "the canonical map-side quality-filter stage of a training pipeline.",
+)
+def text_stats(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.length(t).alias("n_chars_txt"),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct"),
+        bpe_ish_token_count(t).alias("n_bpe_ish"),
+        F.round(
+            distinct_token_count(t).cast("double") / token_count(t), 4
+        ).alias("diversity"),
+    )
+
+
+@query(
+    "term_freq_topk",
+    r"""
+    SELECT tok AS term, COUNT(*) AS num
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY num DESC, term LIMIT 20
+    """,
+    "Corpus-wide term frequency top-k: tokenize → explode → count → top-k. "
+    "Scale: explode is narrow; partial map-side counts shuffle only "
+    "(term, count) pairs; top-k is TakeOrderedAndProject. The 100 TB "
+    "version adds a salted pre-aggregation if a term set is tiny+skewed.",
+)
+def term_freq_topk(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("num"))
+        .orderBy(F.desc("num"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "bigram_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+    )
+    SELECT l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS num
+    FROM toks, unnest(range(1, len(l))) AS r(i)
+    GROUP BY bigram ORDER BY num DESC, bigram LIMIT 15
+    """,
+    "Word-bigram top-k (n-gram surface): per-doc position sequence → "
+    "adjacent-token pairs → global count. Scale: sequence+transform is "
+    "narrow (no self-join); one agg shuffle of (bigram, count).",
+)
+def bigram_topk(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", tokens(F.col("text")).alias("l"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("l", i), F.element_at("l", i + 1)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("num"))
+        .orderBy(F.desc("num"), "bigram")
+        .limit(15)
+    )
+
+
+def _lang_case_sql() -> str:
+    """The argmax CASE chain, fixed priority order en>de>fr>es (ties go to
+    the earlier language) — identical on both sides."""
+    score = {
+        lang: (
+            r"len(list_filter(string_split_regex(trim(text), '\s+'), "
+            f"t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM documents
+    )
+    SELECT lang, CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'unknown' END AS predicted,
+           COUNT(*) AS num
+    FROM scored GROUP BY lang, predicted ORDER BY lang, predicted
+    """
+
+
+@query(
+    "lang_id_confusion",
+    _lang_case_sql(),
+    "Language-ID marker heuristic: per-language stopword-marker scores, "
+    "deterministic argmax, grouped into a (label, predicted) confusion "
+    "matrix. Scale: marker scoring is a narrow array op per row; the "
+    "confusion agg shuffles ≤ |langs|² rows.",
+)
+def lang_id_confusion(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = documents.select(
+        "lang",
+        *[
+            marker_score(t, ms).alias(f"s_{lang}")
+            for lang, ms in LANG_MARKERS.items()
+        ],
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("num"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "quality_scores",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS diversity,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS avg_tok_len
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.4 * diversity
+                 + 0.2 * LEAST(avg_tok_len / 8.0, 1.0), 4) AS quality
+    FROM s
+    """,
+    "Composite quality score (length, lexical diversity, mean token "
+    "length) in [0,1] — the classic pre-training quality filter, entirely "
+    "as built-in expressions. Scale: narrow, no shuffle; at 100 TB this is "
+    "a pushdown-friendly WHERE quality > τ stage.",
+)
+def quality_scores(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = token_count(t)
+    diversity = lexical_diversity(t)
+    avg_tok_len = F.length(t).cast("double") / n_tokens
+    quality = F.round(
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.4 * diversity
+        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    return documents.select("doc_id", quality.alias("quality"))

@@ -1,0 +1,117 @@
+"""Event-time windowed aggregation queries (the batch-equivalent forms of
+the streaming surface in ``streaming/windows.py``), oracle-gated.
+
+Spark's ``window()``/``session_window()`` aggregate functions have exact
+batch semantics: tumbling/sliding buckets are epoch-aligned floors, session
+windows merge events with gaps < the timeout. The DuckDB oracles recompute
+both from first principles (epoch arithmetic; gaps-and-islands), so the
+gate verifies the window semantics themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+
+@query(
+    "tumbling_window_stats",
+    """
+    SELECT TIMESTAMP '1970-01-01'
+             + CAST(floor(epoch(ts) / 3600) AS BIGINT) * INTERVAL '1 hour'
+             AS window_start,
+           COUNT(*) AS num_events,
+           COUNT(DISTINCT user_id) AS num_users,
+           round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start ORDER BY window_start
+    """,
+    "Tumbling 1-hour event-time windows: count, distinct users, value sum "
+    "per bucket — the §2.8 north-star aggregation in batch form (identical "
+    "logical plan under Structured Streaming + watermark, see "
+    "streaming/windows.py). Scale: window() is a narrow bucket assignment; "
+    "one agg shuffle on (bucket); no state since batch.",
+)
+def tumbling_window_stats(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("num_events"),
+            F.count_distinct("user_id").alias("num_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "num_events", "num_users", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "sliding_window_by_type",
+    """
+    WITH ev AS (
+      SELECT event_type, ts, epoch(ts) AS sec FROM events
+    ), contrib AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + (CAST(floor(sec / 7200) AS BIGINT) * 7200 - off.o)
+                 * INTERVAL '1 second' AS window_start
+      FROM ev, (SELECT unnest([0, 7200, 14400]) AS o) off
+      WHERE CAST(floor(sec / 7200) AS BIGINT) * 7200 - off.o > sec - 21600
+    )
+    SELECT window_start, event_type, COUNT(*) AS num
+    FROM contrib GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    "Sliding windows (6-hour length, 2-hour slide) per event type: each "
+    "event lands in exactly 3 overlapping epoch-aligned buckets. Scale: "
+    "window() expands rows 3x (length/slide) before the agg shuffle — the "
+    "overlap factor, not the data, is the cost knob.",
+)
+def sliding_window_by_type(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("num"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "num")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "session_window_per_user",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '1 hour'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS num_events
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "Session windows (1-hour inactivity gap) per user: Spark's "
+    "session_window() vs a first-principles gaps-and-islands oracle. "
+    "Scale: one shuffle on user_id; per-key in-order merge. In streaming "
+    "this becomes applyInPandasWithState / built-in session_window with "
+    "watermark-bounded state.",
+)
+def session_window_per_user(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("num_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "num_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,98 @@
+"""Structured Streaming windowed aggregation over the events table.
+
+The batch queries in ``plans/windows.py`` are the oracle-gated forms; this
+module runs the SAME logical aggregations as streams (SURVEY.md §2.8):
+``readStream`` over the events parquet → event-time window agg with a
+watermark → sink. Spark guarantees batch/stream agreement for these plans,
+which tests/test_streaming.py verifies end-to-end with an
+``availableNow`` trigger into a memory sink.
+
+Watermark design: late events older than the watermark are dropped and
+their windows finalized — state is bounded by (watermark horizon /
+window slide) buckets per key, which is what makes the 100 TB/day stream
+version of these aggregations feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (file-source). The
+    TIMESTAMP(NANOS) column needs the same nanosAsLong + integral-div
+    conversion as the batch loader (sources/registry.py)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob restricted to the events file(s)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the ``tumbling_window_stats`` batch query
+    (count + value sum per event-time bucket; complete/update sinks also
+    get distinct users via approx_count_distinct at scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("num_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "num_events", "sum_value")
+    )
+
+
+def sliding_counts_by_type_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    watermark: str = "6 hours",
+) -> DataFrame:
+    """Streaming twin of ``sliding_window_by_type``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("num"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "num")
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``session_window_per_user`` (stateful session
+    merge; watermark bounds open-session state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("num_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "num_events")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drain a streaming aggregation into an in-memory table with an
+    availableNow trigger (test/verification harness)."""
+    (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

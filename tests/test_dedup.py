@@ -1,0 +1,83 @@
+"""Dedup operator semantics beyond the oracle gate: the rows-only MinHash
+and SimHash paths are cross-checked against the exact n-gram Jaccard query
+(their ground truth), so 'no DuckDB twin' never means 'unverified'."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+from .conftest import SF_ORACLE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "too short"), (3, "a b c")],
+        ["doc_id", "text"],
+    )
+    sh = shingles(df, "doc_id", "text", w=3)
+    got = {(r.id, r.shingle) for r in sh.collect()}
+    # doc 2 has 2 tokens < w=3 → no shingles (not a descending-sequence blowup)
+    assert got == {
+        (1, "one two three"),
+        (1, "two three four"),
+        (3, "a b c"),
+    }
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = _docs(spark)
+    copies = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 10_000)
+    groups = exact_dedup_groups(docs.unionByName(copies), "doc_id", "text")
+    assert groups.filter(F.col("n_copies") >= 2).count() == 7
+    # keeper is always the original (min id)
+    assert groups.agg(F.max(F.col("keep_id") < 10_000).alias("ok")).first().ok
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    """MinHash estimate at threshold 0.5 must recover the exact-Jaccard
+    pairs at 0.7 (high-sim pairs ⊂ candidates: the LSH S-curve at J=0.7
+    with 4 bands × 4 rows gives P(candidate) ≈ 1-(1-0.7⁴)²… ≈ 0.97⁴ — and
+    these synthetic near-dups are J ≥ 0.9 where recall is ~1), and every
+    reported pair must be genuinely similar (precision vs exact J ≥ 0.3)."""
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    high_sim = {p for p, j in exact.items() if j >= 0.7}
+    assert high_sim, "corpus should contain true near-dups"
+    recall = len(high_sim & set(est)) / len(high_sim)
+    assert recall >= 0.9, f"minhash recall {recall} on J>=0.7 pairs"
+    precision_ok = sum(1 for p in est if exact.get(p, 0.0) >= 0.3)
+    assert precision_ok / len(est) >= 0.9, "minhash candidates not similar"
+
+
+def test_simhash_identical_docs_collide(spark):
+    docs = _docs(spark).limit(20)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    codes = simhash(docs.unionByName(copies), "doc_id", "text")
+    # identical token multisets → identical simhash → ≥ 20 collision groups
+    groups = codes.groupBy("simhash").count().filter(F.col("count") >= 2)
+    assert groups.count() >= 1
+    joined = codes.alias("a").join(
+        codes.alias("b"),
+        (F.col("a.id") + 10_000 == F.col("b.id"))
+        & (F.col("a.simhash") == F.col("b.simhash")),
+    )
+    assert joined.count() == 20
