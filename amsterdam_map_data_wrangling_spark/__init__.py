@@ -4,12 +4,14 @@ A from-scratch rebuild of the capabilities of
 ``xmindata/Amsterdam-Map-Data-Wrangling`` (an OSM XML → relational ETL +
 SQL analysis workload; see ``SURVEY.md``) as an idiomatic Spark engine:
 
-- ``sources``    — OSM XML reader (batch + scale path), star-schema loader
-- ``functions``  — cleaning / text / vector Column expressions (JVM-side)
-- ``operators``  — dedup, similarity search, multimodal plumbing
-- ``plans``      — the named analytical query catalog with DuckDB oracles
+- ``sources``    — OSM XML reader (``sources/osm.py``), star-schema loader
+- ``functions``  — cleaning + text Column expressions (JVM-side, zero UDFs)
+- ``operators``  — dedup (exact/MinHash/SimHash/Jaccard), similarity
+  search (cosine / sign-LSH ANN), multimodal binary plumbing
+- ``plans``      — the named analytical query catalog with DuckDB oracles,
+  plus the reference's README SQL workload over shaped OSM views
 - ``streaming``  — windowed event aggregation (batch-equivalent + stream)
-- ``pipeline``   — the 1-scan → 5-table OSM ETL job
+- ``pipeline``   — the 1-scan-per-kind → 5-table OSM ETL job
 
 Everything is DataFrame/SQL-first: explicit StructType schemas, built-in
 ``pyspark.sql.functions`` in hot paths (zero row-at-a-time Python UDFs),

@@ -17,6 +17,17 @@ from amsterdam_map_data_wrangling_spark.schemas import STAR_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (session id, sf_dir, table) → DataFrame. A DataFrame is just a logical
+#: plan — caching it skips the parquet footer/schema read that
+#: ``spark.read.parquet`` performs eagerly, which dominates when a catalog
+#: of 40 queries each re-loads its inputs. The testdata is read-only, so
+#: plans never go stale; ``clear_cache`` exists for other inputs.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def clear_cache() -> None:
+    _DF_CACHE.clear()
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: list[str] | None = None
@@ -31,10 +42,13 @@ def load_tables(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"table {name!r} not found at {path}")
-        out[name] = _fix_nanos(spark.read.parquet(path))
+        key = (id(spark), sf_dir, name)
+        if key not in _DF_CACHE:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"table {name!r} not found at {path}")
+            _DF_CACHE[key] = _fix_nanos(spark.read.parquet(path))
+        out[name] = _DF_CACHE[key]
     return out
 
 

@@ -43,8 +43,7 @@ def _raw_key(key: str, typ: str) -> str:
     return key if typ == "regular" else f"{typ}:{key}"
 
 
-@pytest.fixture(scope="module")
-def ref_rows():
+def load_ref_csvs():
     with open(REF_WAYS, newline="", encoding="utf-8") as f:
         ways = list(csv.DictReader(f))
     with open(REF_WAYS_TAGS, newline="", encoding="utf-8") as f:
@@ -52,14 +51,12 @@ def ref_rows():
     return ways, tags
 
 
-@pytest.fixture(scope="module")
-def roundtrip_xml(ref_rows):
-    ways, tags = ref_rows
+def build_roundtrip_xml(ways, tags, path=TMP_XML):
     tags_by_id = defaultdict(list)
     for t in tags:
         tags_by_id[t["id"]].append(t)
-    os.makedirs(os.path.dirname(TMP_XML), exist_ok=True)
-    with open(TMP_XML, "w", encoding="utf-8") as f:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n')
         for w in ways:
             attrs = " ".join(f"{k}={quoteattr(w[k])}" for k in w)
@@ -70,7 +67,18 @@ def roundtrip_xml(ref_rows):
                 f.write(f"    <tag k={k} v={v}/>\n")
             f.write("  </way>\n")
         f.write("</osm>\n")
-    return TMP_XML
+    return path
+
+
+@pytest.fixture(scope="module")
+def ref_rows():
+    return load_ref_csvs()
+
+
+@pytest.fixture(scope="module")
+def roundtrip_xml(ref_rows):
+    ways, tags = ref_rows
+    return build_roundtrip_xml(ways, tags)
 
 
 def test_ways_and_ways_tags_exact_parity(spark, ref_rows, roundtrip_xml):
