@@ -90,6 +90,72 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    centroid_stride: int = 50,
+    centroid_offset: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell, then search only the query's cell.
+
+    Centroids are picked deterministically (ids ≡ offset mod stride) so the
+    whole computation is engine-portable and oracle-checkable; a production
+    IVF would k-means them, which changes recall, not the plan shape. The
+    plan: centroids broadcast → per-vector argmax (rank window on the tiny
+    per-vector score set) → candidates joined on the cell key. nprobe > 1
+    is the same join with an IN-list of the query's top-n cells.
+
+    At 100 TB: assignment is one broadcast join + narrow window; the search
+    join shuffles the corpus once on cell id (same story as sign-LSH but
+    with data-adaptive cells)."""
+    from pyspark.sql import Window
+
+    emb = _prep(df, id_col, vec_col)
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") % centroid_stride == centroid_offset).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+    sim_c = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "c_id")
+    assign = (
+        emb.crossJoin(cents)
+        .select("vec_id", "v", "nrm", "c_id", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
+    )
+    q = F.broadcast(
+        assign.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    scored = (
+        assign.join(q, F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
 def ann_sign_lsh_topk(
     df: DataFrame,
     id_col: str,

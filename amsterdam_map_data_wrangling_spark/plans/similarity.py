@@ -11,6 +11,7 @@ from amsterdam_map_data_wrangling_spark.operators.similarity import (
     ann_sign_lsh_topk,
     cosine_topk,
     dot,
+    ivf_topk,
     l2_norm,
 )
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
@@ -94,6 +95,52 @@ def knn_cosine_brute(spark, sf_dir):
 def ann_sign_lsh(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return ann_sign_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
+
+
+@query(
+    "ann_ivf",
+    _E_CTE
+    + """
+    , c AS (
+      SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 7
+    ), cscored AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+      FROM e, c
+    ), assign AS (
+      SELECT vec_id, v, c_id AS cell FROM (
+        SELECT vec_id, v, c_id, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assign WHERE vec_id < 5
+    ), scored AS (
+      SELECT qid, a.vec_id,
+             round(list_dot_product(a.v, qv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS sim
+      FROM assign a JOIN q ON a.cell = q.qcell AND a.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    )
+    SELECT qid, vec_id, sim FROM ranked WHERE rn <= 3
+    """,
+    "IVF-style ANN: every vector coarse-quantized to its nearest centroid "
+    "(deterministic centroid set so both engines agree), search restricted "
+    "to the query's cell. Scale: centroids broadcast; assignment is a "
+    "narrow per-vector argmax; the search join shuffles once on the cell "
+    "key. The second ANN family next to sign-LSH — data-adaptive cells "
+    "(k-means in production) vs fixed hyperplanes.",
+)
+def ann_ivf(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3)
 
 
 @query(

@@ -38,3 +38,41 @@ def test_stream_sliding_equals_batch(spark):
     batch = QUERIES["sliding_window_by_type"].build(spark, SF_ORACLE)
     want = _rows(batch, ["window_start", "event_type", "num"])
     assert got == want
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    """Exact dedup as a stream: duplicates planted in a second file (a later
+    micro-batch) must not survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.streaming.dedup import dedup_stream
+
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "sdedup")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id", "text")
+    docs.limit(40).write.mode("overwrite").parquet(os.path.join(base, "in"))
+    # second batch: 10 new docs + 15 exact duplicates with new ids
+    dupes = docs.limit(15).withColumn("doc_id", F.col("doc_id") + 50_000)
+    fresh = docs.filter(F.col("doc_id").between(100, 109))
+    dupes.unionByName(fresh).write.mode("append").parquet(os.path.join(base, "in"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(os.path.join(base, "in"))
+    deduped = dedup_stream(stream)
+    (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.table("t_dedup")
+    batch_distinct = (
+        spark.read.parquet(os.path.join(base, "in"))
+        .select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_distinct == 50
+    assert out.select("fp").distinct().count() == out.count()
