@@ -227,3 +227,31 @@ def table_stats(spark, sf_dir):
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "Exact interpolated percentiles of event value per type (Spark "
+    "percentile() ≡ DuckDB quantile_cont — verified bit-equal after "
+    "round(4)). Scale: exact percentiles need the group's values on one "
+    "node; at 100 TB swap to approx_percentile (t-digest sketch, "
+    "mergeable map-side) — same query shape, bounded memory.",
+)
+def value_percentiles_by_type(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

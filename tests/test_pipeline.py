@@ -143,3 +143,22 @@ def test_run_pipeline_parquet_roundtrip(spark, tmp_path_factory):
     # the written parquet is typed: ids are longs, timestamps timestamps
     dt = dict(tables["nodes"].dtypes)
     assert dt["id"] == "bigint" and dt["timestamp"] == "timestamp"
+
+
+def test_partitioned_tags_write_prunes_partitions(spark):
+    """type-partitioned EAV writes let a type filter prune at the source:
+    the scan must list only the matching partition directory."""
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".tmp", "etl_part"
+    )
+    tables = run_pipeline(spark, FIXTURE, out_dir, partition_tags_by_type=True)
+    tags = tables["nodes_tags"]
+    filtered = tags.filter(F.col("type") == "addr").select("id", "key", "value")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # the type predicate must land in PartitionFilters (pruning), not as a
+    # post-scan data filter
+    assert "PartitionFilters" in plan and "PartitionFilters: []" not in plan
+    # pruning is observable: only the addr partition's rows are read
+    assert filtered.count() == 3
+    # and the partitioned table still roundtrips all rows
+    assert tags.count() > filtered.count()
