@@ -174,6 +174,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups: (id, cluster_id) where
+    cluster_id is the minimum id in the connected component.
+
+    Iterative min-label propagation (the simplified large-star idea): each
+    node takes the min of its own and its neighbours' labels until a fixed
+    point. Near-dup components are tiny (diameter ~2-3), so convergence is
+    a handful of rounds. Per round: one join + one groupBy shuffle;
+    ``localCheckpoint`` truncates the lineage so plans don't grow with the
+    iteration count — the standard Spark idiom for iterative algorithms.
+    Genuinely non-SQL-expressible (recursive), hence rows-only at the
+    driver gate; pytest verifies against union-find.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard with shared-shingle blocking
 # ---------------------------------------------------------------------------
 

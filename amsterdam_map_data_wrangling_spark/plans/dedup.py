@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from amsterdam_map_data_wrangling_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -114,6 +115,25 @@ def dedup_minhash_pairs(spark, sf_dir):
     return minhash_near_dup_pairs(
         documents, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
     )
+
+
+@query(
+    "dedup_clusters",
+    None,  # recursive (iterative) — genuinely non-SQL-expressible
+    "Duplicate clusters: connected components (iterative min-label "
+    "propagation, lineage cut per round via localCheckpoint) over the "
+    "exact 5-gram Jaccard near-dup pairs. The step every dedup pipeline "
+    "needs after pair generation — 'keep one doc per component', not one "
+    "per pair. Scale: per round one join + one groupBy on the (tiny) "
+    "component edge set; rounds ≈ component diameter (2-3 for near-dups). "
+    "Verified against union-find in pytest.",
+)
+def dedup_clusters(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    )
+    return connected_components(pairs)
 
 
 @query(

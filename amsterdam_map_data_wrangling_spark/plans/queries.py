@@ -469,6 +469,109 @@ def topn_per_group(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Relational extensions beyond the reference surface (SURVEY §2.3/§2.4
+# "not present" rows): as-of join, rollup, EAV pivot-back
+# ===========================================================================
+
+
+@query(
+    "asof_last_click_before_error",
+    """
+    WITH err AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+         clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT err.event_id, err.user_id, err.ts, c.ts AS last_click_ts
+    FROM err ASOF LEFT JOIN clk c
+      ON err.user_id = c.user_id AND err.ts >= c.ts
+    """,
+    "As-of join: each error event matched to the user's most recent click "
+    "at-or-before it. Spark lacks a native ASOF join — expressed as the "
+    "union+running-max window idiom: tag both streams, one window over "
+    "(user, ts) carries the latest click timestamp forward. Scale: ONE "
+    "shuffle on user_id + an in-order scan per key — same cost as the "
+    "sort-merge ASOF a native engine (or DuckDB, the oracle here) runs.",
+)
+def asof_last_click_before_error(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    # clicks sort before a tied error so an equal-timestamp click matches
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("is_click"), F.col("ts"))).over(w),
+    )
+    return carried.filter(~F.col("is_click")).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS num
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy totals (flag, flag+status, grand total) in one pass "
+    "— the grouping-sets surface Catalyst provides beyond the reference "
+    "(SURVEY §2.4 note). Scale: one expand + one agg shuffle; partial "
+    "aggregation applies to every grouping set.",
+)
+def rollup_revenue(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("num"),
+    )
+
+
+@query(
+    "eav_pivot_wide",
+    """
+    WITH eav AS (
+      SELECT p_partkey AS id, 'name' AS key, p_name AS value FROM part
+      UNION ALL SELECT p_partkey, 'brand', p_brand FROM part
+      UNION ALL SELECT p_partkey, 'ptype', p_type FROM part
+    )
+    SELECT id,
+           max(CASE WHEN key = 'name' THEN value END) AS name,
+           max(CASE WHEN key = 'brand' THEN value END) AS brand,
+           max(CASE WHEN key = 'ptype' THEN value END) AS ptype
+    FROM eav GROUP BY id
+    """,
+    "EAV → wide pivot-back (the inverse of eav_unpivot_topk): long "
+    "(id, key, value) rows pivoted to columns with an explicit value "
+    "list, so Spark needs no extra distinct-keys job. This is how the "
+    "OSM nodes_tags EAV table re-materializes as a wide attribute view. "
+    "Scale: conditional-aggregate pivot = one shuffle on id.",
+)
+def eav_pivot_wide(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    eav = part.selectExpr(
+        "p_partkey AS id",
+        "stack(3, 'name', p_name, 'brand', p_brand, 'ptype', p_type) AS (key, value)",
+    )
+    return (
+        eav.groupBy("id")
+        .pivot("key", ["name", "brand", "ptype"])
+        .agg(F.max("value"))
+    )
+
+
 def queries() -> dict[str, Build]:
     return {name: spec.build for name, spec in QUERIES.items()}
 

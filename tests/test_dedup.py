@@ -81,3 +81,53 @@ def test_simhash_identical_docs_collide(spark):
         & (F.col("a.simhash") == F.col("b.simhash")),
     )
     assert joined.count() == 20
+
+
+def test_connected_components_matches_union_find(spark):
+    """Cluster assignment must equal a driver-side union-find ground truth
+    over the same pair set (min-id as the canonical component label)."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [
+        (1, 2), (2, 3),          # chain → {1,2,3}
+        (10, 11),                # pair
+        (20, 21), (21, 22), (20, 23),  # star+chain → {20,21,22,23}
+        (30, 31), (32, 33), (31, 32),  # merged late → {30..33}
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_dedup_clusters_query_groups_near_dups(spark):
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+    labels = QUERIES["dedup_clusters"].build(spark, SF_ORACLE)
+    rows = labels.collect()
+    assert rows, "near-dup corpus must yield clusters"
+    from pyspark.sql import functions as F
+
+    sizes = labels.groupBy("cluster_id").count()
+    assert sizes.filter(F.col("count") >= 3).count() >= 1, (
+        "the corpus plants at least one 3-doc near-dup group"
+    )
