@@ -181,6 +181,33 @@ def lang_id_confusion(spark, sf_dir):
 
 
 @query(
+    "stratified_sample_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS sampled
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "Training-data subsampling: systematic 10% sample per language stratum "
+    "(key mod bucket — deterministic, engine-portable, resumable). At "
+    "100 TB this replaces rand()-based sampling because it needs no state, "
+    "dedups with itself across reruns, and pushes to the scan as a "
+    "predicate; for clustered keys swap the mod for a hash-mod bucket. "
+    "The FILTER form keeps it one pass over the corpus.",
+)
+def stratified_sample_counts(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("doc_id") % 10 == 3, 1)).alias("sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "quality_scores",
     r"""
     WITH s AS (

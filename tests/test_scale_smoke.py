@@ -1,0 +1,59 @@
+"""Scale smoke: the dedup stack on an 8x-replicated corpus (~40k docs,
+~2M shingle rows). Catches quadratic blowups (pair-space explosions,
+all-pairs joins) that sf0.01 hides — runtime here is asserted only loosely;
+the real check is that results scale linearly with the replication."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+)
+
+from .conftest import SF_ORACLE
+
+REPL = 8
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "big_docs")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id", "text")
+    replicated = docs.crossJoin(
+        spark.range(REPL).withColumnRenamed("id", "rep")
+    ).select((F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text")
+    replicated.repartition(16).write.mode("overwrite").parquet(base)
+    return spark.read.parquet(base)
+
+
+def test_exact_dedup_scales(spark, big_docs):
+    n = big_docs.count()
+    assert n == 500 * REPL
+    t0 = time.perf_counter()
+    groups = exact_dedup_groups(big_docs, "doc_id", "text")
+    # every fingerprint now has exactly REPL copies (all docs replicated)
+    dist = groups.groupBy("n_copies").count().collect()
+    assert {r.n_copies for r in dist} == {REPL}
+    assert sum(r["count"] for r in dist) == 500
+    assert time.perf_counter() - t0 < 60
+
+
+def test_minhash_pair_space_stays_bounded(spark, big_docs):
+    """Replicated docs make every doc an exact dup of REPL-1 twins; the
+    banded join must produce pairs ~linear in docs x REPL (identical docs
+    always collide), not corpus²."""
+    t0 = time.perf_counter()
+    pairs = minhash_near_dup_pairs(big_docs, "doc_id", "text", threshold=0.5)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    # 500 groups x C(8,2)=28 exact-twin pairs = 14000, plus the original
+    # corpus's ~24 true near-dup pairs x 8x8 cross copies ≈ +1500.
+    assert n_pairs >= 500 * (REPL * (REPL - 1) // 2)
+    assert n_pairs < 25_000, f"pair space exploded: {n_pairs}"
+    assert elapsed < 120, f"minhash took {elapsed:.0f}s at 8x"
