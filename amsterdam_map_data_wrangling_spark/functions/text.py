@@ -67,3 +67,29 @@ def fingerprint(text: Column) -> Column:
 def lexical_diversity(text: Column) -> Column:
     """distinct/total token ratio — a quality-score component."""
     return distinct_token_count(text) / token_count(text)
+
+
+#: Mersenne prime modulus for the rolling hash: keeps every intermediate
+#: (acc*31 + x) < 2^37, safely inside int64 on both engines.
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    fold (acc*31 + h(token)) mod M left-to-right, h = first 8 hex chars of
+    md5 — every step engine-portable (DuckDB: list_reduce + hex cast).
+
+    Complements :func:`fingerprint` (md5 of the whole text): the rolling
+    form is incrementally updatable (streaming append) and usable for
+    chunk-level fingerprints at 100 TB."""
+    tok_hashes = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.when(F.size(tok_hashes) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.slice(tok_hashes, 2, F.greatest(F.size(tok_hashes) - 1, F.lit(0))),
+            F.element_at(tok_hashes, 1),
+            lambda acc, x: (acc * 31 + x) % ROLLING_MOD,
+        )
+    )

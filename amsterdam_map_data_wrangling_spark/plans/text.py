@@ -20,6 +20,7 @@ from amsterdam_map_data_wrangling_spark.functions.text import (
     distinct_token_count,
     lexical_diversity,
     marker_score,
+    rolling_fingerprint,
     token_count,
     tokens,
 )
@@ -177,6 +178,33 @@ def lang_id_confusion(spark, sf_dir):
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("num"))
         .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "doc_rolling_fingerprint",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(th) = 0 THEN 0
+                ELSE list_reduce(th, (acc, x) -> (acc * 31 + x) % 2147483647)
+           END AS rfp
+    FROM h
+    """,
+    "Order-sensitive polynomial rolling fingerprint over the token stream "
+    "(fold acc*31 + md5-prefix(token) mod M) — incrementally updatable, "
+    "unlike the whole-text md5. Scale: narrow per-row fold, no shuffle; "
+    "verified fold-for-fold against DuckDB list_reduce.",
+)
+def doc_rolling_fingerprint(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
     )
 
 

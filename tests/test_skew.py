@@ -1,0 +1,36 @@
+"""Salted join: identical results to the plain join on a pathologically
+skewed key distribution, with the join key spread over salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of fact rows share one hot key
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("sk"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    plain = big.join(small, big.k == small.sk).select("k", "payload", "name")
+    salted = salted_join(big, small, "k", "sk", buckets=8).select(
+        "k", "payload", "name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.range(100).select((F.col("id") % 150).alias("k"))
+    small = spark.range(50).select(F.col("id").alias("sk"))
+    out = salted_join(big, small, "k", "sk", buckets=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("sk").isNull()).count() == big.filter(
+        F.col("k") >= 50
+    ).count()

@@ -76,3 +76,50 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path_factory):
     )
     assert out.count() == batch_distinct == 50
     assert out.select("fp").distinct().count() == out.count()
+
+
+def test_stateful_running_user_stats_matches_batch(spark):
+    """applyInPandasWithState: after draining the full stream, per-user
+    running stats must equal the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    stream = running_user_stats(read_events_stream(spark, SF_ORACLE))
+    assert stream.isStreaming
+    (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # update mode re-emits per batch: keep the final row per user
+    out = (
+        spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 4), r.last_ts)
+        for r in out.collect()
+    }
+    batch = (
+        load_tables(spark, SF_ORACLE, ["events"])["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("m"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.s, 4), r.m) for r in batch.collect()}
+    assert got == want
