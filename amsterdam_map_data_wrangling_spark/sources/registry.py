@@ -40,6 +40,9 @@ def load_tables(
     # Set here — not only in our session factory — so load_tables works on
     # ANY session, including the driver's verify session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ts columns pass through timestamp_micros (TZ-sensitive); pin UTC so
+    # results are identical on any session regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names:
         key = (id(spark), sf_dir, name)
