@@ -178,3 +178,19 @@ def test_csv_export_matches_reference_field_order(spark):
     tags = tables["nodes_tags"]
     assert tags.columns == ["id", "key", "value", "type"]
     assert tags.count() > 0
+
+
+def test_multi_file_osm_read(spark):
+    """S1 at scale: the source reads a DIRECTORY of OSM files (one task
+    per file — the 100 TB parallelism unit), not just a single document."""
+    import shutil
+
+    multi_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".tmp", "multi_osm"
+    )
+    os.makedirs(multi_dir, exist_ok=True)
+    shutil.copy(FIXTURE, os.path.join(multi_dir, "a.osm"))
+    shutil.copy(FIXTURE, os.path.join(multi_dir, "b.osm"))
+    nodes = read_osm(spark, multi_dir, "node")
+    assert nodes.count() == 18  # 9 per file
+    assert nodes.rdd.getNumPartitions() >= 2  # one split per file minimum
