@@ -230,6 +230,38 @@ def table_stats(spark, sf_dir):
 
 
 @query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "Semi-structured payload handling: the events.props JSON column parsed "
+    "with a typed from_json schema (stays in codegen — no string "
+    "re-parsing per field access), then aggregated per type. Scale: "
+    "narrow parse + tiny agg shuffle; with a stable schema the 100 TB "
+    "move is parse-once-at-ingest into a struct column.",
+)
+def json_props_stats(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "value_percentiles_by_type",
     """
     SELECT event_type,
