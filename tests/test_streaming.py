@@ -123,3 +123,62 @@ def test_stateful_running_user_stats_matches_batch(spark):
     )
     want = {r.user_id: (r.n, round(r.s, 4), r.m) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_bounds_streaming_state(spark):
+    """The scale property of watermarks: aggregation state is bounded to
+    the watermark horizon. After two micro-batches covering 30 days of
+    event time with a 1-hour watermark, the state store must hold only the
+    windows still inside the horizon (a handful), not all ~240 windows —
+    measured via the stateOperators metrics. (Note: Spark 4's micro-batch
+    append mode finalizes behind-watermark windows immediately rather than
+    dropping their rows — verified empirically — so the honest assertion
+    here is state bounding, which is what makes an unbounded stream
+    feasible.)"""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "late")
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_tables(spark, SF_ORACLE, ["events"])["events"]
+    recent = events.filter(F.col("ts") >= F.lit("2024-01-25").cast("timestamp"))
+    late = events.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+    in_dir = os.path.join(base, "in")
+    recent.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    _time.sleep(1.1)  # strictly later mtime → second micro-batch
+    late.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(recent.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("num"))
+        .select(F.col("w.start").alias("ws"), "num")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 2, "expected two micro-batches"
+    # watermark advanced to (max recent ts - 1h) before the late batch
+    assert progress[-1]["eventTime"]["watermark"].startswith("2024-01-30")
+    # state bounded: far fewer windows retained than the ~240 processed
+    final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state_rows <= 5, final_state_rows
+    out = spark.table("t_late")
+    # every recent window was still emitted exactly once
+    n_recent = out.filter(F.col("ws") >= F.lit("2024-01-25").cast("timestamp")).count()
+    assert n_recent + final_state_rows >= 144  # 6 days x 24h windows
+    assert late.count() > 0  # the late batch genuinely existed
