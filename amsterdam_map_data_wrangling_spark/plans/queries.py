@@ -469,6 +469,70 @@ def topn_per_group(spark, sf_dir):
     )
 
 
+@query(
+    "running_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders WHERE o_custkey % 20 = 0
+    """,
+    "Explicit frame spec: per-customer cumulative revenue (ROWS UNBOUNDED "
+    "PRECEDING → CURRENT ROW) with a total order inside the partition. "
+    "Scale: one shuffle on the partition key, per-key in-order scan — "
+    "frames never re-sort.",
+)
+def running_revenue_per_customer(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") % 20 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "event_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_s) AS n_gaps,
+           round(avg(gap_s), 2) AS avg_gap_s,
+           round(max(gap_s), 2) AS max_gap_s
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+    "lag() inter-event gaps per user, aggregated per type — the "
+    "sequence-analysis shape (session length precursor). Scale: one "
+    "shuffle on user_id for the window, then a tiny agg.",
+)
+def event_gap_stats(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        events.select("event_type", gap.alias("gap_s"))
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 2).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ===========================================================================
 # Relational extensions beyond the reference surface (SURVEY §2.3/§2.4
 # "not present" rows): as-of join, rollup, EAV pivot-back
