@@ -636,6 +636,59 @@ def eav_pivot_wide(spark, sf_dir):
     )
 
 
+@query(
+    "range_join_balance_bands",
+    """
+    WITH bands AS (
+      SELECT n_nationkey AS band_id,
+             n_nationkey * 400.0 AS lo,
+             n_nationkey * 400.0 + 700.0 AS hi
+      FROM nation
+    )
+    SELECT band_id,
+           COUNT(*) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM bands JOIN customer ON c_acctbal BETWEEN lo AND hi
+    GROUP BY band_id ORDER BY band_id
+    """,
+    "Range join (point-in-interval): customer balances against 25 "
+    "overlapping price bands derived from nation. DuckDB plans the "
+    "BETWEEN as an IEJoin; Spark would fall back to "
+    "BroadcastNestedLoopJoin, so we use the bucketized band join "
+    "(operators/range_join.py): points hash to floor(x/W), intervals "
+    "explode to their covered buckets, equi-join + residual filter. "
+    "Scale: O(N + M·len/W) instead of O(N·M); the equi-join shuffles, "
+    "AQE-splittable like any other.",
+)
+def range_join_balance_bands(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    nation, customer = _t(spark, sf_dir, "nation", "customer")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 400.0).alias("lo"),
+        (F.col("n_nationkey") * 400.0 + 700.0).alias("hi"),
+    )
+    matched = point_in_interval_join(
+        customer.select("c_custkey", "c_acctbal"),
+        bands,
+        point_col="c_acctbal",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=350.0,
+    )
+    return (
+        matched.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def queries() -> dict[str, Build]:
     return {name: spec.build for name, spec in QUERIES.items()}
 
