@@ -271,3 +271,124 @@ def quality_scores(spark, sf_dir):
         4,
     )
     return documents.select("doc_id", quality.alias("quality"))
+
+
+def _pipeline_sql() -> str:
+    """The full curation pipeline as one DuckDB statement: injected-dup
+    corpus → exact dedup (md5 fingerprint, min-id keeper) → quality score →
+    threshold filter → lang-ID argmax → per-language corpus stats."""
+    score = {
+        lang: (
+            r"len(list_filter(string_split_regex(trim(text), '\s+'), "
+            f"t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), kept AS (
+      SELECT arg_min(text, doc_id) AS text
+      FROM corpus
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), feat AS (
+      SELECT text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS diversity,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS avg_tok_len
+      FROM kept
+    ), scored AS (
+      SELECT text, n_tokens,
+             round(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                   + 0.4 * diversity
+                   + 0.2 * LEAST(avg_tok_len / 8.0, 1.0), 4) AS quality
+      FROM feat
+    ), langed AS (
+      SELECT n_tokens, quality,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM scored WHERE quality >= 0.4
+    )
+    SELECT CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'unknown' END AS predicted,
+           COUNT(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           SUM(n_tokens) AS total_tokens
+    FROM langed GROUP BY predicted ORDER BY predicted
+    """
+
+
+@query(
+    "quality_filter_pipeline",
+    _pipeline_sql(),
+    "End-to-end curation pipeline in ONE plan: dedup (exact, min-id "
+    "keeper) → quality scoring → threshold filter → language-ID → "
+    "per-language doc/token budget. The canonical pre-training data-prep "
+    "DAG, composed from this repo's operator families with zero "
+    "materialization between stages. Scale: one fingerprint shuffle + one "
+    "tiny (≤5-row) agg; everything between is narrow, so Catalyst fuses "
+    "the score/filter/lang stages into the post-shuffle map.",
+)
+def quality_filter_pipeline(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint
+
+    copies = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = documents.select("doc_id", "text").unionByName(
+        copies.select("doc_id", "text")
+    )
+    kept = (
+        corpus.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min_by("text", "doc_id").alias("text"))
+        .drop("fp")
+    )
+    t = F.col("text")
+    n_tokens = token_count(t)
+    diversity = lexical_diversity(t)
+    avg_tok_len = F.length(t).cast("double") / n_tokens
+    quality = F.round(
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.4 * diversity
+        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    scored = kept.select(
+        n_tokens.alias("n_tokens"), quality.alias("quality"), t.alias("text")
+    ).filter(F.col("quality") >= 0.4)
+    s = {
+        lang: marker_score(F.col("text"), ms).alias(f"s_{lang}")
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langed = scored.select("n_tokens", "quality", *s.values())
+    sc = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"])
+            & (sc["en"] >= sc["es"]) & (sc["en"] > 0),
+            "en",
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]) & (sc["de"] > 0), "de")
+        .when((sc["fr"] >= sc["es"]) & (sc["fr"] > 0), "fr")
+        .when(sc["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        langed.select(predicted.alias("predicted"), "n_tokens", "quality")
+        .groupBy("predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("predicted")
+    )
