@@ -5,6 +5,7 @@ from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
     multimodal,
     queries,
     similarity,
+    sketches,
     text,
     windows,
     wrangling,

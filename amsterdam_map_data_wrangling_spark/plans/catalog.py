@@ -53,6 +53,7 @@ def _load_all() -> None:
         multimodal,
         queries,
         similarity,
+        sketches,
         text,
         windows,
         wrangling,
