@@ -209,24 +209,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # change detection rides along as a flag column: old and new label
+        # coexist in the merge row, so no second join is needed to diff
+        # generations — one checkpoint job + one tiny agg per round.
+        merged = (
             labels.join(neigh, labels.id == neigh.dst, "left")
             .select(
                 labels.id,
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nlabel", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = merged.agg(F.sum("chg")).first()[0]
+        labels = merged.drop("chg")
+        if not changed:
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
