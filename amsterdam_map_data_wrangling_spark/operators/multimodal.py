@@ -106,3 +106,45 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def resize_dims(width, height, box_w: int, box_h: int):
+    """Fit-in-box output dimensions (aspect-preserving, never upscale) as
+    pure Column arithmetic — the metadata half of a resize stage. The
+    pixel half is ``decode_stub`` territory (mapInPandas over payload);
+    planning output dims JVM-side means the resize stage can be
+    partitioned/filtered on target size without touching any bytes."""
+    scale = F.least(
+        F.lit(1.0),
+        F.least(F.lit(box_w) / width, F.lit(box_h) / height),
+    )
+    out_w = F.greatest(F.lit(1), F.floor(width * scale).cast("int"))
+    out_h = F.greatest(F.lit(1), F.floor(height * scale).cast("int"))
+    return out_w, out_h
+
+
+def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Frame sampling: one row per (asset, frame timestamp), timestamps
+    0, every_ms, … ≤ duration_ms. The row multiplication is JVM-side
+    (``explode(sequence(...))``) so 100 TB of video metadata fans out
+    without Python in the loop; the per-frame ``frame_sha16`` stands in
+    for the decoded frame (a real decoder is a ``mapInPandas`` stage over
+    (payload, frame_ts) with exactly this schema — see ``decode_stub``).
+    """
+    frame_ts = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("meta.duration_ms"),
+            F.lit(int(every_ms)).cast("long"),
+        )
+    ).alias("frame_ts")
+    frames = media.select("media_id", "payload", frame_ts)
+    fake_frame = F.sha2(
+        F.concat(F.col("payload"), F.encode(F.col("frame_ts").cast("string"), "UTF-8")),
+        256,
+    )
+    return frames.select(
+        "media_id",
+        "frame_ts",
+        F.substring(fake_frame, 1, 16).alias("frame_sha16"),
+    )

@@ -35,3 +35,54 @@ def multimodal_features(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     media = as_media_table(documents, "doc_id", "text")
     return extract_features(media)
+
+
+@query(
+    "frame_sample_stats",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, text,
+             1000 + (doc_id % 20) * 500 AS duration_ms
+      FROM documents
+    ), frames AS (
+      SELECT media_id, text,
+             unnest(range(0, duration_ms + 1, 500)) AS frame_ts
+      FROM media
+    )
+    SELECT media_id, COUNT(*) AS n_frames,
+           min(substr(sha256(text || CAST(frame_ts AS VARCHAR)), 1, 16)) AS sig16
+    FROM frames GROUP BY media_id
+    """,
+    "Video frame sampling over binary assets: deterministic per-asset "
+    "duration metadata fans out to one row per 500 ms frame timestamp "
+    "JVM-side (explode(sequence)) — no Python in the row-multiplication "
+    "path — then per-frame digests aggregate back to per-asset stats. "
+    "The digest stands in for a decoded frame; a real decoder is a "
+    "mapInPandas stage over (payload, frame_ts) with the same schema. "
+    "Scale: fan-out is a narrow map (no shuffle); the only shuffle is the "
+    "final groupBy on media_id, and payload bytes never leave the "
+    "executor that scanned them.",
+)
+def frame_sample_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import sample_frames
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = as_media_table(documents, "doc_id", "text").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (1000 + (F.col("media_id") % 20) * 500).cast("long").alias("duration_ms"),
+        ),
+    )
+    return (
+        sample_frames(media, every_ms=500)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.min("frame_sha16").alias("sig16"),
+        )
+    )

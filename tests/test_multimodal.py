@@ -49,3 +49,50 @@ def test_metadata_query_prunes_payload(spark):
         .toString()
     )
     assert "payload" not in explained
+
+
+def test_resize_dims_fit_in_box(spark):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import resize_dims
+
+    rows = [(1, 4000, 3000), (2, 100, 50), (3, 50, 100), (4, 1, 1), (5, 1024, 768)]
+    df = spark.createDataFrame(rows, "id long, w int, h int")
+    out_w, out_h = resize_dims(F.col("w"), F.col("h"), 512, 512)
+    got = {
+        r.id: (r.ow, r.oh)
+        for r in df.select("id", out_w.alias("ow"), out_h.alias("oh")).collect()
+    }
+    # aspect preserved (within floor), never upscaled, fits the box
+    assert got[1] == (512, 384)
+    assert got[2] == (100, 50)  # already fits: untouched
+    assert got[3] == (50, 100)
+    assert got[4] == (1, 1)
+    assert got[5] == (512, 384)
+    for ow, oh in got.values():
+        assert 1 <= ow <= 512 and 1 <= oh <= 512
+
+
+def test_sample_frames_count_and_determinism(spark):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(10)
+    media = as_media_table(docs, "doc_id", "text").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (1000 + (F.col("media_id") % 3) * 500).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = sample_frames(media, every_ms=500).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for media_id, rs in by_id.items():
+        dur = 1000 + (media_id % 3) * 500
+        assert sorted(r.frame_ts for r in rs) == list(range(0, dur + 1, 500))
+        # frame digests are deterministic and distinct per timestamp
+        assert len({r.frame_sha16 for r in rs}) == len(rs)
+    # determinism across runs
+    again = sample_frames(media, every_ms=500).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
