@@ -689,6 +689,60 @@ def range_join_balance_bands(spark, sf_dir):
     )
 
 
+@query(
+    "above_avg_orders_per_customer",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > round(1.5 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    ), 2)
+    """,
+    "Correlated scalar subquery (each order vs 1.5× its customer's mean "
+    "order value), decorrelated on the Spark side to a window aggregate — "
+    "the rewrite every optimizer wants: one shuffle on the correlation "
+    "key instead of a per-row subquery. The threshold is rounded to cents "
+    "on both sides so engine summation order can't flip boundary rows. "
+    "Scale: single hash shuffle on o_custkey; no join, no re-sort "
+    "(unordered window frame).",
+)
+def above_avg_orders_per_customer(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    thresh = F.round(1.5 * F.avg("o_totalprice").over(w), 2)
+    return (
+        orders.withColumn("_thresh", thresh)
+        .filter(F.col("o_totalprice") > F.col("_thresh"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "segment_event_counts",
+    """
+    SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY segment, event_type
+    ORDER BY segment, event_type
+    """,
+    "Stream-static enrichment, batch twin: events joined to the "
+    "broadcast user→segment dimension, counted per (segment, type). The "
+    "identical plan runs as a Structured Streaming query "
+    "(streaming/enrich.py) where the static side re-reads per "
+    "micro-batch — stateless, no watermark needed for the join. Scale: "
+    "broadcast dim ⇒ zero join shuffle; the only shuffle is the tiny "
+    "post-join agg.",
+)
+def segment_event_counts(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.streaming.enrich import (
+        enriched_segment_counts,
+    )
+
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    return enriched_segment_counts(events, customer).orderBy("segment", "event_type")
+
+
 def queries() -> dict[str, Build]:
     return {name: spec.build for name, spec in QUERIES.items()}
 
