@@ -182,3 +182,21 @@ def test_watermark_bounds_streaming_state(spark):
     n_recent = out.filter(F.col("ws") >= F.lit("2024-01-25").cast("timestamp")).count()
     assert n_recent + final_state_rows >= 144  # 6 days x 24h windows
     assert late.count() > 0  # the late batch genuinely existed
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.enrich import (
+        enriched_segment_counts,
+    )
+
+    customer = load_tables(spark, SF_ORACLE, ["customer"])["customer"]
+    stream = enriched_segment_counts(read_events_stream(spark, SF_ORACLE), customer)
+    assert stream.isStreaming
+    run_to_memory(stream, "t_enrich")
+    got = _rows(spark.table("t_enrich"), ["segment", "event_type", "n_events"])
+    want = _rows(
+        QUERIES["segment_event_counts"].build(spark, SF_ORACLE),
+        ["segment", "event_type", "n_events"],
+    )
+    assert got == want
