@@ -52,6 +52,32 @@ def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
 
 
+#: English stopwords for the stopword-ratio quality component (a real
+#: pipeline loads a full per-language list; ratio semantics are identical).
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars — high values flag boilerplate,
+    code, or markup-polluted documents."""
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / total tokens — natural prose sits around
+    0.3-0.5; very low values flag lists, tables, and keyword spam."""
+    return marker_score(text, STOPWORDS) / token_count(text)
+
+
+def uppercase_ratio(text: Column) -> Column:
+    """Uppercase chars / total chars — shouting and header-heavy docs."""
+    return F.length(F.regexp_replace(text, r"[^A-Z]", "")) / F.length(text)
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     trim."""

@@ -91,7 +91,15 @@ def lsh_candidate_pairs(
     explode to (band_idx, band_hash, id), self-join within buckets.
 
     Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b, where
-    est_jaccard is the fraction of equal signature components."""
+    est_jaccard is the fraction of equal signature components.
+
+    The self-join computes the signature subtree twice (exchange reuse
+    does not fire across the broadcast/shuffle asymmetry). Measured at
+    bench scale, recomputing the codegen-fused scan->shingle->agg subtree
+    is cheaper than persist()-ing it (cache store + columnar conversion
+    cost more than the recompute); on a real cluster where the corpus
+    scan dominates, persist the k-longs-per-doc ``sig`` frame
+    (MEMORY_AND_DISK) before calling this."""
     r = k // bands
     banded = sig.select(
         "id",
@@ -182,53 +190,50 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: (id, cluster_id) where
     cluster_id is the minimum id in the connected component.
 
-    Iterative min-label propagation (the simplified large-star idea): each
-    node takes the min of its own and its neighbours' labels until a fixed
-    point. Near-dup components are tiny (diameter ~2-3), so convergence is
-    a handful of rounds. Per round: one join + one groupBy shuffle;
-    ``localCheckpoint`` truncates the lineage so plans don't grow with the
-    iteration count — the standard Spark idiom for iterative algorithms.
-    Genuinely non-SQL-expressible (recursive), hence rows-only at the
-    driver gate; pytest verifies against union-find.
+    Iterative min-label propagation with self-loops: the symmetrized edge
+    set carries an (id, id) loop per node, so one hop is a single
+    join + min-aggregate — "my new label = min over my neighbourhood
+    including myself" — with no separate merge join. Two hops run per
+    ``localCheckpoint`` (lineage stays bounded, half the driver syncs),
+    and convergence is detected by the monotone label-sum invariant:
+    labels only ever decrease, so the propagation has reached a fixed
+    point exactly when sum(label) stops changing — a metadata-cheap agg
+    on the just-checkpointed frame instead of a generation-diff join.
+    Near-dup components are tiny (diameter ~2-3), so 1-2 double-hop
+    rounds settle real inputs. Genuinely non-SQL-expressible (recursive),
+    hence rows-only at the driver gate; pytest verifies vs union-find.
     """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the (possibly expensive: LSH, blocking) pair lineage ONCE —
+    # every derived frame below references it several times
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select("src", F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
+
+    def hop(labels: DataFrame) -> DataFrame:
+        return (
+            edges.join(labels, F.col("src") == F.col("id"))
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("id2", "id")
+        )
+
+    labels = nodes.select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    ).localCheckpoint()
+    prev = None
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # change detection rides along as a flag column: old and new label
-        # coexist in the merge row, so no second join is needed to diff
-        # generations — one checkpoint job + one tiny agg per round.
-        merged = (
-            labels.join(neigh, labels.id == neigh.dst, "left")
-            .select(
-                labels.id,
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nlabel", F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = merged.agg(F.sum("chg")).first()[0]
-        labels = merged.drop("chg")
-        if not changed:
+        labels = hop(labels).localCheckpoint()
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
             break
+        prev = cur
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -260,6 +265,10 @@ def ngram_jaccard_pairs(
     array-pair expansion instead of a shingle self-join (which would
     re-shuffle both sides and re-materialize the shingle rows)."""
     sh = shingles(df, id_col, text_col, w)
+    # referenced three times below (pair expansion + both size legs);
+    # recomputed deliberately — at bench scale the fused recompute beats
+    # persist() (see lsh_candidate_pairs docstring); persist at cluster
+    # scale where the scan dominates
     buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids")).filter(
         F.size("ids") <= df_cap
     )

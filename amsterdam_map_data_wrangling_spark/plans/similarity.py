@@ -180,7 +180,9 @@ def embedding_label_stats(spark, sf_dir):
              (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
              + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
              + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS code
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS code
       FROM e
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -192,9 +194,9 @@ def embedding_label_stats(spark, sf_dir):
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) >= 0.35
     """,
-    "Embedding-cosine near-duplicate detection with 4-bit sign-LSH "
+    "Embedding-cosine near-duplicate detection with 6-bit sign-LSH "
     "blocking — the embedding leg of the dedup family. Scale: the pair "
-    "join is blocked on the code (16 buckets here; more bits at scale), "
+    "join is blocked on the code (64 buckets here; more bits at scale), "
     "never all-pairs across the corpus. Threshold 0.35 is tuned to this "
     "synthetic corpus (which contains no true duplicate embeddings; "
     "max in-bucket cosine ≈ 0.51) so the gate checks real pairs — a real "
@@ -208,7 +210,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
     # norms precomputed once per row — computing them inside the pair
     # predicate would triple the per-pair flops
     coded = embeddings.select(
-        "vec_id", v.alias("v"), l2_norm(v).alias("nrm"), sign_lsh_code(v, 4).alias("code")
+        "vec_id", v.alias("v"), l2_norm(v).alias("nrm"), sign_lsh_code(v, 6).alias("code")
     )
     a, b = coded.alias("a"), coded.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))

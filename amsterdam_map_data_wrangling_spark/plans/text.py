@@ -392,3 +392,42 @@ def quality_filter_pipeline(spark, sf_dir):
         )
         .orderBy("predicted")
     )
+
+
+@query(
+    "quality_components",
+    r"""
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> list_contains(['the','a','an','and','or','of','to','in',
+                                         'is','it','that','for','on','with','as',
+                                         'was','at','by','be'], t)))
+                 / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
+             AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE), 4) AS upper_ratio
+    FROM documents
+    """,
+    "The remaining classic quality-filter components: punctuation ratio, "
+    "stopword ratio, uppercase ratio per document (complements "
+    "quality_scores' length/diversity/token-length). Scale: narrow "
+    "per-row expressions, no shuffle — at 100 TB these are WHERE-clause "
+    "material computed inside the scan stage.",
+)
+def quality_components(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        uppercase_ratio,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(uppercase_ratio(t), 4).alias("upper_ratio"),
+    )

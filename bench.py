@@ -39,6 +39,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name, spec in QUERIES.items():
+            # a few operators persist() self-join hubs; drop those cache
+            # entries so every timed run re-executes its full lineage
+            # (CacheManager matches canonicalized plans across invocations,
+            # which would otherwise turn pass 2 into a cache read)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             # noop sink: materializes every column of every row (a bare
