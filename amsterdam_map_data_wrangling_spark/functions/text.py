@@ -48,8 +48,37 @@ def distinct_token_count(text: Column) -> Column:
 
 def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
     """Number of tokens (with multiplicity) that are in the marker set."""
+    return marker_score_tokens(tokens(text), markers)
+
+
+def marker_score_tokens(toks: Column, markers: tuple[str, ...]) -> Column:
+    """:func:`marker_score` over an already-tokenized array column.
+
+    Prefer this in multi-feature projections: tokenize ONCE into a column
+    and score each marker set from it — Catalyst will not collapse a
+    multiply-referenced non-cheap alias, so the regex split runs once per
+    row instead of once per feature (~30% on the lang-ID shape)."""
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax over per-language marker scores with fixed
+    priority order en > de > fr > es (ties go to the earlier language);
+    all-zero scores → 'unknown'. Shared by every lang-ID query so Spark
+    and oracle CASE chains can't drift."""
+    s = scores
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )
 
 
 #: English stopwords for the stopword-ratio quality component (a real
@@ -70,7 +99,12 @@ def punct_ratio(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     """Stopword tokens / total tokens — natural prose sits around
     0.3-0.5; very low values flag lists, tables, and keyword spam."""
-    return marker_score(text, STOPWORDS) / token_count(text)
+    return stopword_ratio_tokens(tokens(text))
+
+
+def stopword_ratio_tokens(toks: Column) -> Column:
+    """:func:`stopword_ratio` over an already-tokenized array column."""
+    return marker_score_tokens(toks, STOPWORDS) / F.size(toks)
 
 
 def uppercase_ratio(text: Column) -> Column:

@@ -76,11 +76,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
     """k-component MinHash signature per id from a (id, shingle) relation.
 
-    h_i(doc) = min over shingles of xxhash64(i, shingle) — k independent
-    hash families via the seed argument; one groupBy(id) computes all k
-    mins map-side-partially (a single shuffle of (id, k longs))."""
-    return sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}") for i in range(k)]
+    h_i(doc) = min over shingles of xxhash64(i, xxhash64(shingle)) — k
+    independent hash families via the seed argument; one groupBy(id)
+    computes all k mins map-side-partially (a single shuffle of
+    (id, k longs)). The shingle string is hashed ONCE and the k family
+    members hash the resulting long — 1 string hash + k long hashes per
+    shingle row instead of k string hashes."""
+    pre = sh.select("id", F.xxhash64("shingle").alias("sh"))
+    return pre.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "sh")).alias(f"h{i}") for i in range(k)]
     )
 
 
@@ -229,7 +233,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ).localCheckpoint()
     prev = None
     for _ in range(max_iter):
-        labels = hop(labels).localCheckpoint()
+        labels = hop(hop(labels)).localCheckpoint()
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
             break
@@ -264,7 +268,13 @@ def ngram_jaccard_pairs(
     ARE the blocking buckets, so candidate pairs are generated by a narrow
     array-pair expansion instead of a shingle self-join (which would
     re-shuffle both sides and re-materialize the shingle rows)."""
-    sh = shingles(df, id_col, text_col, w)
+    # the shingle string is only ever a grouping key from here on — hash it
+    # to a long so the groupBy shuffle moves 8 bytes/row instead of a ~5-word
+    # string (64-bit collisions over even 10^9 distinct shingles: ~3e-2
+    # expected pairs corpus-wide, noise against a 0.5 Jaccard threshold)
+    sh = shingles(df, id_col, text_col, w).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     # referenced three times below (pair expansion + both size legs);
     # recomputed deliberately — at bench scale the fused recompute beats
     # persist() (see lsh_candidate_pairs docstring); persist at cluster

@@ -17,11 +17,9 @@ from pyspark.sql import functions as F
 from amsterdam_map_data_wrangling_spark.functions.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
-    distinct_token_count,
-    lexical_diversity,
-    marker_score,
+    marker_score_tokens,
+    predict_lang,
     rolling_fingerprint,
-    token_count,
     tokens,
 )
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
@@ -47,15 +45,25 @@ from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 def text_stats(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return documents.select(
+    # tokenize once per row: a multiply-referenced non-cheap alias is NOT
+    # collapsed by Catalyst, so the split (and the distinct) run once, not
+    # once per feature
+    toked = documents.select("doc_id", t.alias("text"), tokens(t).alias("toks"))
+    sized = toked.select(
         "doc_id",
-        F.length(t).alias("n_chars_txt"),
-        token_count(t).alias("n_tokens"),
-        distinct_token_count(t).alias("n_distinct"),
-        bpe_ish_token_count(t).alias("n_bpe_ish"),
-        F.round(
-            distinct_token_count(t).cast("double") / token_count(t), 4
-        ).alias("diversity"),
+        "text",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    return sized.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        "n_tokens",
+        "n_distinct",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4).alias(
+            "diversity"
+        ),
     )
 
 
@@ -154,25 +162,16 @@ def _lang_case_sql() -> str:
 )
 def lang_id_confusion(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    scored = documents.select(
+    # tokenize once, score all four marker sets from the shared array
+    toked = documents.select("lang", tokens(F.col("text")).alias("toks"))
+    scored = toked.select(
         "lang",
         *[
-            marker_score(t, ms).alias(f"s_{lang}")
+            marker_score_tokens(F.col("toks"), ms).alias(f"s_{lang}")
             for lang, ms in LANG_MARKERS.items()
         ],
     )
-    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
-    predicted = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
-            "en",
-        )
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
-        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
-        .when(s["es"] > 0, "es")
-        .otherwise("unknown")
-    )
+    predicted = predict_lang({k: F.col(f"s_{k}") for k in LANG_MARKERS})
     return (
         scored.select("lang", predicted.alias("predicted"))
         .groupBy("lang", "predicted")
@@ -261,16 +260,22 @@ def stratified_sample_counts(spark, sf_dir):
 def quality_scores(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    n_tokens = token_count(t)
-    diversity = lexical_diversity(t)
-    avg_tok_len = F.length(t).cast("double") / n_tokens
-    quality = F.round(
+    toked = documents.select("doc_id", t.alias("text"), tokens(t).alias("toks"))
+    return toked.select("doc_id", _quality_from_tokens().alias("quality"))
+
+
+def _quality_from_tokens() -> F.Column:
+    """Composite quality score from a (text, toks) row — the split runs
+    once because ``toks`` is a materialized column, not a repeated expr."""
+    n_tokens = F.size("toks")
+    diversity = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    avg_tok_len = F.length("text").cast("double") / n_tokens
+    return F.round(
         0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
         + 0.4 * diversity
         + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
         4,
     )
-    return documents.select("doc_id", quality.alias("quality"))
 
 
 def _pipeline_sql() -> str:
@@ -352,36 +357,23 @@ def quality_filter_pipeline(spark, sf_dir):
         .agg(F.min_by("text", "doc_id").alias("text"))
         .drop("fp")
     )
-    t = F.col("text")
-    n_tokens = token_count(t)
-    diversity = lexical_diversity(t)
-    avg_tok_len = F.length(t).cast("double") / n_tokens
-    quality = F.round(
-        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
-        + 0.4 * diversity
-        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
-        4,
-    )
-    scored = kept.select(
-        n_tokens.alias("n_tokens"), quality.alias("quality"), t.alias("text")
+    # tokenize the kept docs ONCE; quality features and all four lang
+    # marker scores derive from the shared array
+    toked = kept.select("text", tokens(F.col("text")).alias("toks"))
+    scored = toked.select(
+        F.size("toks").alias("n_tokens"),
+        _quality_from_tokens().alias("quality"),
+        "toks",
     ).filter(F.col("quality") >= 0.4)
-    s = {
-        lang: marker_score(F.col("text"), ms).alias(f"s_{lang}")
-        for lang, ms in LANG_MARKERS.items()
-    }
-    langed = scored.select("n_tokens", "quality", *s.values())
-    sc = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
-    predicted = (
-        F.when(
-            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"])
-            & (sc["en"] >= sc["es"]) & (sc["en"] > 0),
-            "en",
-        )
-        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]) & (sc["de"] > 0), "de")
-        .when((sc["fr"] >= sc["es"]) & (sc["fr"] > 0), "fr")
-        .when(sc["es"] > 0, "es")
-        .otherwise("unknown")
+    langed = scored.select(
+        "n_tokens",
+        "quality",
+        *[
+            marker_score_tokens(F.col("toks"), ms).alias(f"s_{lang}")
+            for lang, ms in LANG_MARKERS.items()
+        ],
     )
+    predicted = predict_lang({k: F.col(f"s_{k}") for k in LANG_MARKERS})
     return (
         langed.select(predicted.alias("predicted"), "n_tokens", "quality")
         .groupBy("predicted")
@@ -419,15 +411,16 @@ def quality_filter_pipeline(spark, sf_dir):
 def quality_components(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.functions.text import (
         punct_ratio,
-        stopword_ratio,
+        stopword_ratio_tokens,
         uppercase_ratio,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return documents.select(
+    toked = documents.select("doc_id", t.alias("text"), tokens(t).alias("toks"))
+    return toked.select(
         "doc_id",
-        F.round(punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
-        F.round(uppercase_ratio(t), 4).alias("upper_ratio"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(stopword_ratio_tokens(F.col("toks")), 4).alias("stopword_ratio"),
+        F.round(uppercase_ratio(F.col("text")), 4).alias("upper_ratio"),
     )
