@@ -185,6 +185,44 @@ def minhash_near_dup_pairs(
     )
 
 
+#: 31-bit Mersenne prime for the portable universal-hash family — every
+#: intermediate of (a*h31 + b) stays < 2^62, inside int64 on both engines.
+_PORTABLE_P = 2_147_483_647
+#: Fixed multipliers/offsets for the k portable hash families.
+_PORTABLE_A = (7, 13, 31, 67, 127, 257, 521, 1031)
+_PORTABLE_B = (3, 5, 11, 17, 23, 41, 83, 163)
+
+
+def minhash_signatures_portable(sh: DataFrame, k: int = 8) -> DataFrame:
+    """Engine-portable MinHash twin of :func:`minhash_signatures`: the
+    production path uses ``xxhash64`` (JVM-only), so the driver's DuckDB
+    oracle can only do a rows-only check on it. This twin derives the k
+    hash families from md5 — identical on any engine — so the MinHash
+    *construction* (min over a per-shingle hash family, one map-side
+    partial groupBy) is fully hash-verifiable at the gate:
+
+        h    = int64(first 15 hex chars of md5(shingle)) mod p
+        h_i  = (a_i * h + b_i) mod p          (p = 2^31-1, fixed a_i, b_i)
+
+    One md5 per shingle row, then k cheap long multiplications — the same
+    cost shape as the xxhash path, ~2x the constant. Input is the STRING
+    shingle relation from :func:`shingles` (the string must exist here:
+    md5(text) is the cross-engine anchor)."""
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % _PORTABLE_P
+    )
+    pre = sh.select("id", h.alias("h31"))
+    return pre.groupBy("id").agg(
+        *[
+            F.min((F.lit(_PORTABLE_A[i]) * F.col("h31") + _PORTABLE_B[i]) % _PORTABLE_P).alias(
+                f"h{i}"
+            )
+            for i in range(k)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -200,6 +238,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         *[
             F.sum(
                 F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    code = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return sums.select("id", code.alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Engine-portable SimHash twin of :func:`simhash` (same bit-vote
+    construction, md5-derived token hash instead of xxhash64) so the
+    signature is verifiable against a DuckDB oracle value-for-value.
+    One md5 per token row; the bit votes and the sign-threshold code are
+    identical integer arithmetic on both engines."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    pre = tok.select("id", h.alias("h"))
+    sums = pre.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]

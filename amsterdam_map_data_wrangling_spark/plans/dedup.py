@@ -4,8 +4,11 @@
 (DuckDB computes the identical md5-fingerprint grouping / w-gram Jaccard).
 ``dedup_minhash_pairs`` and ``dedup_simhash_bands`` depend on Spark's
 xxhash64 (no DuckDB twin), so they carry no oracle — the driver records the
-weaker rows-only check; their *semantics* are pytest-verified against the
-exact-Jaccard query instead (tests/test_dedup.py).
+weaker rows-only check. Their construction is still value-verified at the
+gate through ``dedup_minhash_portable`` / ``dedup_simhash_portable``: the
+same signature algebra with an md5-derived (engine-portable) hash family,
+hash-compared against DuckDB; and their pair *semantics* are pytest-verified
+against the exact-Jaccard query (tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -134,6 +137,93 @@ def dedup_clusters(spark, sf_dir):
         documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
     )
     return connected_components(pairs)
+
+
+@query(
+    "dedup_minhash_portable",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+      SELECT DISTINCT id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM toks, unnest(range(1, len(l) - 1)) AS r(i)
+      WHERE len(l) >= 3
+    ), hashed AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+      FROM sh
+    )
+    SELECT id AS doc_id,
+           min((7    * h + 3)   % 2147483647) AS h0,
+           min((13   * h + 5)   % 2147483647) AS h1,
+           min((31   * h + 11)  % 2147483647) AS h2,
+           min((67   * h + 17)  % 2147483647) AS h3,
+           min((127  * h + 23)  % 2147483647) AS h4,
+           min((257  * h + 41)  % 2147483647) AS h5,
+           min((521  * h + 83)  % 2147483647) AS h6,
+           min((1031 * h + 163) % 2147483647) AS h7
+    FROM hashed GROUP BY id
+    """,
+    "MinHash signatures with an md5-derived universal-hash family — the "
+    "oracle-gated verification twin of dedup_minhash_pairs (whose xxhash64 "
+    "families have no DuckDB equivalent, hence rows-only there). Verifies "
+    "the construction value-for-value: shingling, per-shingle hash, k "
+    "family transforms, min-aggregation — on a deterministic 1-in-10 doc "
+    "subset (the md5 anchor is ~2x the cost of the production hash; a "
+    "value-exact check doesn't need the whole corpus). Scale: identical "
+    "plan shape to the production path — one map-side-partial groupBy(id).",
+)
+def dedup_minhash_portable(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        minhash_signatures_portable,
+        shingles,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") % 10 == 0)
+    sig = minhash_signatures_portable(shingles(subset, "doc_id", "text", 3), 8)
+    return sig.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "dedup_simhash_portable",
+    r"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ), h AS (
+      SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ), votes AS (
+      SELECT id,
+             {sums}
+      FROM h GROUP BY id
+    )
+    SELECT id AS doc_id, {code} AS simhash
+    FROM votes
+    """.format(
+        sums=",\n             ".join(
+            f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(16)
+        ),
+        code=" + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        ),
+    ),
+    "16-bit SimHash with an md5-derived token hash — the oracle-gated "
+    "verification twin of dedup_simhash_bands (xxhash64 there, rows-only). "
+    "Verifies bit votes and sign-threshold code value-for-value on a "
+    "deterministic 1-in-10 doc subset. Scale: one groupBy(id) with 16 "
+    "partial sums — no pairwise work.",
+)
+def dedup_simhash_portable(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import simhash_portable
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") % 10 == 0)
+    return simhash_portable(subset, "doc_id", "text", 16).withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 @query(

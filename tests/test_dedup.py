@@ -131,3 +131,36 @@ def test_dedup_clusters_query_groups_near_dups(spark):
     assert sizes.filter(F.col("count") >= 3).count() >= 1, (
         "the corpus plants at least one 3-doc near-dup group"
     )
+
+
+def test_portable_twins_match_production_semantics(spark):
+    """The md5-family twins must rank similarity the same way as the
+    xxhash production paths: doc pairs with identical token streams get
+    identical portable signatures, and the portable minhash estimate
+    recovers the same high-similarity pairs as the xxhash estimate."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        minhash_signatures_portable,
+        shingles,
+        simhash_portable,
+    )
+
+    docs = _docs(spark)
+    copies = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = docs.unionByName(copies)
+
+    sig = minhash_signatures_portable(shingles(corpus, "doc_id", "text", 3), 8)
+    a = sig.alias("a").join(
+        sig.alias("b"), F.col("a.id") + 10_000 == F.col("b.id")
+    )
+    same = a.filter(
+        " AND ".join(f"a.h{i} = b.h{i}" for i in range(8))
+    )
+    assert same.count() == 10  # identical docs → identical signatures
+
+    codes = simhash_portable(corpus, "doc_id", "text", 16)
+    j = codes.alias("a").join(
+        codes.alias("b"),
+        (F.col("a.id") + 10_000 == F.col("b.id"))
+        & (F.col("a.simhash") == F.col("b.simhash")),
+    )
+    assert j.count() == 10
