@@ -115,3 +115,38 @@ def session_window_per_user(spark, sf_dir):
         .select(F.col("w.start").alias("session_start"), "user_id", "num_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "interval_join_click_error",
+    """
+    SELECT c.event_id AS click_id,
+           e.event_id AS error_id,
+           c.user_id AS user_id,
+           c.ts AS click_ts,
+           e.ts AS error_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "Interval join: click→error pairs for the same user with the error "
+    "inside [click, click+30min] — the attribution/funnel shape, and the "
+    "batch twin of the stream-stream join in streaming/join.py (whose "
+    "event-time bound is what bounds the join state on an unbounded "
+    "stream). Scale: equi-key on user_id makes this a hash/sort-merge "
+    "join plus a residual range predicate — one shuffle on user_id; "
+    "never a cross product.",
+)
+def interval_join_click_error(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.streaming.join import (
+        interval_join_core,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    errors = events.filter(F.col("event_type") == "error")
+    return interval_join_core(clicks, errors)

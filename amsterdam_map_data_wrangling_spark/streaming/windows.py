@@ -85,13 +85,14 @@ def session_counts_stream(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> None:
-    """Drain a streaming aggregation into an in-memory table with an
-    availableNow trigger (test/verification harness)."""
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain a streaming query into an in-memory table with an
+    availableNow trigger (test/verification harness). ``complete`` suits
+    aggregations; stream-stream joins are append-only."""
     (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

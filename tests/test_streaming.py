@@ -200,3 +200,21 @@ def test_stream_static_enrichment_equals_batch(spark):
         ["segment", "event_type", "n_events"],
     )
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream inner join with event-time bounds: after draining
+    both (filtered) streams, the pair set must equal the oracle-gated
+    batch twin."""
+    from amsterdam_map_data_wrangling_spark.streaming.join import (
+        click_error_interval_join_stream,
+    )
+
+    stream = click_error_interval_join_stream(read_events_stream(spark, SF_ORACLE))
+    assert stream.isStreaming
+    run_to_memory(stream, "t_ssjoin", output_mode="append")
+    cols = ["click_id", "error_id", "user_id", "click_ts", "error_ts"]
+    got = _rows(spark.table("t_ssjoin"), cols)
+    batch = QUERIES["interval_join_click_error"].build(spark, SF_ORACLE)
+    want = _rows(batch, cols)
+    assert got == want and len(got) > 0
