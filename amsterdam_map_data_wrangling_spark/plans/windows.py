@@ -6,6 +6,12 @@ batch semantics: tumbling/sliding buckets are epoch-aligned floors, session
 windows merge events with gaps < the timeout. The DuckDB oracles recompute
 both from first principles (epoch arithmetic; gaps-and-islands), so the
 gate verifies the window semantics themselves.
+
+No final ORDER BY on these: the output cardinality grows with the data
+(buckets x types, sessions ~ users), so a presentation sort would be a
+full-result range-exchange at 100 TB for nothing — result sets are sets,
+and the driver's hash compare is order-insensitive. Queries keep a final
+sort only when ordering is semantic (top-k under LIMIT).
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
            COUNT(DISTINCT user_id) AS num_users,
            round(SUM(value), 2) AS sum_value
     FROM events
-    GROUP BY window_start ORDER BY window_start
+    GROUP BY window_start
     """,
     "Tumbling 1-hour event-time windows: count, distinct users, value sum "
     "per bucket — the §2.8 north-star aggregation in batch form (identical "
@@ -43,7 +49,6 @@ def tumbling_window_stats(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "num_events", "num_users", "sum_value")
-        .orderBy("window_start")
     )
 
 
@@ -62,7 +67,6 @@ def tumbling_window_stats(spark, sf_dir):
     )
     SELECT window_start, event_type, COUNT(*) AS num
     FROM contrib GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
     """,
     "Sliding windows (6-hour length, 2-hour slide) per event type: each "
     "event lands in exactly 3 overlapping epoch-aligned buckets. Scale: "
@@ -77,7 +81,6 @@ def sliding_window_by_type(spark, sf_dir):
         )
         .agg(F.count("*").alias("num"))
         .select(F.col("w.start").alias("window_start"), "event_type", "num")
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -99,7 +102,6 @@ def sliding_window_by_type(spark, sf_dir):
     )
     SELECT user_id, min(ts) AS session_start, COUNT(*) AS num_events
     FROM numbered GROUP BY user_id, sid
-    ORDER BY user_id, session_start
     """,
     "Session windows (1-hour inactivity gap) per user: Spark's "
     "session_window() vs a first-principles gaps-and-islands oracle. "
@@ -113,7 +115,6 @@ def session_window_per_user(spark, sf_dir):
         events.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count("*").alias("num_events"))
         .select(F.col("w.start").alias("session_start"), "user_id", "num_events")
-        .orderBy("user_id", "session_start")
     )
 
 

@@ -60,6 +60,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "mean_sec_per_query": round(total / max(len(timings), 1), 4),
                 "sf": sf,
             }
         )
