@@ -169,3 +169,17 @@ def rolling_fingerprint(text: Column) -> Column:
     :func:`token_md5_hashes` into a column and applying
     :func:`rolling_fingerprint_hashes` (see its docstring)."""
     return rolling_fingerprint_hashes(token_md5_hashes(text))
+
+
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based start offsets of every chunk of a token array under a fixed
+    stride (= chunk_size - overlap): [1, 1+stride, 1+2*stride, ...] up to
+    the last offset that still has at least one token."""
+    return F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+
+
+def chunk_fingerprint(toks: Column, start: Column, chunk_size: int) -> Column:
+    """md5 of the space-rejoined token slice [start, start+chunk_size) —
+    the engine-portable content witness for a chunk (DuckDB:
+    md5(array_to_string(list_slice(...), ' ')))."""
+    return F.md5(F.concat_ws(" ", F.slice(toks, start, chunk_size)))

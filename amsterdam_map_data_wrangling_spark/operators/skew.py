@@ -42,3 +42,37 @@ def salted_join(
         how,
     )
     return joined.drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_col: str,
+    aggs: dict[str, str],
+    buckets: int = 8,
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys: stage 1 groups
+    on (key, salt) — spreading a hot key over ``buckets`` reducers — and
+    stage 2 merges the partials per key.
+
+    ``aggs`` maps output column → one of 'count' | 'sum:<col>'. The salt
+    must be deterministic (here: a data column mod buckets) so the result
+    is reproducible and oracle-checkable; a production pipeline can use
+    any uniform function of the row.
+
+    Spark's hash aggregation already map-side-combines, which handles
+    *moderate* skew; explicit salting is for the pathological key whose
+    post-combine partials still overwhelm one reducer — the two-stage
+    shape caps any reducer's load at 1/buckets of the hot key. Identical
+    results by associativity of count/sum."""
+    salt = (F.col(salt_col) % buckets).alias("_salt")
+    partials = []
+    merges = []
+    for out, spec in aggs.items():
+        if spec == "count":
+            partials.append(F.count("*").alias(f"_p_{out}"))
+        else:
+            partials.append(F.sum(spec.split(":", 1)[1]).alias(f"_p_{out}"))
+        merges.append(F.sum(f"_p_{out}").alias(out))
+    stage1 = df.groupBy(F.col(key), salt).agg(*partials)
+    return stage1.groupBy(key).agg(*merges)

@@ -347,9 +347,11 @@ def _pipeline_sql() -> str:
     "keeper) → quality scoring → threshold filter → language-ID → "
     "per-language doc/token budget. The canonical pre-training data-prep "
     "DAG, composed from this repo's operator families with zero "
-    "materialization between stages. Scale: one fingerprint shuffle + one "
-    "tiny (≤5-row) agg; everything between is narrow, so Catalyst fuses "
-    "the score/filter/lang stages into the post-shuffle map.",
+    "materialization between stages. Scale: features are computed BEFORE "
+    "the fingerprint groupBy — duplicate texts have identical features, "
+    "so the dedup exchange carries (fp, 6 numbers) per doc instead of the "
+    "full text, and the post-shuffle side is a pure aggregate; the only "
+    "other shuffle is the tiny (≤5-row) final agg.",
 )
 def quality_filter_pipeline(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
@@ -361,30 +363,43 @@ def quality_filter_pipeline(spark, sf_dir):
     corpus = documents.select("doc_id", "text").unionByName(
         copies.select("doc_id", "text")
     )
-    kept = (
-        corpus.groupBy(fingerprint(F.col("text")).alias("fp"))
-        .agg(F.min_by("text", "doc_id").alias("text"))
-        .drop("fp")
+    # tokenize ONCE per doc, pre-dedup: every feature (quality components
+    # and all four lang marker scores) is a function of the text alone, so
+    # rows sharing a fingerprint share features and the groupBy below can
+    # take min() of each instead of shuffling texts and re-scoring keepers
+    toked = corpus.select(
+        fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("n_chars"),
+        tokens(F.col("text")).alias("toks"),
     )
-    # tokenize the kept docs ONCE; quality features and all four lang
-    # marker scores derive from the shared array
-    toked = kept.select("text", tokens(F.col("text")).alias("toks"))
-    scored = toked.select(
-        F.size("toks").alias("n_tokens"),
-        _quality_from_tokens().alias("quality"),
-        "toks",
-    ).filter(F.col("quality") >= 0.4)
-    langed = scored.select(
-        "n_tokens",
-        "quality",
+    n_tokens = F.size("toks")
+    diversity = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    avg_tok_len = F.col("n_chars").cast("double") / n_tokens
+    quality = F.round(
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.4 * diversity
+        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    featured = toked.select(
+        "fp",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
         *[
             marker_score_tokens(F.col("toks"), ms).alias(f"s_{lang}")
             for lang, ms in LANG_MARKERS.items()
         ],
     )
+    kept = featured.groupBy("fp").agg(
+        *[
+            F.min(c).alias(c)
+            for c in ["n_tokens", "quality", *[f"s_{k}" for k in LANG_MARKERS]]
+        ]
+    )
+    scored = kept.filter(F.col("quality") >= 0.4)
     predicted = predict_lang({k: F.col(f"s_{k}") for k in LANG_MARKERS})
     return (
-        langed.select(predicted.alias("predicted"), "n_tokens", "quality")
+        scored.select(predicted.alias("predicted"), "n_tokens", "quality")
         .groupBy("predicted")
         .agg(
             F.count("*").alias("n_docs"),
@@ -432,4 +447,102 @@ def quality_components(spark, sf_dir):
         F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         F.round(stopword_ratio_tokens(F.col("toks")), 4).alias("stopword_ratio"),
         F.round(uppercase_ratio(F.col("text")), 4).alias("upper_ratio"),
+    )
+
+
+@query(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, l,
+             CAST(s AS INT) AS start,
+             CAST((s - 1) / 96 AS BIGINT) AS chunk_idx
+      FROM toks, unnest(range(1, greatest(len(l), 1) + 1, 96)) r(s)
+    )
+    SELECT doc_id, chunk_idx,
+           least(128, len(l) - start + 1) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(l, start, start + 127), ' '))
+             AS chunk_fp
+    FROM starts
+    """,
+    "Document chunking for training-sequence prep: fixed 128-token chunks "
+    "with 32-token overlap (stride 96), one output row per chunk with an "
+    "md5 content witness over the re-joined slice — so the gate verifies "
+    "the exact chunk boundaries and contents, not just counts. Scale: "
+    "pure narrow row expansion (sequence + posexplode + slice), zero "
+    "shuffle; the canonical map-only preprocessing stage in front of a "
+    "tokenizer at 100 TB.",
+)
+def chunk_documents(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        chunk_fingerprint,
+        chunk_starts,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    chunks = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(chunk_starts(F.col("toks"), 96)).alias("chunk_idx", "start"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(128), F.size("toks") - F.col("start") + 1).alias(
+            "n_chunk_tokens"
+        ),
+        chunk_fingerprint(F.col("toks"), F.col("start"), 128).alias("chunk_fp"),
+    )
+
+
+@query(
+    "token_budget_pack",
+    r"""
+    WITH sized AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS tokens_kept
+    FROM cum WHERE cum_tokens <= 10000
+    GROUP BY lang
+    """,
+    "Token-budget packing: per-language running token total (deterministic "
+    "doc_id order), cut at a 10k-token budget — the 'fill each language's "
+    "quota' step of training-data mixing. Scale: one shuffle on lang + an "
+    "in-order per-key scan; with many languages the partitions are "
+    "independent, and a 2-level (per-shard budget, then global trim) "
+    "variant removes even the per-lang ordering bottleneck.",
+)
+def token_budget_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(F.col("cum_tokens") <= 10_000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
     )

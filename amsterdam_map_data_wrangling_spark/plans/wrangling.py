@@ -287,3 +287,43 @@ def value_percentiles_by_type(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "salted_user_event_stats",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_id % 8 AS _salt,
+             COUNT(*) AS c, SUM(value) AS sv
+      FROM events GROUP BY user_id, event_id % 8
+    )
+    SELECT user_id,
+           SUM(c) AS n_events,
+           round(SUM(sv), 2) AS sum_value
+    FROM s1 GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+    "Explicit two-stage salted aggregation (operators/skew.py:salted_agg): "
+    "stage 1 groups on (user_id, event_id % 8) spreading any hot user over "
+    "8 reducers, stage 2 merges partials — provably identical to the plain "
+    "groupBy by count/sum associativity, which the oracle (same two-stage "
+    "SQL) hash-verifies. Scale: the pattern that survives a key holding "
+    "double-digit percent of a 100 TB fact table, where even map-side "
+    "combine leaves one reducer with the hot key's entire partial set.",
+)
+def salted_user_event_stats(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.skew import salted_agg
+
+    (events,) = _t(spark, sf_dir, "events")
+    merged = salted_agg(
+        events,
+        key="user_id",
+        salt_col="event_id",
+        aggs={"n_events": "count", "sum_value": "sum:value"},
+        buckets=8,
+    )
+    return (
+        merged.withColumn("sum_value", F.round("sum_value", 2))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
