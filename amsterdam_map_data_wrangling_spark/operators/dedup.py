@@ -145,7 +145,17 @@ def lsh_candidate_pairs(
     )
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    # the signature-agreement estimate is computed per candidate ROW
+    # (cheap long compares), so the band-collision dedup is a groupBy on
+    # (id_a, id_b, est) — 3 columns through the shuffle. The previous
+    # shape did .distinct() over id pair + both full signatures: 34
+    # columns of exchange for the same result (a pair colliding in two
+    # bands has identical signatures, hence identical est — max == value).
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -155,16 +165,10 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            *[F.col(f"a.h{i}").alias(f"ha{i}") for i in range(k)],
-            *[F.col(f"b.h{i}").alias(f"hb{i}") for i in range(k)],
+            (matches / F.lit(float(k))).alias("est_raw"),
         )
-        .distinct()
-    )
-    matches = sum(
-        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0) for i in range(k)
-    )
-    return pairs.select(
-        "id_a", "id_b", F.round(matches / F.lit(float(k)), 4).alias("est_jaccard")
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("est_raw"), 4).alias("est_jaccard"))
     )
 
 

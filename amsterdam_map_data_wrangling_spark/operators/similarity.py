@@ -96,7 +96,7 @@ def ivf_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 3,
-    centroid_stride: int = 50,
+    centroid_stride: int = 100,
     centroid_offset: int = 7,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
