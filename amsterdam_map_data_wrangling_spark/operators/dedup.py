@@ -294,14 +294,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     set carries an (id, id) loop per node, so one hop is a single
     join + min-aggregate — "my new label = min over my neighbourhood
     including myself" — with no separate merge join. Two hops run per
-    ``localCheckpoint`` (lineage stays bounded, half the driver syncs),
-    and convergence is detected by the monotone label-sum invariant:
-    labels only ever decrease, so the propagation has reached a fixed
-    point exactly when sum(label) stops changing — a metadata-cheap agg
-    on the just-checkpointed frame instead of a generation-diff join.
-    Near-dup components are tiny (diameter ~2-3), so 1-2 double-hop
-    rounds settle real inputs. Genuinely non-SQL-expressible (recursive),
-    hence rows-only at the driver gate; pytest verifies vs union-find.
+    round with one ``localCheckpoint`` (lineage stays bounded), and
+    convergence is detected by the monotone label-sum invariant: labels
+    only ever decrease, so the propagation has reached a fixed point
+    exactly when sum(label) stops changing — a metadata-cheap agg fused
+    into the round's single driver action. Near-dup components are tiny
+    (diameter ~2-3), so 1-2 double-hop rounds settle real inputs.
+    Genuinely non-SQL-expressible (recursive), hence rows-only at the
+    driver gate; pytest verifies vs union-find.
     """
     # materialize the (possibly expensive: LSH, blocking) pair lineage ONCE —
     # every derived frame below references it several times
@@ -309,12 +309,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint()
     nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .union(nodes.select("src", F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    # the symmetrized edge set needs NO distinct: every pair source in this
+    # repo emits id_a < id_b exactly once, so forward, reversed, and
+    # self-loop rows are disjoint by construction. min() in the hop absorbs
+    # any duplicates a foreign caller might pass, so correctness never
+    # depends on it — only the shuffle a .distinct() would cost. Narrow
+    # unions over the checkpointed e are cheap to recompute per hop, so no
+    # persist either (its columnar conversion costs more at this size).
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).union(nodes.select("src", F.col("src").alias("dst")))
 
     def hop(labels: DataFrame) -> DataFrame:
         return (
@@ -325,19 +329,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
 
     # no checkpoint on the seed labels: lineage is already cut at `e`, so
-    # the first round's checkpoint materializes seed+2 hops in one job
+    # the first round's job materializes seed+2 hops in one pass
     labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
     prev = None
     for _ in range(max_iter):
         # lazy checkpoint: the convergence agg below is the action that
         # materializes it — one job per round (double hop + label sum),
-        # not a checkpoint job followed by an agg job
+        # not a checkpoint job followed by an agg job. Labels only ever
+        # decrease, so sum(label) is a fixed-point witness; a
+        # generation-diff join was measured slower than this agg.
         labels = hop(hop(labels)).localCheckpoint(eager=False)
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
             break
         prev = cur
-    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

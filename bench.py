@@ -34,10 +34,10 @@ def main() -> None:
     for spec in QUERIES.values():
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two timed passes, min per query: single-shot numbers on a shared box
+    # three timed passes, min per query: single-shot numbers on a shared box
     # carry ±10-15% scheduler/GC noise; the min is the stable steady-state.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, spec in QUERIES.items():
             # a few operators persist() self-join hubs; drop those cache
             # entries so every timed run re-executes its full lineage
