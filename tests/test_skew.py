@@ -34,3 +34,24 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out.filter(F.col("sk").isNull()).count() == big.filter(
         F.col("k") >= 50
     ).count()
+
+
+def test_salted_agg_equals_plain_agg_on_hot_key(spark):
+    """Two-stage salted aggregation must equal the plain groupBy on a
+    90%-hot-key distribution, for both count and sum."""
+    from amsterdam_map_data_wrangling_spark.operators.skew import salted_agg
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("salt_src"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    salted = salted_agg(
+        df, key="k", salt_col="salt_src", aggs={"n": "count", "sv": "sum:v"}
+    )
+    p = {r.k: (r.n, round(r.sv, 6)) for r in plain.collect()}
+    s = {r.k: (r.n, round(r.sv, 6)) for r in salted.collect()}
+    assert p == s
