@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale-design rules the catalog
+relies on, asserted against the actual executed plans so a refactor that
+silently reintroduces a shuffle, a cartesian product, or a global sort
+fails CI — the 100 TB properties, checked at sf0.01.
+
+(executedPlan before an action reflects the pre-AQE physical plan; the
+shapes asserted here — join strategy, sort operators, exchange count —
+are decided at planning time, which is exactly what we want to pin.)
+"""
+
+from __future__ import annotations
+
+from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_both_dims(spark):
+    plan = _plan(spark, "star_join_customers_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "topk_order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_has_zero_exchange(spark):
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_no_cartesian_anywhere_in_pair_generators(spark):
+    """Every near-dup/pair query must go through blocked equi-joins or
+    in-bucket expansion — never a cartesian/broadcast-nested-loop over
+    the corpus. (knn/ann queries DO cross-join against the tiny broadcast
+    query set; that is the design, so they assert BroadcastNestedLoop
+    only against the corpus-corpus case by exclusion here.)"""
+    for name in [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_pairs",
+        "embedding_near_dup_pairs",
+        "interval_join_click_error",
+        "range_join_balance_bands",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_window_aggs_have_no_final_sort(spark):
+    """Scaling outputs must not end in a presentation sort (a full-result
+    range exchange at 100 TB). The window() bucket assignment itself is
+    narrow; only the agg exchange should appear."""
+    for name in [
+        "tumbling_window_stats",
+        "sliding_window_by_type",
+        "session_window_per_user",
+    ]:
+        plan = _plan(spark, name)
+        # no top-level Sort: session_window needs an in-partition sort for
+        # the merge, so assert specifically on rangepartitioning (the
+        # global-sort exchange), not on Sort nodes
+        assert "rangepartitioning" not in plan, name
+
+
+def test_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "no predicates pushed to parquet"
+
+
+def test_salted_agg_is_two_stage(spark):
+    """The salted aggregation must show two HashAggregate pairs (partial+
+    final per stage) with the salt in the first grouping."""
+    plan = _plan(spark, "salted_user_event_stats")
+    assert plan.count("HashAggregate") >= 4
+    # the salt expression (event_id % 8) must be a grouping key of the
+    # first exchange (Catalyst renames the alias to _groupingexpression)
+    assert "% 8" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
