@@ -57,3 +57,49 @@ def test_minhash_pair_space_stays_bounded(spark, big_docs):
     assert n_pairs >= 500 * (REPL * (REPL - 1) // 2)
     assert n_pairs < 25_000, f"pair space exploded: {n_pairs}"
     assert elapsed < 120, f"minhash took {elapsed:.0f}s at 8x"
+
+
+def test_embedding_blocking_bounds_candidate_fraction(spark):
+    """Sign-LSH blocking must confine the embedding pair join to in-bucket
+    candidates: sum over buckets of C(n_b, 2) — the exact candidate count
+    — must be far below C(N, 2), and the largest bucket must hold a
+    bounded fraction of the corpus (no degenerate all-in-one-bucket
+    blocking)."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        sign_lsh_code,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n = emb.count()
+    v = F.col("embedding").cast("array<double>")
+    buckets = (
+        emb.select(sign_lsh_code(v, 6).alias("code"))
+        .groupBy("code")
+        .count()
+        .collect()
+    )
+    candidates = sum(r["count"] * (r["count"] - 1) // 2 for r in buckets)
+    all_pairs = n * (n - 1) // 2
+    assert candidates < all_pairs * 0.15, (
+        f"blocking too weak: {candidates}/{all_pairs}"
+    )
+    assert max(r["count"] for r in buckets) < n * 0.35, "degenerate bucket"
+
+
+def test_chunking_output_scales_linearly(spark, big_docs):
+    """Chunk count on the 8x corpus must be exactly 8x the base corpus's
+    chunk count — chunking is per-row, so any cross-row interaction is a
+    bug."""
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        chunk_starts,
+        tokens,
+    )
+
+    def n_chunks(df):
+        toked = df.select(tokens(F.col("text")).alias("toks"))
+        return toked.select(
+            F.explode(chunk_starts(F.col("toks"), 96)).alias("s")
+        ).count()
+
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert n_chunks(big_docs) == REPL * n_chunks(base)
