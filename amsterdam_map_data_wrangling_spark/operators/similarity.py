@@ -205,3 +205,33 @@ def ann_sign_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "sim")
     )
+
+
+def label_norm_zscores(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label z-score of embedding L2 norms via grouped
+    ``applyInPandas`` — the grouped-map corner of the §2.10 UDF surface
+    (mapInPandas covers the scalar-batch corner in operators/multimodal).
+
+    The norm itself stays JVM-side (cheap, codegen); only the tiny
+    (label, norm) projection crosses the Arrow boundary, grouped by
+    label — the pattern for any per-group sklearn/scipy step at 100 TB:
+    push everything expressible down to Spark expressions, ship the
+    minimal grouped frame to Python, one group per pandas DataFrame.
+    Sample stddev (ddof=1) matches SQL ``stddev_samp``."""
+    prep = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+    )
+
+    def _z(pdf):
+        mu = pdf["nrm"].mean()
+        sd = pdf["nrm"].std(ddof=1)
+        pdf = pdf.assign(z=((pdf["nrm"] - mu) / sd).round(4))
+        return pdf[["vec_id", "label", "z"]]
+
+    return prep.groupBy("label").applyInPandas(
+        _z, "vec_id bigint, label int, z double"
+    )

@@ -228,3 +228,33 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return joined.filter(F.col("s") >= 0.35).select(
         "id_a", "id_b", F.round("s", 4).alias("sim")
     )
+
+
+@query(
+    "embedding_norm_zscores",
+    """
+    WITH nrm AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           round((nrm - avg(nrm) OVER (PARTITION BY label))
+                 / stddev_samp(nrm) OVER (PARTITION BY label), 4) AS z
+    FROM nrm
+    """,
+    "Per-label z-score of embedding norms computed through grouped "
+    "applyInPandas (Arrow-batched pandas per label group) — the "
+    "grouped-map UDF surface, gated against a pure-SQL window oracle. "
+    "Scale: the JVM computes the norms; only (id, label, norm) crosses "
+    "the Arrow boundary, one shuffle on the label key — the shape for "
+    "any per-group Python-library step.",
+)
+def embedding_norm_zscores(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        label_norm_zscores,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return label_norm_zscores(embeddings, "vec_id", "embedding", "label")

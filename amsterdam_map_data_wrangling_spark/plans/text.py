@@ -546,3 +546,69 @@ def token_budget_pack(spark, sf_dir):
             F.sum("n_tokens").alias("tokens_kept"),
         )
     )
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 4) AS score
+      FROM tf JOIN df USING (term), n
+      WHERE tf.doc_id % 50 = 0
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+    """,
+    "TF-IDF top-3 terms per document (1-in-50 doc subset for bounded "
+    "output; document frequency over the FULL corpus). The idf is the "
+    "log-free rational (N+1)/(df+1): a single correctly-rounded double "
+    "division, identical on any IEEE engine — ln() differs in the last "
+    "ulp across libms and would poison the hash compare. Scale: two agg "
+    "shuffles (doc-term tf, term df) + a term-keyed join where the df "
+    "side is corpus-bounded vocabulary (broadcast/AQE); per-doc top-k is "
+    "a rank window over each doc's own terms only.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # tf has exactly one row per (doc, term), so df is a plain count over
+    # it — no second explode, no count_distinct expansion; cut the shared
+    # doc-term relation once for its two consumers
+    tf = (
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()
+    scored = (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(df, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.lit(float(n_docs + 1))) / (F.col("df") + 1.0), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
