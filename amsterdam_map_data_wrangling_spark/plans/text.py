@@ -248,17 +248,15 @@ def stratified_sample_counts(spark, sf_dir):
     r"""
     WITH s AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS diversity,
-             CAST(length(text) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS avg_tok_len
+             len(string_split_regex(trim(text), '\s+')) AS nt,
+             len(list_distinct(string_split_regex(trim(text), '\s+'))) AS nd,
+             length(text) AS nc
       FROM documents
     )
     SELECT doc_id,
-           round(0.4 * LEAST(n_tokens / 50.0, 1.0)
-                 + 0.4 * diversity
-                 + 0.2 * LEAST(avg_tok_len / 8.0, 1.0), 4) AS quality
+           CAST((20000 * (40 * LEAST(nt, 50) * nt + 2000 * nd
+                          + 125 * LEAST(nc, 8 * nt)) + 5000 * nt)
+                // (10000 * nt) AS DOUBLE) / 10000.0 AS quality
     FROM s
     """,
     "Composite quality score (length, lexical diversity, mean token "
@@ -269,22 +267,43 @@ def stratified_sample_counts(spark, sf_dir):
 def quality_scores(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    toked = documents.select("doc_id", t.alias("text"), tokens(t).alias("toks"))
-    return toked.select("doc_id", _quality_from_tokens().alias("quality"))
-
-
-def _quality_from_tokens() -> F.Column:
-    """Composite quality score from a (text, toks) row — the split runs
-    once because ``toks`` is a materialized column, not a repeated expr."""
-    n_tokens = F.size("toks")
-    diversity = F.size(F.array_distinct("toks")).cast("double") / n_tokens
-    avg_tok_len = F.length("text").cast("double") / n_tokens
-    return F.round(
-        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
-        + 0.4 * diversity
-        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
-        4,
+    toked = documents.select("doc_id", F.length(t).alias("nc"), tokens(t).alias("toks"))
+    return toked.select(
+        "doc_id",
+        _quality_exact(
+            F.size("toks"), F.size(F.array_distinct("toks")), F.col("nc")
+        ).alias("quality"),
     )
+
+
+def _quality_exact(nt: F.Column, nd: F.Column, nc: F.Column) -> F.Column:
+    """Composite quality score 0.4·min(nt/50,1) + 0.4·(nd/nt) +
+    0.2·min(nc/(8nt),1) at 4-decimal precision, via EXACT integer
+    arithmetic end to end:
+
+        num = 40·min(nt,50)·nt + 2000·nd + 125·min(nc, 8nt)   (q = num/(5000·nt))
+        bp  = (20000·num + 5000·nt) intdiv (10000·nt)          (half-up basis points)
+        quality = bp / 10000.0
+
+    Two float pitfalls motivated this form, both observed as real
+    sf0.1 mismatches: (a) summing three float terms gives different
+    last-ulp doubles per engine (FMA/evaluation order); (b) even on
+    identical doubles, Spark's round() decides halves on the SHORTEST
+    DECIMAL representation (BigDecimal.valueOf) while DuckDB rounds the
+    true binary value — .xxxx5-printing doubles split between them. All
+    integer intermediates stay < 2^42, and the final division of an
+    exact integer by 10000.0 is correctly rounded, hence bit-identical
+    on any IEEE-754 engine."""
+    nt, nd, nc = nt.cast("long"), nd.cast("long"), nc.cast("long")
+    num = (
+        F.lit(40) * F.least(nt, F.lit(50)) * nt
+        + F.lit(2000) * nd
+        + F.lit(125) * F.least(nc, F.lit(8) * nt)
+    )
+    a = F.lit(20000) * num + F.lit(5000) * nt
+    b = F.lit(10000) * nt
+    bp = (a - a % b) / b  # exact: a - a%b is a multiple of b, all < 2^53
+    return bp / F.lit(10000.0)
 
 
 def _pipeline_sql() -> str:
@@ -309,17 +328,15 @@ def _pipeline_sql() -> str:
       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     ), feat AS (
       SELECT text,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\\s+')) AS diversity,
-             CAST(length(text) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\\s+')) AS avg_tok_len
+             len(string_split_regex(trim(text), '\\s+')) AS nt,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nd,
+             length(text) AS nc
       FROM kept
     ), scored AS (
-      SELECT text, n_tokens,
-             round(0.4 * LEAST(n_tokens / 50.0, 1.0)
-                   + 0.4 * diversity
-                   + 0.2 * LEAST(avg_tok_len / 8.0, 1.0), 4) AS quality
+      SELECT text, nt AS n_tokens,
+             CAST((20000 * (40 * LEAST(nt, 50) * nt + 2000 * nd
+                            + 125 * LEAST(nc, 8 * nt)) + 5000 * nt)
+                  // (10000 * nt) AS DOUBLE) / 10000.0 AS quality
       FROM feat
     ), langed AS (
       SELECT n_tokens, quality,
@@ -373,13 +390,8 @@ def quality_filter_pipeline(spark, sf_dir):
         tokens(F.col("text")).alias("toks"),
     )
     n_tokens = F.size("toks")
-    diversity = F.size(F.array_distinct("toks")).cast("double") / n_tokens
-    avg_tok_len = F.col("n_chars").cast("double") / n_tokens
-    quality = F.round(
-        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
-        + 0.4 * diversity
-        + 0.2 * F.least(avg_tok_len / 8.0, F.lit(1.0)),
-        4,
+    quality = _quality_exact(
+        n_tokens, F.size(F.array_distinct("toks")), F.col("n_chars")
     )
     featured = toked.select(
         "fp",
