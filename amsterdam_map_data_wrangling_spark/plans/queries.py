@@ -751,3 +751,119 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }
+
+
+@query(
+    "window_function_zoo",
+    """
+    WITH sub AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_custkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER w, 2) AS top_price,
+           round(last_value(o_totalprice) OVER
+                 (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING), 2) AS bottom_price
+    FROM sub
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "The ranking/distribution window surface in one pass: ntile, "
+    "percent_rank, cume_dist, first_value, and last_value with an "
+    "explicit UNBOUNDED FOLLOWING frame (the default frame ends at "
+    "CURRENT ROW, which silently makes last_value ≡ current row — the "
+    "classic window gotcha). percent_rank/cume_dist are single exact "
+    "rational divisions, so engine-portable. Scale: all five share one "
+    "shuffle on the partition key; one in-order scan per key.",
+)
+def window_function_zoo(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sub.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("top_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("bottom_price"),
+    )
+
+
+@query(
+    "bag_set_ops",
+    """
+    SELECT 'except_all' AS op, COUNT(*) AS cnt FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_orderkey % 10 = 0
+      EXCEPT ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    UNION ALL
+    SELECT 'intersect_all', COUNT(*) FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_orderkey % 10 = 0
+      INTERSECT ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    """,
+    "Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the "
+    "multiplicity-preserving complements of the distinct-set U2/U3 "
+    "queries: lineitem carries each orderkey 1-7 times, so EXCEPT ALL "
+    "keeps the copies beyond orders' single one (1-in-10 key subset — "
+    "bag semantics verify the same on any slice). Spark plans these with "
+    "per-row count bookkeeping through ONE shuffle per operand — no "
+    "distinct pre-pass. Scale: same cost shape as a groupBy on the key.",
+)
+def bag_set_ops(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lkeys = lineitem.filter(F.col("l_orderkey") % 10 == 0).select(
+        F.col("l_orderkey").alias("k")
+    )
+    okeys = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    ex = lkeys.exceptAll(okeys).agg(F.count("*").alias("cnt")).select(
+        F.lit("except_all").alias("op"), "cnt"
+    )
+    inter = lkeys.intersectAll(okeys).agg(F.count("*").alias("cnt")).select(
+        F.lit("intersect_all").alias("op"), "cnt"
+    )
+    return ex.unionByName(inter)
+
+
+@query(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS num
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "CUBE over (returnflag, linestatus) with an explicit grouping_id "
+    "column — all four grouping sets (both, each alone, grand total) in "
+    "one pass, and gid disambiguates a real NULL from a rolled-up one. "
+    "Completes the grouping-sets surface next to rollup_revenue. Scale: "
+    "one Expand (4x) + one agg shuffle; partial aggregation applies per "
+    "grouping set.",
+)
+def cube_revenue(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("num"),
+    ).select("l_returnflag", "l_linestatus", "gid", "revenue", "num")
