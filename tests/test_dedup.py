@@ -164,3 +164,46 @@ def test_portable_twins_match_production_semantics(spark):
         & (F.col("a.simhash") == F.col("b.simhash")),
     )
     assert j.count() == 10
+
+
+def test_connected_components_random_graphs(spark):
+    """Randomized cross-check vs union-find: seeded Erdős–Rényi-ish pair
+    sets plus a deliberately long chain (diameter 19 — exercises multiple
+    double-hop rounds and the max_iter bound), the structures the fixed
+    example test can't cover."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for seed in [7, 42, 1031]:
+        rng = random.Random(seed)
+        nodes = list(range(100, 160))
+        pairs = set()
+        while len(pairs) < 45:
+            a, b = rng.sample(nodes, 2)
+            pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        # a 20-node chain: diameter 19
+        chain = [(1000 + i, 1000 + i + 1) for i in range(19)]
+        all_pairs = pairs + chain
+        df = spark.createDataFrame(all_pairs, ["id_a", "id_b"])
+        got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+        assert got == union_find(all_pairs), f"seed {seed}"

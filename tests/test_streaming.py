@@ -218,3 +218,55 @@ def test_stream_stream_interval_join_equals_batch(spark):
     batch = QUERIES["interval_join_click_error"].build(spark, SF_ORACLE)
     want = _rows(batch, cols)
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch with an idempotent overwrite-by-batch-id sink: the
+    exactly-once recipe for sinks without transactional support — each
+    micro-batch writes to a batch-id-keyed location, so a replayed batch
+    overwrites itself instead of duplicating. Verifies the union of
+    batch outputs equals the batch aggregation over all input."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "fb_in")
+    out = str(tmp_path / "fb_out")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    docs.limit(100).write.mode("overwrite").parquet(base)
+    docs.filter(F.col("doc_id").between(200, 299)).write.mode("append").parquet(base)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(base)
+
+    def write_batch(batch_df, batch_id):
+        # idempotent: path keyed by batch_id; a retry overwrites, never appends
+        (
+            batch_df.groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch={batch_id}"))
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n"))
+    )
+    want = (
+        spark.read.parquet(base)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.lang: r.n for r in merged.collect()}
+    expect = {r.lang: r.n for r in want.collect()}
+    assert got == expect and sum(got.values()) == 200
