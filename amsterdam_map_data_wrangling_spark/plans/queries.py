@@ -743,16 +743,6 @@ def segment_event_counts(spark, sf_dir):
     return enriched_segment_counts(events, customer).orderBy("segment", "event_type")
 
 
-def queries() -> dict[str, Build]:
-    return {name: spec.build for name, spec in QUERIES.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
-    }
-
-
 @query(
     "window_function_zoo",
     """
