@@ -31,7 +31,17 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big`` with ``small`` on key equality, salted over ``buckets``
     partitions per key. Output columns = big's + small's (keys included),
-    like a plain equi-join."""
+    like a plain equi-join.
+
+    Only ``inner`` and ``left`` (big-preserving) joins are valid: the small
+    side is replicated ×buckets, so a right/full/semi/anti join would emit
+    every unmatched small-side replica — silently wrong results."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (big side preserved), "
+            f"got {how!r}: the ×{buckets} small-side replication would "
+            f"duplicate unmatched small rows under {how!r}"
+        )
     spark = big.sparkSession
     big_s = big.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
     salts = spark.range(buckets).select(F.col("id").cast("int").alias("_salt"))

@@ -382,9 +382,10 @@ def quality_filter_pipeline(spark, sf_dir):
     )
     # tokenize ONCE per doc, pre-dedup: every feature (quality components
     # and all four lang marker scores) is a function of the text alone, so
-    # rows sharing a fingerprint share features and the groupBy below can
-    # take min() of each instead of shuffling texts and re-scoring keepers
+    # rows sharing a fingerprint carry their features into the groupBy and
+    # the dedup exchange ships (fp, doc_id, 6 numbers) instead of the text
     toked = corpus.select(
+        "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         F.length("text").alias("n_chars"),
         tokens(F.col("text")).alias("toks"),
@@ -393,7 +394,9 @@ def quality_filter_pipeline(spark, sf_dir):
     quality = _quality_exact(
         n_tokens, F.size(F.array_distinct("toks")), F.col("n_chars")
     )
+    feat_cols = ["n_tokens", "quality", *[f"s_{k}" for k in LANG_MARKERS]]
     featured = toked.select(
+        "doc_id",
         "fp",
         n_tokens.alias("n_tokens"),
         quality.alias("quality"),
@@ -402,13 +405,16 @@ def quality_filter_pipeline(spark, sf_dir):
             for lang, ms in LANG_MARKERS.items()
         ],
     )
+    # the keeper's features AS A UNIT (min_by doc_id), matching the oracle's
+    # arg_min(text, doc_id): per-column min() would mix features from
+    # different raw texts if two distinct texts ever shared a normalized
+    # fingerprint (e.g. case/whitespace variants)
     kept = featured.groupBy("fp").agg(
-        *[
-            F.min(c).alias(c)
-            for c in ["n_tokens", "quality", *[f"s_{k}" for k in LANG_MARKERS]]
-        ]
+        F.min_by(F.struct(*feat_cols), F.col("doc_id")).alias("kf")
     )
-    scored = kept.filter(F.col("quality") >= 0.4)
+    scored = kept.select(*[F.col(f"kf.{c}").alias(c) for c in feat_cols]).filter(
+        F.col("quality") >= 0.4
+    )
     predicted = predict_lang({k: F.col(f"s_{k}") for k in LANG_MARKERS})
     return (
         scored.select(predicted.alias("predicted"), "n_tokens", "quality")

@@ -17,12 +17,15 @@ from amsterdam_map_data_wrangling_spark.schemas import STAR_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: (session id, sf_dir, table) → DataFrame. A DataFrame is just a logical
-#: plan — caching it skips the parquet footer/schema read that
+#: (application id, sf_dir, table) → DataFrame. A DataFrame is just a
+#: logical plan — caching it skips the parquet footer/schema read that
 #: ``spark.read.parquet`` performs eagerly, which dominates when a catalog
-#: of 40 queries each re-loads its inputs. The testdata is read-only, so
-#: plans never go stale; ``clear_cache`` exists for other inputs.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: of 70 queries each re-loads its inputs. Keyed on the SparkContext's
+#: applicationId (unique per context), NOT ``id(spark)``: CPython reuses
+#: object ids after GC, so an id-keyed cache could hand a new session plans
+#: bound to a dead one. The testdata is read-only, so plans never go stale;
+#: ``clear_cache`` exists for other inputs.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def clear_cache() -> None:
@@ -44,8 +47,9 @@ def load_tables(
     # results are identical on any session regardless of host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
+    app_id = spark.sparkContext.applicationId
     for name in names:
-        key = (id(spark), sf_dir, name)
+        key = (app_id, sf_dir, name)
         if key not in _DF_CACHE:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):

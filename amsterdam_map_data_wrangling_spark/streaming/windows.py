@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: path → parquet schema: the file stream source needs an explicit schema,
+#: and deriving it via a batch read is a driver-side footer read per stream
+#: construction — cache it per path (testdata is immutable).
+_STREAM_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet (file-source). The
     TIMESTAMP(NANOS) column needs the same nanosAsLong + integral-div
@@ -27,7 +33,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    if path not in _STREAM_SCHEMA_CACHE:
+        _STREAM_SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    schema = _STREAM_SCHEMA_CACHE[path]
     # the file stream source wants a directory: stream the sf dir with a
     # glob restricted to the events file(s)
     stream = (

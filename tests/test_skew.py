@@ -55,3 +55,15 @@ def test_salted_agg_equals_plain_agg_on_hot_key(spark):
     p = {r.k: (r.n, round(r.sv, 6)) for r in plain.collect()}
     s = {r.k: (r.n, round(r.sv, 6)) for r in salted.collect()}
     assert p == s
+
+
+def test_salted_join_rejects_small_preserving_how(spark):
+    """right/full/semi/anti would duplicate unmatched small-side replicas
+    (the small side is replicated x buckets) — must fail loudly."""
+    import pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "sk")
+    for how in ("right", "full", "outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", "sk", buckets=4, how=how)
