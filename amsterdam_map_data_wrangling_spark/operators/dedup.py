@@ -112,14 +112,29 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def _band_hash_portable(cols: list) -> "F.Column":
+    """md5-anchored band hash: identical on any engine (the same
+    ``'0x' || substr(md5(...), 1, 15)`` trick DuckDB can run), over the
+    '|'-joined decimal representation of the band's components."""
+    joined = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, k: int = 16, bands: int = 4
+    sig: DataFrame, k: int = 16, bands: int = 4, portable: bool = False
 ) -> DataFrame:
     """Banded LSH: hash each band of r = k/bands signature components,
     explode to (band_idx, band_hash, id), self-join within buckets.
 
     Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b, where
     est_jaccard is the fraction of equal signature components.
+
+    ``portable=True`` swaps the xxhash64 band hash for the md5 anchor
+    (:func:`_band_hash_portable`) so the ENTIRE banding path — band
+    hashing, bucket self-join, pair dedup, signature-agreement estimate —
+    is value-reproducible in DuckDB and hash-gated at the driver; the
+    banding/join/dedup code is shared verbatim between both modes, so the
+    gate covers the production path's join logic too.
 
     The self-join would compute the signature subtree twice (exchange
     reuse does not fire across the broadcast/shuffle asymmetry), so the
@@ -131,13 +146,18 @@ def lsh_candidate_pairs(
     swap for ``persist(MEMORY_AND_DISK)`` if executor loss matters."""
     r = k // bands
     sig = sig.localCheckpoint()
+    if portable:
+        band_hash = _band_hash_portable
+    else:
+        def band_hash(cols):
+            return F.xxhash64(*cols)
     banded = sig.select(
         "id",
         *[F.col(f"h{i}") for i in range(k)],
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+                    band_hash([F.col(f"h{b * r + j}") for j in range(r)])
                     for b in range(bands)
                 ]
             )

@@ -94,6 +94,7 @@ _GATE_PRIORITY: list[str] = [
     "tfidf_top_terms",
     # -- changed or added in round 3: need fresh verdicts --
     "dedup_clusters",
+    "dedup_minhash_portable_pairs",
     "knn_cosine_brute",
     "ann_ivf",
     # -- previously green, highest re-verification value (complex plans) --

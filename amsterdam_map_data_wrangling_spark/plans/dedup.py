@@ -57,10 +57,12 @@ def dedup_exact_groups(spark, sf_dir):
     return exact_dedup_groups(_with_copies(documents), "doc_id", "text")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    r"""
-    WITH toks AS (
+#: Shared CTE chain computing exact 5-gram Jaccard near-dup pairs
+#: (threshold 0.5, df_cap 50) — the oracle-side twin of
+#: ``ngram_jaccard_pairs(w=5, threshold=0.5, df_cap=50)``, reused by both
+#: the pair query and the connected-components oracle below.
+_JACCARD_PAIR_CTES = r"""
+    toks AS (
       SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
       FROM documents
     ), sh AS (
@@ -80,6 +82,14 @@ def dedup_exact_groups(spark, sf_dir):
       FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
     )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _JACCARD_PAIR_CTES
+    + """
     SELECT id_a, id_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
              AS jaccard
@@ -122,14 +132,37 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 @query(
     "dedup_clusters",
-    None,  # recursive (iterative) — genuinely non-SQL-expressible
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """
+    , pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(id, label) AS (
+      -- every node seeds its own label, then labels walk the (symmetric)
+      -- edge set; UNION dedup bounds the row space at nodes x labels, so
+      -- recursion terminates even through cycles
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
     "Duplicate clusters: connected components (iterative min-label "
     "propagation, lineage cut per round via localCheckpoint) over the "
     "exact 5-gram Jaccard near-dup pairs. The step every dedup pipeline "
     "needs after pair generation — 'keep one doc per component', not one "
     "per pair. Scale: per round one join + one groupBy on the (tiny) "
     "component edge set; rounds ≈ component diameter (2-3 for near-dups). "
-    "Verified against union-find in pytest.",
+    "Hash-gated: DuckDB reaches the same fixed point through a recursive "
+    "CTE (label reachability + min), and pytest cross-checks union-find.",
 )
 def dedup_clusters(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
@@ -184,6 +217,93 @@ def dedup_minhash_portable(spark, sf_dir):
     subset = documents.filter(F.col("doc_id") % 10 == 0)
     sig = minhash_signatures_portable(shingles(subset, "doc_id", "text", 3), 8)
     return sig.withColumnRenamed("id", "doc_id")
+
+
+def _minhash_pairs_portable_sql(k: int = 8, bands: int = 4) -> str:
+    """DuckDB twin of the FULL portable MinHash→LSH path: md5 universal-hash
+    signatures, md5 band hashes, bucket self-join, per-pair signature
+    agreement — the banding join itself, not just the signatures."""
+    r = k // bands
+    sig_mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(
+            zip((7, 13, 31, 67, 127, 257, 521, 1031), (3, 5, 11, 17, 23, 41, 83, 163))
+        )
+        if i < k
+    )
+    band_cases = " ".join(
+        "WHEN {idx} THEN {concat}".format(
+            idx=b,
+            concat=" || '|' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM corpus
+    ), sh AS (
+      SELECT DISTINCT id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM toks, unnest(range(1, len(l) - 1)) AS r(i)
+      WHERE len(l) >= 3
+    ), hashed AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+      FROM sh
+    ), sig AS (
+      SELECT id,
+           {sig_mins}
+      FROM hashed GROUP BY id
+    ), banded AS (
+      SELECT id, {", ".join(f"h{i}" for i in range(k))}, band_idx,
+             ('0x' || substr(md5(CASE band_idx {band_cases} END), 1, 15))::BIGINT
+               AS band_hash
+      FROM sig, (VALUES {", ".join(f"({b})" for b in range(bands))}) bi(band_idx)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(max(({matches}) / {k}.0), 4) AS est_jaccard
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx
+                 AND a.band_hash = b.band_hash
+                 AND a.id < b.id
+    GROUP BY a.id, b.id
+    """
+
+
+@query(
+    "dedup_minhash_portable_pairs",
+    _minhash_pairs_portable_sql(8, 4),
+    "The FULL MinHash→LSH pipeline with the md5-portable hash family — "
+    "signatures AND the banding bucket-join AND the pair dedup, hash-gated "
+    "end-to-end (dedup_minhash_portable gates only the signatures; the "
+    "production dedup_minhash_pairs is rows-only because xxhash64 has no "
+    "DuckDB twin — this query runs the SAME banding/join/dedup code path "
+    "with portable band hashes, retiring that blind spot). Corpus: the "
+    "1-in-10 doc subset plus re-keyed copies, so every doc has an exact "
+    "duplicate and the banding provably recalls est=1.0 pairs. Scale: "
+    "identical plan shape to the production path — the ONLY join is on "
+    "(band_idx, band_hash) buckets.",
+)
+def dedup_minhash_portable_pairs(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+        shingles,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") % 10 == 0)
+    copies = subset.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = subset.unionByName(copies)
+    sig = minhash_signatures_portable(shingles(corpus, "doc_id", "text", 3), 8)
+    return lsh_candidate_pairs(sig, k=8, bands=4, portable=True)
 
 
 @query(

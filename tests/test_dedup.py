@@ -207,3 +207,27 @@ def test_connected_components_random_graphs(spark):
         df = spark.createDataFrame(all_pairs, ["id_a", "id_b"])
         got = {r.id: r.cluster_id for r in connected_components(df).collect()}
         assert got == union_find(all_pairs), f"seed {seed}"
+
+
+def test_portable_banding_recalls_injected_duplicates(spark):
+    """dedup_minhash_portable_pairs runs the SAME banding/join/dedup code
+    path as the production query (only the band hash differs). Identical
+    texts have identical signatures, so every injected copy pair MUST
+    surface with est_jaccard = 1.0 — banding recall on exact dups is a
+    certainty, not a probability."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+    from .conftest import SF_ORACLE
+
+    rows = (
+        QUERIES["dedup_minhash_portable_pairs"]
+        .build(spark, SF_ORACLE)
+        .collect()
+    )
+    exact = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in rows
+        if r.id_b == r.id_a + 1_000_000
+    }
+    # 50 docs in the 1-in-10 subset at sf0.01, each with one injected copy
+    assert len(exact) == 50
+    assert all(v == 1.0 for v in exact.values())

@@ -89,3 +89,24 @@ def test_salted_agg_is_two_stage(spark):
     # first exchange (Catalyst renames the alias to _groupingexpression)
     assert "% 8" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_tfidf_build_runs_no_job(spark):
+    """build() must be lazy: the corpus size is a broadcast 1-row agg in
+    the plan, not a driver-side .count(), and the doc-term checkpoint is
+    eager=False. A job during build would re-appear as an eager action
+    (VERDICT r2 'what's wrong' #1)."""
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    # the first parquet load runs a file-listing job; warm the table cache
+    # so the probe measures the build alone
+    load_tables(spark, SF_ORACLE, ["documents"])
+    sc = spark.sparkContext
+    group = "tfidf-lazy-build-probe"
+    sc.setJobGroup(group, "tfidf build must not run jobs")
+    try:
+        QUERIES["tfidf_top_terms"].build(spark, SF_ORACLE)
+        jobs = spark._jsc.sc().statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) == 0, f"build() launched {len(jobs)} job(s)"
+    finally:
+        sc.setJobGroup("", "")
