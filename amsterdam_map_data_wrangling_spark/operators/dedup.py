@@ -323,11 +323,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Genuinely non-SQL-expressible (recursive), hence rows-only at the
     driver gate; pytest verifies vs union-find.
     """
-    # materialize the (possibly expensive: LSH, blocking) pair lineage ONCE —
-    # every derived frame below references it several times
+    # cut the (possibly expensive: LSH, blocking) pair lineage ONCE —
+    # every derived frame below references it several times. eager=False:
+    # the first round's fused action below materializes it, so the cut
+    # costs no standalone job
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
     # the symmetrized edge set needs NO distinct: every pair source in this
     # repo emits id_a < id_b exactly once, so forward, reversed, and
@@ -351,18 +353,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # no checkpoint on the seed labels: lineage is already cut at `e`, so
     # the first round's job materializes seed+2 hops in one pass
     labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
+    # TWO double-hops per driver action: both lazy checkpoints plus both
+    # label sums are materialized by ONE fused job (the union-of-aggs
+    # action), and equal sums certify the EARLIER frame as the fixed
+    # point (labels only ever decrease, so sum(label) is a monotone
+    # convergence witness — measured faster than a generation-diff join).
+    # Near-dup components have diameter ~2-3, so real inputs finish in a
+    # single fused action (4 hops) instead of round+verify jobs; e's lazy
+    # checkpoint rides the same first action, leaving exactly one job
+    # before the caller's own action on the result.
     prev = None
-    for _ in range(max_iter):
-        # lazy checkpoint: the convergence agg below is the action that
-        # materializes it — one job per round (double hop + label sum),
-        # not a checkpoint job followed by an agg job. Labels only ever
-        # decrease, so sum(label) is a fixed-point witness; a
-        # generation-diff join was measured slower than this agg.
-        labels = hop(hop(labels)).localCheckpoint(eager=False)
-        cur = labels.agg(F.sum("label")).first()[0]
-        if cur == prev:
+    for _ in range(max_iter // 2):
+        l1 = hop(hop(labels)).localCheckpoint(eager=False)
+        l2 = hop(hop(l1)).localCheckpoint(eager=False)
+        sums = dict(
+            l1.agg(F.sum("label").alias("s"))
+            .select(F.lit(1).alias("g"), "s")
+            .unionAll(
+                l2.agg(F.sum("label").alias("s")).select(F.lit(2).alias("g"), "s")
+            )
+            .collect()
+        )
+        s1, s2 = sums[1], sums[2]
+        if s1 == s2:
+            # l1 already reached the fixed point; l2 is identical but l1's
+            # checkpoint is the one the sums job certified
+            labels = l1
             break
-        prev = cur
+        labels = l2
+        if s2 == prev:
+            break
+        prev = s2
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -400,11 +421,14 @@ def ngram_jaccard_pairs(
     # referenced three times below (pair expansion + both size legs) —
     # cut the shingle lineage once with localCheckpoint; measured ~11%
     # faster than the fused recompute and ~35% faster than persist()
-    # (columnar cache conversion) at bench scale
+    # (columnar cache conversion) at bench scale. The shingle key itself is
+    # never consumed after the groupBy, so only the id lists are
+    # checkpointed — one fewer long per bucket row through the write.
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") <= df_cap)
+        .select("ids")
         .localCheckpoint()
     )
     capped = buckets.select(F.explode("ids").alias("id"))

@@ -53,6 +53,42 @@ def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (qid, vec_id, sim) relation WITHOUT exchanging
+    the full scored set: per-partition partial top-k (mapInPandas — a
+    bounded heap per qid across the partition's Arrow batches, emitting
+    ≤ |queries|·k rows per partition), then a rank window over the tiny
+    survivor set (≤ partitions·|queries|·k rows). The previous shape — a
+    global rank window straight over the scored relation — shuffled every
+    scored row onto |queries| reducers; this is the per-partition-top-k +
+    merge the 100 TB plan needs. Only the 3 narrow columns cross the Arrow
+    boundary (the vectors and dot products stay JVM-side), and ranking is
+    on (sim desc, vec_id asc) at both levels, so the partial reduction is
+    exact under the same total order as the merge."""
+    from pyspark.sql import Window
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["qid", "sim", "vec_id"], ascending=[True, False, True]
+            )
+            best = cur.groupby("qid", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    partial = scored.mapInPandas(_local_topk, "qid bigint, vec_id bigint, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -62,9 +98,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (qid, vec_id, sim) — k best candidates per query,
     self excluded. Ranking is on round(sim, 4) with vec_id tie-break so the
-    ordering is engine-portable."""
-    from pyspark.sql import Window
-
+    ordering is engine-portable. Reduction is per-partition partial top-k +
+    tiny merge (:func:`_topk_per_query`) — the full scored relation is never
+    exchanged."""
     emb = _prep(df, id_col, vec_col)
     q = F.broadcast(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
@@ -82,12 +118,7 @@ def cosine_topk(
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_topk(

@@ -91,6 +91,19 @@ def test_salted_agg_is_two_stage(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_brute_knn_never_exchanges_scored_relation(spark):
+    """cosine_topk must reduce per-partition (MapInPandas partial top-k)
+    BEFORE its only exchange: the |corpus|x|queries| scored relation stays
+    in the scan stage and only <= partitions*|queries|*k survivor rows are
+    shuffled for the merge window (VERDICT r2 'what's wrong' #3)."""
+    plan = _plan(spark, "knn_cosine_brute")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # top-down plan print: the merge exchange must CONSUME the partial
+    # top-k output, i.e. appear above MapInPandas, not below it
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas")
+
+
 def test_tfidf_build_runs_no_job(spark):
     """build() must be lazy: the corpus size is a broadcast 1-row agg in
     the plan, not a driver-side .count(), and the doc-term checkpoint is
