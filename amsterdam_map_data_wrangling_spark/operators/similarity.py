@@ -121,6 +121,141 @@ def cosine_topk(
     return _topk_per_query(scored, k)
 
 
+#: Quantization scale for the engine-exact Lloyd arithmetic: components in
+#: [-1, 1]-ish map to integers ≤ ~1000, keeping every downstream integer
+#: (dots, norms, centroid sums) exact in int64 AND below 2^53, so a DuckDB
+#: oracle computing the same quantities through DOUBLEs gets the exact same
+#: values (doubles represent integers < 2^53 exactly).
+_QUANT_SCALE = 1000
+
+
+#: Exact int64 dot of two long-array columns, Spark SQL text.
+_SPARK_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+#: Narrow argmax over the broadcast centroid array ``cs``: csim from
+#: exact-integer dot/norms (bit-identical IEEE on any engine), ties to the
+#: lowest c_id inside the fold (order-independent).
+_SPARK_BEST = (
+    "aggregate("
+    " transform(cs, c -> struct("
+    f"  CAST({_SPARK_IDOT.format(a='qv', b='c.cv')} AS DOUBLE)"
+    "   / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS sim,"
+    "  c.c_id AS cid)),"
+    " struct(CAST(-2.0 AS DOUBLE) AS sim,"
+    "        CAST(4611686018427387904 AS BIGINT) AS cid),"
+    " (acc, e) -> IF(e.sim > acc.sim"
+    "               OR (e.sim = acc.sim AND e.cid < acc.cid), e, acc))"
+)
+
+#: Quantize + self-norm: {emb} → (vec_id, v, qv, qn2).
+_SPARK_EQN_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{emb}}),
+    eqn0 AS (
+      SELECT vec_id, v,
+             transform(v, x -> CAST(floor(x * {_QUANT_SCALE} + 0.5) AS BIGINT)) AS qv
+      FROM e
+    )
+    SELECT vec_id, v, qv, {_SPARK_IDOT.format(a='qv', b='qv')} AS qn2 FROM eqn0
+"""
+
+
+def _spark_lloyd_iter_sql(dim: int) -> str:
+    """One Lloyd iteration: {eqn} × {cents} → next centroid generation
+    (c_id, cv, cn2). Assignment is the ZERO-shuffle fold against the
+    single collected centroid row; the update is ONE map-side-combined
+    aggregation of dim partial sums per cell (Spark bracket indexing is
+    0-based). Centroids are exact int64 SUM vectors — cosine is
+    scale-invariant, so the sum IS the mean for assignment purposes, with
+    no float division to diverge across engines; empty cells drop out of
+    the aggregation on both engines."""
+    sums = ", ".join(f"sum(qv[{j}])" for j in range(dim))
+    return f"""
+    WITH carr AS (SELECT collect_list(struct(c_id, cv, cn2)) AS cs FROM {{cents}}),
+    a AS (SELECT qv, ({_SPARK_BEST}).cid AS cell FROM {{eqn}} CROSS JOIN carr)
+    SELECT c_id, cv, {_SPARK_IDOT.format(a='cv', b='cv')} AS cn2 FROM (
+      SELECT cell AS c_id, array({sums}) AS cv FROM a GROUP BY cell
+    )
+"""
+
+
+_SPARK_FINAL_ASSIGN_SQL = f"""
+    WITH carr AS (SELECT collect_list(struct(c_id, cv, cn2)) AS cs FROM {{cents}})
+    SELECT vec_id, v, ({_SPARK_BEST}).cid AS cell FROM {{eqn}} CROSS JOIN carr
+"""
+
+
+def lloyd_assign_sql(
+    iters: int = 2,
+    dim: int = 64,
+    stride: int = 100,
+    offset: int = 7,
+) -> str:
+    """DuckDB CTE chain computing the SAME (vec_id, v, cell) assignment as
+    the Spark-side Lloyd steps above — the oracle twin. Values agree
+    bit-for-bit because every compared double derives from exact integers
+    (< 2^53): the float dot DuckDB computes over the quantized arrays IS
+    the exact integer Spark's int64 fold produces, and
+    dot/(sqrt(qn2)·sqrt(cn2)) is correctly-rounded IEEE on both engines.
+    Shape differs by dialect on purpose (cross join + row_number argmax
+    here; the fold shape needs Spark HOF syntax) — shape is not what the
+    gate compares."""
+    idot = (
+        "CAST(list_dot_product(CAST({a} AS DOUBLE[]),"
+        " CAST({b} AS DOUBLE[])) AS BIGINT)"
+    )
+    # DuckDB list indexing is 1-based; sum(BIGINT) widens to HUGEINT
+    sums = ", ".join(f"CAST(sum(qv[{j + 1}]) AS BIGINT)" for j in range(dim))
+    csim = (
+        "list_dot_product(CAST(eqn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+        " / (sqrt(CAST(eqn.qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+
+    def assign(i: int, prev: str, out_cols: str) -> str:
+        return (
+            f", s{i} AS (SELECT eqn.vec_id, c.c_id, {csim} AS csim"
+            f"           FROM eqn, {prev} c)\n"
+            f", a{i} AS (SELECT {out_cols}, r.cell FROM ("
+            f"    SELECT vec_id, c_id AS cell FROM ("
+            f"      SELECT vec_id, c_id, row_number() OVER ("
+            f"        PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn"
+            f"      FROM s{i}) WHERE rn = 1"
+            f"  ) r JOIN eqn USING (vec_id))"
+        )
+
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    eqn0 AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * {_QUANT_SCALE} + 0.5)
+                                         AS BIGINT)) AS qv
+      FROM e
+    ), eqn AS (
+      SELECT vec_id, v, qv, {idot.format(a='qv', b='qv')} AS qn2 FROM eqn0
+    ), c0 AS (
+      SELECT vec_id AS c_id, qv AS cv, qn2 AS cn2 FROM eqn
+      WHERE vec_id % {stride} = {offset}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append("\n" + assign(i, f"c{i - 1}", "vec_id, qv"))
+        parts.append(
+            f"""
+    , c{i} AS (
+      SELECT c_id, cv, {idot.format(a='cv', b='cv')} AS cn2 FROM (
+        SELECT cell AS c_id, list_value({sums}) AS cv
+        FROM a{i} GROUP BY cell
+      )
+    )"""
+        )
+    parts.append("\n" + assign(iters + 1, f"c{iters}", "vec_id, v"))
+    parts.append(f"\n    SELECT vec_id, v, cell FROM a{iters + 1}\n")
+    return "".join(parts)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -129,47 +264,60 @@ def ivf_topk(
     k: int = 3,
     centroid_stride: int = 100,
     centroid_offset: int = 7,
+    lloyd_iters: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
-    cell, then search only the query's cell.
+    """IVF ANN with LEARNED coarse cells: ``lloyd_iters`` seeded Lloyd
+    (k-means) iterations refine the deterministic id-stride seed set, then
+    every vector searches only its cell.
 
-    Centroids are picked deterministically (ids ≡ offset mod stride) so the
-    whole computation is engine-portable and oracle-checkable; a production
-    IVF would k-means them, which changes recall, not the plan shape. The
-    plan: centroids broadcast → per-vector argmax via ``max_by`` on a
-    (csim, -c_id) struct — ties break to the lowest centroid id, matching
-    the oracle's rank ordering. ``max_by`` partially aggregates map-side,
-    so the assignment shuffle carries ≤ N rows (one per vector seen per
-    partition) instead of the N×C scored rows a rank-window would move —
-    the difference between shuffling the corpus once and shuffling it
-    |centroids| times at 100 TB. nprobe > 1 is the same join with an
-    IN-list of the query's top-n cells.
+    Engine-exact Lloyd (the whole chain is oracle-checkable value-for-value
+    in DuckDB — :func:`lloyd_assign_sql` — no float-aggregation drift
+    anywhere): components quantized to ints (floor(x·S + 0.5), bit-exact
+    IEEE on any engine); centroids carried as exact int64 SUM vectors —
+    never divided into float means (cosine is scale-invariant); assignment
+    similarity from exact-integer dots and norms, so both engines compare
+    bit-identical doubles; empty cells drop out of the update aggregation
+    on both engines.
 
-    The assignment subtree is read by both the query side and the search
-    side; at bench scale the fused recompute and a checkpoint measure the
-    same, so no cut — on a real cluster persist the (id, cell) assignment
-    before the search join."""
+    Plan shape at 100 TB: each iteration is a ZERO-shuffle narrow argmax
+    against the broadcast centroid array plus one tiny centroid-update
+    aggregation (dim partial sums × cells, map-side combined); the final
+    search join shuffles the corpus once on the cell key. Final ranking
+    uses the true double cosine (round 4, vec_id tie-break) over original
+    vectors, identical to the brute path. nprobe > 1 would be the same
+    join with an IN-list of top-n cells.
+
+    Driver-cost note (why stepwise spark.sql + lazy checkpoints): the
+    whole chain as ONE query makes Catalyst inline every multiply-
+    referenced CTE, so optimizer time grows combinatorially with
+    iterations (measured ~1.7 s); chaining the DataFrame Column API
+    instead re-analyzes the growing subtree per operator call (~0.7 s per
+    iteration). Each step below is one small spark.sql whose inputs are
+    LogicalRDD leaves (lazy localCheckpoint), so analysis+planning stays
+    O(step) and build() still launches zero jobs; the first action
+    materializes the chain once, each generation exactly once."""
     from pyspark.sql import Window
 
-    emb = _prep(df, id_col, vec_col)
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") % centroid_stride == centroid_offset).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-        )
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    embq = spark.sql(_SPARK_EQN_SQL, emb=src).localCheckpoint(eager=False)
+    cents = embq.filter(
+        F.col("vec_id") % centroid_stride == centroid_offset
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qv").alias("cv"),
+        F.col("qn2").alias("cn2"),
     )
-    sim_c = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
-    assign = (
-        emb.crossJoin(cents)
-        .select("vec_id", "v", "nrm", "c_id", sim_c.alias("csim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "c_id", F.struct(F.col("csim"), (-F.col("c_id")).alias("neg"))
-            ).alias("cell"),
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
+    iter_sql = _spark_lloyd_iter_sql(dim)
+    for _ in range(lloyd_iters):
+        cents = spark.sql(iter_sql, eqn=embq, cents=cents).localCheckpoint(
+            eager=False
         )
-        .select("vec_id", "v", "nrm", "cell")
+    assign = (
+        spark.sql(_SPARK_FINAL_ASSIGN_SQL, eqn=embq, cents=cents)
+        .localCheckpoint(eager=False)
+        .withColumn("nrm", l2_norm(F.col("v")))
     )
     q = F.broadcast(
         assign.filter(F.col("vec_id").isin(query_ids)).select(

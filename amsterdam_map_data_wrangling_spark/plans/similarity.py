@@ -97,26 +97,20 @@ def ann_sign_lsh(spark, sf_dir):
     return ann_sign_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
 
 
-@query(
-    "ann_ivf",
-    _E_CTE
-    + """
-    , c AS (
-      SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 7
-    ), cscored AS (
-      SELECT e.vec_id, e.v, c.c_id,
-             round(list_dot_product(e.v, c.cv)
-                   / (sqrt(list_dot_product(e.v, e.v))
-                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
-      FROM e, c
-    ), assign AS (
-      SELECT vec_id, v, c_id AS cell FROM (
-        SELECT vec_id, v, c_id, csim,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY csim DESC, c_id) AS rn
-        FROM cscored
-      ) WHERE rn = 1
-    ), q AS (
+def _ivf_learned_sql(iters: int = 2, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of the learned-centroid IVF: the Lloyd CTE chain from
+    operators/similarity.lloyd_assign_sql (the value-exact oracle twin of
+    the Spark-side stepwise Lloyd), with the search/rank tail appended."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        lloyd_assign_sql,
+    )
+
+    lloyd = lloyd_assign_sql(iters=iters, dim=dim)
+    head, final = lloyd.rsplit("SELECT", 1)
+    return (
+        head
+        + f""", assign AS (SELECT{final.rstrip()})
+    , q AS (
       SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assign WHERE vec_id < 5
     ), scored AS (
       SELECT qid, a.vec_id,
@@ -129,14 +123,23 @@ def ann_sign_lsh(spark, sf_dir):
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
       FROM scored
     )
-    SELECT qid, vec_id, sim FROM ranked WHERE rn <= 3
-    """,
-    "IVF-style ANN: every vector coarse-quantized to its nearest centroid "
-    "(deterministic centroid set so both engines agree), search restricted "
-    "to the query's cell. Scale: centroids broadcast; assignment is a "
-    "narrow per-vector argmax; the search join shuffles once on the cell "
-    "key. The second ANN family next to sign-LSH — data-adaptive cells "
-    "(k-means in production) vs fixed hyperplanes.",
+    SELECT qid, vec_id, sim FROM ranked WHERE rn <= {k}
+    """
+    )
+
+
+@query(
+    "ann_ivf",
+    _ivf_learned_sql(2, 64, 3),
+    "IVF ANN with LEARNED cells: 2 seeded Lloyd iterations refine the "
+    "id-stride seed centroids (data-dependent k-means cells, not a "
+    "stand-in), then search restricted to the query's cell. Exact-integer "
+    "quantized arithmetic makes the whole iteration bit-reproducible in "
+    "DuckDB — centroids are int64 SUM vectors (cosine is scale-invariant), "
+    "so no float aggregation ever diverges. Scale: assignment is a "
+    "ZERO-shuffle narrow argmax against the broadcast centroid array; each "
+    "update is one tiny map-side-combined aggregation; the search join "
+    "shuffles the corpus once on the cell key.",
 )
 def ann_ivf(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")

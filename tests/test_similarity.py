@@ -47,3 +47,31 @@ def test_ann_results_subset_of_brute_force_scores(spark):
     for r in ann:
         if (r.qid, r.vec_id) in brute:
             assert brute[(r.qid, r.vec_id)] == r.sim
+
+
+def test_ivf_learned_centroids_recall_at_least_seed_recall(spark):
+    """The point of the Lloyd iterations: data-adapted cells must recall at
+    least as much of the true (brute-force) top-3 as the raw id-stride
+    seed cells, and every IVF hit must carry the brute-force similarity."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r.qid, r.vec_id): r.sim
+        for r in cosine_topk(emb, "vec_id", "embedding", qids, k=3).collect()
+    }
+    learned = {
+        (r.qid, r.vec_id): r.sim
+        for r in ivf_topk(emb, "vec_id", "embedding", qids, k=3).collect()
+    }
+    seed = {
+        (r.qid, r.vec_id): r.sim
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", qids, k=3, lloyd_iters=0
+        ).collect()
+    }
+    assert len(set(learned) & set(brute)) >= len(set(seed) & set(brute))
+    for key, sim in learned.items():
+        if key in brute:
+            assert brute[key] == sim
