@@ -46,6 +46,60 @@ def sign_lsh_code(a: Column, bits: int = 8) -> Column:
     )
 
 
+def rand_hyperplanes(
+    bits: int = 8, dim: int = 64, seed: str = "spark-graft"
+) -> list[list[int]]:
+    """Seeded SPARSE ternary random hyperplane family (Achlioptas 2003,
+    "Database-friendly random projections"): coefficient
+    h[i][d] ∈ {-1, 0, +1} with P(±1) = 1/6 each, drawn from
+    md5("rh|seed|i|d") mod 6 — reproducible anywhere from the seed alone.
+
+    Ternary coefficients make the projection a short add/subtract chain
+    over exact integers (no multiplications, no float summation order to
+    diverge across engines at the sign boundary), with the same
+    Johnson-Lindenstrauss guarantees as dense Gaussian planes. Unlike the
+    axis-aligned :func:`sign_lsh_code` (which reads the signs of the
+    FIRST b raw components and collapses when components are biased or
+    correlated), every bit mixes ~dim/3 random dimensions."""
+    import hashlib
+
+    def coeff(i: int, d: int) -> int:
+        r = int(hashlib.md5(f"rh|{seed}|{i}|{d}".encode()).hexdigest()[:15], 16) % 6
+        return -1 if r == 0 else (1 if r == 5 else 0)
+
+    return [[coeff(i, d) for d in range(dim)] for i in range(bits)]
+
+
+def rand_lsh_code_sql(
+    qv: str = "qv",
+    bits: int = 8,
+    dim: int = 64,
+    seed: str = "spark-graft",
+    one_based: bool = False,
+) -> str:
+    """SQL text for the random-hyperplane bucket code over a quantized
+    int-vector column: bit i set iff Σ_d h[i][d]·qv[d] ≥ 0. The plane
+    coefficients are inlined literals (computed from the seed at
+    plan-build time), so the IDENTICAL arithmetic runs on Spark
+    (``one_based=False``, 0-based brackets) and DuckDB (``one_based=True``)
+    — every term and partial sum an exact int64. Sparse ternary planes
+    keep the expression to ~bits·dim/3 add/sub terms; flat arithmetic on
+    purpose: lambda-bearing HOF expressions cost ~0.5 s of Catalyst
+    analysis per plan (measured in the Lloyd build), and the dense
+    512-multiply variant paid ~1.5 s/query in interpreted eval."""
+    off = 1 if one_based else 0
+    bits_sql = []
+    for i, plane in enumerate(rand_hyperplanes(bits, dim, seed)):
+        terms = [
+            ("+ " if c > 0 else "- ") + f"{qv}[{d + off}]"
+            for d, c in enumerate(plane)
+            if c != 0
+        ]
+        proj = " ".join(terms).lstrip("+ ") or "0"
+        bits_sql.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits_sql)
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     return df.select(
@@ -356,9 +410,47 @@ def ann_sign_lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     sign-LSH bucket. Same output shape as :func:`cosine_topk`."""
+    emb = _prep(df, id_col, vec_col).withColumn("code", sign_lsh_code(F.col("v"), bits))
+    return _bucket_topk(emb, query_ids, k)
+
+
+def ann_rand_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    bits: int = 8,
+    dim: int = 64,
+    seed: str = "spark-graft",
+) -> DataFrame:
+    """Approximate cosine top-k with the seeded RANDOM-hyperplane bucket
+    code (:func:`rand_lsh_code_sql`) — the production-grade LSH family
+    (axis-aligned :func:`sign_lsh_code` skews buckets on correlated
+    embeddings). Same bucket-join plan shape; the code arithmetic is
+    exact-int over quantized components, so the buckets — and hence the
+    whole result — are oracle-reproducible in DuckDB."""
+    emb = (
+        _prep(df, id_col, vec_col)
+        .withColumn(
+            "qv",
+            F.expr(
+                f"transform(v, x -> CAST(floor(x * {_QUANT_SCALE} + 0.5)"
+                " AS BIGINT))"
+            ),
+        )
+        .withColumn("code", F.expr(rand_lsh_code_sql("qv", bits, dim, seed)))
+        .drop("qv")
+    )
+    return _bucket_topk(emb, query_ids, k)
+
+
+def _bucket_topk(emb: DataFrame, query_ids: list[int], k: int) -> DataFrame:
+    """Shared bucket-search tail: broadcast the query rows, equi-join the
+    corpus on the bucket code (the ONLY shuffle, on the code key), exact
+    cosine + rank within the bucket."""
     from pyspark.sql import Window
 
-    emb = _prep(df, id_col, vec_col).withColumn("code", sign_lsh_code(F.col("v"), bits))
     q = F.broadcast(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("qid"),

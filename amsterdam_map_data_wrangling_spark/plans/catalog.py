@@ -97,6 +97,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_minhash_portable_pairs",
     "knn_cosine_brute",
     "ann_ivf",
+    "ann_rand_lsh",
     # -- previously green, highest re-verification value (complex plans) --
     "ann_sign_lsh",
     "embedding_near_dup_pairs",

@@ -97,6 +97,60 @@ def ann_sign_lsh(spark, sf_dir):
     return ann_sign_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
 
 
+def _rand_lsh_sql(bits: int = 8, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of the random-hyperplane LSH search: identical inlined
+    plane literals, identical exact-int code arithmetic (1-based list
+    indexing), same bucket-join + rank tail as the sign-LSH oracle."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        rand_lsh_code_sql,
+    )
+
+    code = rand_lsh_code_sql("qv", bits, dim, one_based=True)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    eq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM e
+    ), coded AS (
+      SELECT vec_id, v, {code} AS code FROM eq
+    ), qc AS (
+      SELECT vec_id AS qid, v AS qv, code AS qcode FROM coded WHERE vec_id < 5
+    ), scored AS (
+      SELECT qid, c.vec_id,
+             round(list_dot_product(c.v, qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS sim
+      FROM coded c JOIN qc ON c.code = qc.qcode AND c.vec_id <> qc.qid
+    ), ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    )
+    SELECT qid, vec_id, sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_rand_lsh",
+    _rand_lsh_sql(8, 64, 3),
+    "ANN via SEEDED random-hyperplane LSH: 8 planes with md5-derived "
+    "integer coefficients (inlined literals, reproducible from the seed "
+    "alone), signs taken over exact-int quantized projections so both "
+    "engines compute identical buckets — the production LSH family, where "
+    "axis-aligned sign codes skew on correlated embeddings. Scale: "
+    "identical to ann_sign_lsh — corpus shuffles once on the code, "
+    "queries broadcast, exact cosine only within the bucket.",
+)
+def ann_rand_lsh(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        ann_rand_lsh_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ann_rand_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
+
+
 def _ivf_learned_sql(iters: int = 2, dim: int = 64, k: int = 3) -> str:
     """DuckDB twin of the learned-centroid IVF: the Lloyd CTE chain from
     operators/similarity.lloyd_assign_sql (the value-exact oracle twin of

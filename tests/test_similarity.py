@@ -49,6 +49,62 @@ def test_ann_results_subset_of_brute_force_scores(spark):
             assert brute[(r.qid, r.vec_id)] == r.sim
 
 
+def test_rand_lsh_spreads_biased_corpus_axis_code_cannot(spark):
+    """The reason the seeded random-hyperplane family exists: on a corpus
+    with positively-biased components (every real embedding family after a
+    ReLU), the axis-aligned sign code collapses ALL rows into one bucket
+    (every leading component ≥ 0 ⇒ code 0xFF), while sparse ternary
+    random planes still split the space. Also pins the query path: every
+    rand-LSH hit must carry the brute-force similarity."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        ann_rand_lsh_topk,
+        sign_lsh_code,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(0.05, 1.0) for _ in range(64)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    v = F.col("embedding").cast("array<double>")
+    axis_buckets = df.select(sign_lsh_code(v, 8).alias("c")).distinct().count()
+    assert axis_buckets == 1  # axis code is blind to biased corpora
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        rand_lsh_code_sql,
+    )
+
+    coded = df.select(
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+        ).alias("qv")
+    ).select(F.expr(rand_lsh_code_sql("qv", 8, 64)).alias("c"))
+    sizes = [r["n"] for r in coded.groupBy("c").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 16  # random planes still split the biased corpus
+    # uncentered data skews ternary projections too (planes with unequal
+    # +/- counts lean one way), but the hot bucket stays well under the
+    # axis code's 100%-in-one-bucket collapse
+    assert max(sizes) / 300 < 0.7
+
+    # query path: ANN sims must equal brute sims on the real corpus
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r.qid, r.vec_id): r.sim
+        for r in cosine_topk(emb, "vec_id", "embedding", qids, k=50).collect()
+    }
+    ann = ann_rand_lsh_topk(emb, "vec_id", "embedding", qids, k=3).collect()
+    assert len(ann) > 0
+    for r in ann:
+        if (r.qid, r.vec_id) in brute:
+            assert brute[(r.qid, r.vec_id)] == r.sim
+
+
 def test_ivf_learned_centroids_recall_at_least_seed_recall(spark):
     """The point of the Lloyd iterations: data-adapted cells must recall at
     least as much of the true (brute-force) top-3 as the raw id-stride
