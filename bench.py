@@ -53,6 +53,17 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
+    # Per-query time budget: one regressed query must fail LOUD instead of
+    # silently eating the catalog-total slack. 2.5 s sits ~10% above the
+    # heaviest steady-state query at sf0.1 (dedup_clusters ≈ 2.3 s:
+    # iterative connected components on 32 local threads), so any real
+    # plan regression (a reintroduced shuffle, a lost broadcast, an eager
+    # action) trips it while scheduler noise does not.
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "2.5"))
+    over = sorted(
+        (name for name, t in timings.items() if t > budget),
+        key=lambda n: -timings[n],
+    )
     print(
         json.dumps(
             {
@@ -62,11 +73,20 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 4),
+                "budget_sec": budget,
+                "over_budget": over,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    if over:
+        print(
+            f"BUDGET EXCEEDED ({budget}s): "
+            + ", ".join(f"{n}={timings[n]}s" for n in over),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
