@@ -4,6 +4,8 @@ the whole parquet as a bounded stream into a memory sink)."""
 
 from __future__ import annotations
 
+import pytest
+
 from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
 from amsterdam_map_data_wrangling_spark.streaming.windows import (
     read_events_stream,
@@ -101,6 +103,123 @@ def test_stateful_running_user_stats_matches_batch(spark):
     # update mode re-emits per batch: keep the final row per user
     out = (
         spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 4), r.last_ts)
+        for r in out.collect()
+    }
+    batch = (
+        load_tables(spark, SF_ORACLE, ["events"])["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("m"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.s, 4), r.m) for r in batch.collect()}
+    assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_processor_logic_matches_batch_semantics(spark):
+    """The transformWithStateInPandas processor's accumulation logic,
+    driven directly with a fake ValueState and pandas batches (the
+    operator's end-to-end drain needs google.protobuf for the state
+    server — absent in this container, covered by the skipping test
+    below on real deployments). Split feeds must accumulate across
+    handleInputRows calls exactly like one batch aggregation."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.stateful import (
+        _make_running_stats_processor_class,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = _make_running_stats_processor_class()()
+    proc._stats = FakeState()
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-02 12:00:00", "2024-01-02 06:00:00"]
+    )
+    b1 = pd.DataFrame({"value": [1.5, 2.5], "ts": ts[:2]})
+    b2 = pd.DataFrame({"value": [4.0], "ts": ts[2:]})
+    (out1,) = proc.handleInputRows((7,), iter([b1]), None)
+    (out2,) = proc.handleInputRows((7,), iter([b2]), None)
+    assert out1.iloc[0]["n_events"] == 2 and out1.iloc[0]["sum_value"] == 4.0
+    row = out2.iloc[0]
+    assert row["user_id"] == 7 and row["n_events"] == 3
+    assert row["sum_value"] == 8.0
+    # last_ts is the max event time ever seen, not the last batch's max
+    assert row["last_ts"] == pd.Timestamp("2024-01-02 12:00:00")
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas driver worker requires google.protobuf "
+    "(absent in this no-pip container; present on real Spark 4 deployments)",
+)
+def test_transform_with_state_matches_batch_and_legacy_twin(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary state API, RocksDB
+    state store): after draining the stream, per-user stats must equal
+    the batch aggregation — i.e. the modern operator is drain-equivalent
+    to the applyInPandasWithState twin."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = running_user_stats_tws(read_events_stream(spark, SF_ORACLE))
+        assert stream.isStreaming
+        (
+            stream.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    out = (
+        spark.table("t_tws")
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
