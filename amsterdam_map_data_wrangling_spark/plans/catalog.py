@@ -123,6 +123,10 @@ _GATE_PRIORITY: list[str] = [
     "topn_per_group",
     "running_revenue_per_customer",
     "ordered_position_per_group",
+    # -- slot 50 pinned to a hash-gated query: the next registration-order
+    #    entry would be dedup_minhash_pairs, which is rows-only by design
+    #    and would waste the last driver-verdict slot --
+    "segment_event_counts",
 ]
 
 
