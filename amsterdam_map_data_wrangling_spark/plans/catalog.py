@@ -7,7 +7,12 @@ weaker rows-only check; used only for genuinely non-SQL-expressible ops).
 Conventions that keep the driver's hash compare honest (see
 ``plans/queries.py`` module docstring): identical aliases on both sides,
 identical ``round()`` on float aggregates, total tie-break ordering under
-every LIMIT, non-empty results at sf0.01.
+every LIMIT, non-empty results at sf0.01, and — because the driver's
+value-hash is type-sensitive — no DuckDB-only types in oracle output:
+DuckDB widens ``SUM(BIGINT)`` to HUGEINT (Spark stays BIGINT), so every
+integer SUM in an oracle's SELECT list must be ``CAST(SUM(...) AS
+BIGINT)``.  (Window/CTE-internal sums that never reach the output are
+exempt.)
 """
 
 from __future__ import annotations

@@ -352,7 +352,7 @@ def _pipeline_sql() -> str:
              ELSE 'unknown' END AS predicted,
            COUNT(*) AS n_docs,
            round(avg(quality), 4) AS avg_quality,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM langed GROUP BY predicted ORDER BY predicted
     """
 
@@ -532,7 +532,7 @@ def chunk_documents(spark, sf_dir):
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(n_tokens) AS tokens_kept
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
     FROM cum WHERE cum_tokens <= 10000
     GROUP BY lang
     """,

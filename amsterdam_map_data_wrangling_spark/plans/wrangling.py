@@ -298,7 +298,7 @@ def value_percentiles_by_type(spark, sf_dir):
       FROM events GROUP BY user_id, event_id % 8
     )
     SELECT user_id,
-           SUM(c) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS n_events,
            round(SUM(sv), 2) AS sum_value
     FROM s1 GROUP BY user_id
     ORDER BY n_events DESC, user_id LIMIT 10
