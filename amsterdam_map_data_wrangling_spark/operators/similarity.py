@@ -183,100 +183,170 @@ def cosine_topk(
 _QUANT_SCALE = 1000
 
 
-#: Exact int64 dot of two long-array columns, Spark SQL text.
-_SPARK_IDOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-)
 
-#: Narrow argmax over the broadcast centroid array ``cs``: csim from
-#: exact-integer dot/norms (bit-identical IEEE on any engine), ties to the
-#: lowest c_id inside the fold (order-independent).
-_SPARK_BEST = (
-    "aggregate("
-    " transform(cs, c -> struct("
-    f"  CAST({_SPARK_IDOT.format(a='qv', b='c.cv')} AS DOUBLE)"
-    "   / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS sim,"
-    "  c.c_id AS cid)),"
-    " struct(CAST(-2.0 AS DOUBLE) AS sim,"
-    "        CAST(4611686018427387904 AS BIGINT) AS cid),"
-    " (acc, e) -> IF(e.sim > acc.sim"
-    "               OR (e.sim = acc.sim AND e.cid < acc.cid), e, acc))"
-)
+def _np_quant(vmat):
+    """Quantize a float64 matrix exactly as the engines do:
+    ``CAST(floor(x * S + 0.5) AS BIGINT)``. Multiply, add, and floor are
+    all correctly-rounded/exact IEEE ops, so numpy, Spark, and DuckDB
+    produce identical integers."""
+    import numpy as np
 
-#: Quantize + self-norm: {emb} → (vec_id, v, qv, qn2).
-_SPARK_EQN_SQL = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{emb}}),
-    eqn0 AS (
-      SELECT vec_id, v,
-             transform(v, x -> CAST(floor(x * {_QUANT_SCALE} + 0.5) AS BIGINT)) AS qv
-      FROM e
+    return np.floor(vmat * _QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def _np_cents(rows) -> list[tuple[int, "object", int]]:
+    """Normalize collected centroid rows to a c_id-ASCENDING list of
+    (c_id, cv int64 ndarray, cn2). Ascending order makes ``argmax`` (first
+    max wins) implement the lowest-c_id tie-break both engines use."""
+    import numpy as np
+
+    out = [
+        (int(cid), np.asarray(cv, dtype=np.int64), int(cn2))
+        for cid, cv, cn2 in rows
+    ]
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _np_best(qmat, cmat, csn):
+    """Vectorized twin of the SQL argmax fold over a quantized int64
+    matrix. All arithmetic replicates the engines exactly: idot = int64
+    matmul (exact — quantized components keep every product and sum far
+    below 2^53); sim = double(idot) / (sqrt(qn2)·sqrt(cn2)), each step
+    correctly-rounded IEEE identically in numpy, Spark, and DuckDB; ties
+    go to the lowest c_id (ascending centroid order + numpy
+    argmax-first-max). Returns the best centroid INDEX per row."""
+    import numpy as np
+
+    idot = qmat @ cmat.T  # exact int64
+    qn = np.sqrt((qmat * qmat).sum(axis=1, dtype=np.int64).astype(np.float64))
+    sims = idot.astype(np.float64) / (qn[:, None] * csn[None, :])
+    return sims.argmax(axis=1)
+
+
+def _cent_arrays(cents: list):
+    import numpy as np
+
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.stack([c[1] for c in cents])  # k × dim int64
+    csn = np.sqrt(np.array([c[2] for c in cents], dtype=np.float64))
+    return cids, cmat, csn
+
+
+def _np_lloyd(qmat, cents: list, iters: int) -> list:
+    """Driver-side Lloyd over the (bounded, seeded) sample matrix: the
+    exact integer arithmetic of the oracle CTE chain — assignment by
+    :func:`_np_best`, update = int64 component sums of each non-empty
+    cell's members (``np.add.at``; empty cells drop out, as in the SQL
+    GROUP BY over assigned cells), next-generation c_id = the cell
+    label, cn2 = exact int64 self-dot."""
+    import numpy as np
+
+    for _ in range(iters):
+        cids, cmat, csn = _cent_arrays(cents)
+        best = _np_best(qmat, cmat, csn)
+        acc = np.zeros_like(cmat)
+        np.add.at(acc, best, qmat)
+        present = np.unique(best)
+        cents = _np_cents(
+            (int(cids[i]), acc[i], int(acc[i] @ acc[i])) for i in present
+        )
+    return cents
+
+
+def _assign_kernel(cents: list):
+    """mapInPandas generator: (vec_id, v) → (vec_id, v, cell) — the one
+    full-corpus pass, quantizing and assigning each Arrow batch against
+    the closure-captured centroid matrix. Zero shuffle; O(n_cells·dim)
+    task state."""
+    cids, cmat, csn = _cent_arrays(cents)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            best = _np_best(_np_quant(vmat), cmat, csn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cell": cids[best],
+                }
+            )
+
+    return gen
+
+
+def seed_hash_spark(seed: str = "spark-graft") -> Column:
+    """Portable per-vector sampling key: int64 of the first 15 hex chars of
+    md5("ivf|seed|vec_id") — the same cross-engine md5 anchor the dedup
+    family uses (tests/test_portable_hash.py). Ranking by this hash and
+    taking the first ``n_cells`` rows is a seeded uniform sample whose size
+    is FIXED, not a function of corpus size."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("ivf"), F.lit(seed), F.col("vec_id"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _seed_hash_duckdb(seed: str = "spark-graft") -> str:
+    return (
+        f"('0x' || substr(md5('ivf|{seed}|' || CAST(vec_id AS VARCHAR)),"
+        " 1, 15))::BIGINT"
     )
-    SELECT vec_id, v, qv, {_SPARK_IDOT.format(a='qv', b='qv')} AS qn2 FROM eqn0
-"""
-
-
-def _spark_lloyd_iter_sql(dim: int) -> str:
-    """One Lloyd iteration: {eqn} × {cents} → next centroid generation
-    (c_id, cv, cn2). Assignment is the ZERO-shuffle fold against the
-    single collected centroid row; the update is ONE map-side-combined
-    aggregation of dim partial sums per cell (Spark bracket indexing is
-    0-based). Centroids are exact int64 SUM vectors — cosine is
-    scale-invariant, so the sum IS the mean for assignment purposes, with
-    no float division to diverge across engines; empty cells drop out of
-    the aggregation on both engines."""
-    sums = ", ".join(f"sum(qv[{j}])" for j in range(dim))
-    return f"""
-    WITH carr AS (SELECT collect_list(struct(c_id, cv, cn2)) AS cs FROM {{cents}}),
-    a AS (SELECT qv, ({_SPARK_BEST}).cid AS cell FROM {{eqn}} CROSS JOIN carr)
-    SELECT c_id, cv, {_SPARK_IDOT.format(a='cv', b='cv')} AS cn2 FROM (
-      SELECT cell AS c_id, array({sums}) AS cv FROM a GROUP BY cell
-    )
-"""
-
-
-_SPARK_FINAL_ASSIGN_SQL = f"""
-    WITH carr AS (SELECT collect_list(struct(c_id, cv, cn2)) AS cs FROM {{cents}})
-    SELECT vec_id, v, ({_SPARK_BEST}).cid AS cell FROM {{eqn}} CROSS JOIN carr
-"""
 
 
 def lloyd_assign_sql(
     iters: int = 2,
     dim: int = 64,
-    stride: int = 100,
-    offset: int = 7,
+    n_cells: int = 64,
+    seed: str = "spark-graft",
+    sample_n: int = 2048,
 ) -> str:
     """DuckDB CTE chain computing the SAME (vec_id, v, cell) assignment as
-    the Spark-side Lloyd steps above — the oracle twin. Values agree
-    bit-for-bit because every compared double derives from exact integers
-    (< 2^53): the float dot DuckDB computes over the quantized arrays IS
-    the exact integer Spark's int64 fold produces, and
-    dot/(sqrt(qn2)·sqrt(cn2)) is correctly-rounded IEEE on both engines.
-    Shape differs by dialect on purpose (cross join + row_number argmax
-    here; the fold shape needs Spark HOF syntax) — shape is not what the
-    gate compares."""
+    the Spark-side Lloyd steps above — the oracle twin. Lloyd learns over
+    ``eqs`` (the seeded top-``sample_n`` hash sample, exactly the rows
+    Spark collects to the driver); the FINAL assignment covers the full
+    corpus. Values agree bit-for-bit because every compared double derives
+    from exact integers (< 2^53): the float dot DuckDB computes over the
+    quantized arrays IS the exact integer numpy's int64 matmul produces,
+    and dot/(sqrt(qn2)·sqrt(cn2)) is correctly-rounded IEEE on both
+    engines. Shape differs by dialect on purpose (cross join + row_number
+    argmax here; a vectorized kernel on the Spark side) — shape is not
+    what the gate compares."""
     idot = (
         "CAST(list_dot_product(CAST({a} AS DOUBLE[]),"
         " CAST({b} AS DOUBLE[])) AS BIGINT)"
     )
     # DuckDB list indexing is 1-based; sum(BIGINT) widens to HUGEINT
     sums = ", ".join(f"CAST(sum(qv[{j + 1}]) AS BIGINT)" for j in range(dim))
-    csim = (
-        "list_dot_product(CAST(eqn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
-        " / (sqrt(CAST(eqn.qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
-    )
 
-    def assign(i: int, prev: str, out_cols: str) -> str:
+    def csim(src: str) -> str:
         return (
-            f", s{i} AS (SELECT eqn.vec_id, c.c_id, {csim} AS csim"
-            f"           FROM eqn, {prev} c)\n"
+            f"list_dot_product(CAST({src}.qv AS DOUBLE[]),"
+            " CAST(c.cv AS DOUBLE[]))"
+            f" / (sqrt(CAST({src}.qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+        )
+
+    def assign(i: int, prev: str, out_cols: str, src: str) -> str:
+        return (
+            f", s{i} AS (SELECT {src}.vec_id, c.c_id, {csim(src)} AS csim"
+            f"           FROM {src}, {prev} c)\n"
             f", a{i} AS (SELECT {out_cols}, r.cell FROM ("
             f"    SELECT vec_id, c_id AS cell FROM ("
             f"      SELECT vec_id, c_id, row_number() OVER ("
             f"        PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn"
             f"      FROM s{i}) WHERE rn = 1"
-            f"  ) r JOIN eqn USING (vec_id))"
+            f"  ) r JOIN {src} USING (vec_id))"
         )
 
     parts = [
@@ -289,13 +359,16 @@ def lloyd_assign_sql(
       FROM e
     ), eqn AS (
       SELECT vec_id, v, qv, {idot.format(a='qv', b='qv')} AS qn2 FROM eqn0
+    ), eqs AS (
+      SELECT vec_id, qv, qn2 FROM eqn
+      ORDER BY {_seed_hash_duckdb(seed)}, vec_id LIMIT {sample_n}
     ), c0 AS (
       SELECT vec_id AS c_id, qv AS cv, qn2 AS cn2 FROM eqn
-      WHERE vec_id % {stride} = {offset}
+      ORDER BY {_seed_hash_duckdb(seed)}, vec_id LIMIT {n_cells}
     )"""
     ]
     for i in range(1, iters + 1):
-        parts.append("\n" + assign(i, f"c{i - 1}", "vec_id, qv"))
+        parts.append("\n" + assign(i, f"c{i - 1}", "qv", "eqs"))
         parts.append(
             f"""
     , c{i} AS (
@@ -305,7 +378,7 @@ def lloyd_assign_sql(
       )
     )"""
         )
-    parts.append("\n" + assign(iters + 1, f"c{iters}", "vec_id, v"))
+    parts.append("\n" + assign(iters + 1, f"c{iters}", "vec_id, v", "eqn"))
     parts.append(f"\n    SELECT vec_id, v, cell FROM a{iters + 1}\n")
     return "".join(parts)
 
@@ -316,14 +389,24 @@ def ivf_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 3,
-    centroid_stride: int = 100,
-    centroid_offset: int = 7,
+    n_cells: int = 64,
+    seed: str = "spark-graft",
     lloyd_iters: int = 2,
     dim: int = 64,
+    sample_n: int = 2048,
 ) -> DataFrame:
     """IVF ANN with LEARNED coarse cells: ``lloyd_iters`` seeded Lloyd
-    (k-means) iterations refine the deterministic id-stride seed set, then
-    every vector searches only its cell.
+    (k-means) iterations over a bounded ``sample_n`` hash-sample refine a
+    FIXED-SIZE seed set — ``n_cells`` vectors picked by portable-md5
+    order (:func:`seed_hash_spark`), a seeded uniform draw whose size
+    does NOT grow with the corpus — then every vector searches only its
+    cell. (Round-3 design seeded one cell per ``vec_id % stride`` hit, so
+    cell count — and the broadcast centroid array and the per-vector
+    argmax fold — grew linearly with corpus size; at fixed ``n_cells``
+    the centroid state is O(n_cells·dim) and assignment
+    O(rows·n_cells·dim) regardless of scale. Pick
+    n_cells ≈ min(k_max, √n) and sample_n ≈ 32·n_cells offline for real
+    deployments.)
 
     Engine-exact Lloyd (the whole chain is oracle-checkable value-for-value
     in DuckDB — :func:`lloyd_assign_sql` — no float-aggregation drift
@@ -334,53 +417,75 @@ def ivf_topk(
     bit-identical doubles; empty cells drop out of the update aggregation
     on both engines.
 
-    Plan shape at 100 TB: each iteration is a ZERO-shuffle narrow argmax
-    against the broadcast centroid array plus one tiny centroid-update
-    aggregation (dim partial sums × cells, map-side combined); the final
-    search join shuffles the corpus once on the cell key. Final ranking
-    uses the true double cosine (round 4, vec_id tie-break) over original
-    vectors, identical to the brute path. nprobe > 1 would be the same
-    join with an IN-list of top-n cells.
-
-    Driver-cost note (why stepwise spark.sql + lazy checkpoints): the
-    whole chain as ONE query makes Catalyst inline every multiply-
-    referenced CTE, so optimizer time grows combinatorially with
-    iterations (measured ~1.7 s); chaining the DataFrame Column API
-    instead re-analyzes the growing subtree per operator call (~0.7 s per
-    iteration). Each step below is one small spark.sql whose inputs are
-    LogicalRDD leaves (lazy localCheckpoint), so analysis+planning stays
-    O(step) and build() still launches zero jobs; the first action
-    materializes the chain once, each generation exactly once."""
+    Architecture (sketch-and-solve k-means, which is the 100 TB shape):
+    ONE distributed pass collects the seeded top-``sample_n`` hash sample
+    (TakeOrderedAndProject: per-partition heap + driver merge — bounded
+    O(sample_n·dim) driver traffic, corpus-independent); ``lloyd_iters``
+    Lloyd iterations then run in pure numpy on the driver over that
+    sample (the first ``n_cells`` sample rows are the seed generation —
+    the hash order makes seed ⊂ sample by construction); ONE more tiny
+    job fetches the query vectors (parquet filter pushdown on vec_id)
+    whose cells and norms become a literal broadcast side; and the single
+    full-corpus pass is the final cell assignment — a zero-shuffle
+    Arrow/numpy kernel — feeding the search join, which shuffles the
+    corpus once on the cell key. (An earlier all-SQL formulation with
+    nested-lambda HOF argmax folds was value-identical but cost ~4-5 s of
+    driver-side Catalyst analysis per build — lambda-bearing plans are
+    the slow path in the Spark 4 analyzer; and per-iteration distributed
+    updates cost a full corpus pass per iteration, which sampling
+    removes.) Ranking uses the true double cosine (round 4, vec_id
+    tie-break) over original vectors computed JVM-side, identical to the
+    brute path. nprobe > 1 would be the same join with an IN-list of
+    top-n cells."""
     from pyspark.sql import Window
 
+    import numpy as np
+
     spark = df.sparkSession
-    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    embq = spark.sql(_SPARK_EQN_SQL, emb=src).localCheckpoint(eager=False)
-    cents = embq.filter(
-        F.col("vec_id") % centroid_stride == centroid_offset
-    ).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("qv").alias("cv"),
-        F.col("qn2").alias("cn2"),
+    emb0 = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    iter_sql = _spark_lloyd_iter_sql(dim)
-    for _ in range(lloyd_iters):
-        cents = spark.sql(iter_sql, eqn=embq, cents=cents).localCheckpoint(
-            eager=False
+    # seeded bounded sample: global top-sample_n by the portable hash is
+    # a TakeOrderedAndProject (per-partition heap + driver merge), never a
+    # full sort/shuffle of the corpus
+    sample_rows = (
+        emb0.orderBy(seed_hash_spark(seed), "vec_id")
+        .limit(max(sample_n, n_cells))
+        .collect()
+    )
+    smat = _np_quant(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    )
+    cents = _np_cents(
+        (sample_rows[i]["vec_id"], smat[i], int(smat[i] @ smat[i]))
+        for i in range(min(n_cells, len(sample_rows)))
+    )
+    cents = _np_lloyd(smat, cents, lloyd_iters)
+    # query side: fetch the handful of query vectors (filter pushdown),
+    # compute their cells with the same exact kernel, and inline them as a
+    # literal broadcast relation; norms/sims stay JVM-side (same HOF
+    # arithmetic as the brute path)
+    qrows = emb0.filter(F.col("vec_id").isin(query_ids)).collect()
+    if qrows:
+        qcids, qcmat, qcsn = _cent_arrays(cents)
+        qmat = _np_quant(
+            np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
         )
-    assign = (
-        spark.sql(_SPARK_FINAL_ASSIGN_SQL, eqn=embq, cents=cents)
-        .localCheckpoint(eager=False)
-        .withColumn("nrm", l2_norm(F.col("v")))
-    )
-    q = F.broadcast(
-        assign.filter(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.col("cell").alias("qcell"),
+        qbest = qcids[_np_best(qmat, qcmat, qcsn)]
+        qdf = spark.createDataFrame(
+            [
+                (int(r["vec_id"]), list(r["v"]), int(c))
+                for r, c in zip(qrows, qbest)
+            ],
+            "qid bigint, qv array<double>, qcell bigint",
         )
-    )
+    else:
+        qdf = spark.createDataFrame([], "qid bigint, qv array<double>, qcell bigint")
+    q = F.broadcast(qdf.withColumn("qn", l2_norm(F.col("qv"))))
+    assign = emb0.mapInPandas(
+        _assign_kernel(cents), "vec_id bigint, v array<double>, cell bigint"
+    ).withColumn("nrm", l2_norm(F.col("v")))
     scored = (
         assign.join(q, F.col("cell") == F.col("qcell"))
         .filter(F.col("vec_id") != F.col("qid"))

@@ -28,6 +28,7 @@ def salted_join(
     small_key: str,
     buckets: int = 8,
     how: str = "inner",
+    force_sort_merge: bool = False,
 ) -> DataFrame:
     """Join ``big`` with ``small`` on key equality, salted over ``buckets``
     partitions per key. Output columns = big's + small's (keys included),
@@ -35,7 +36,14 @@ def salted_join(
 
     Only ``inner`` and ``left`` (big-preserving) joins are valid: the small
     side is replicated ×buckets, so a right/full/semi/anti join would emit
-    every unmatched small-side replica — silently wrong results."""
+    every unmatched small-side replica — silently wrong results.
+
+    ``force_sort_merge`` pins the shuffle (SortMergeJoin) strategy via a
+    join hint. Salting only matters in the shuffle regime — if either side
+    can broadcast there is no reducer to skew — but at test scale the
+    planner would happily broadcast the "big" side and silently bypass the
+    very plan the operator exists to demonstrate; production callers on a
+    genuinely unbroadcastable fact table can leave the planner free."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (big side preserved), "
@@ -44,6 +52,8 @@ def salted_join(
         )
     spark = big.sparkSession
     big_s = big.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
+    if force_sort_merge:
+        big_s = big_s.hint("merge")
     salts = spark.range(buckets).select(F.col("id").cast("int").alias("_salt"))
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(

@@ -185,9 +185,11 @@ def _ivf_learned_sql(iters: int = 2, dim: int = 64, k: int = 3) -> str:
 @query(
     "ann_ivf",
     _ivf_learned_sql(2, 64, 3),
-    "IVF ANN with LEARNED cells: 2 seeded Lloyd iterations refine the "
-    "id-stride seed centroids (data-dependent k-means cells, not a "
-    "stand-in), then search restricted to the query's cell. Exact-integer "
+    "IVF ANN with LEARNED cells: 2 seeded Lloyd iterations refine a "
+    "FIXED-SIZE seed set (64 centroids drawn by portable-md5 sample — "
+    "cell count independent of corpus size, so the broadcast centroid "
+    "array and per-vector argmax stay O(n_cells·dim) at any scale), then "
+    "search restricted to the query's cell. Exact-integer "
     "quantized arithmetic makes the whole iteration bit-reproducible in "
     "DuckDB — centroids are int64 SUM vectors (cosine is scale-invariant), "
     "so no float aggregation ever diverges. Scale: assignment is a "

@@ -9,9 +9,14 @@ stored and re-merged across days/partitions without touching raw data
 (the "rollup" property no exact aggregate has).
 
 Estimates are engine-specific (Spark's HLL++/Datasketches vs DuckDB's
-HLL), so these queries are rows-only at the driver gate; the accuracy
-contract (≤5% relative error vs exact) is pinned by
-``tests/test_sketches.py`` instead.
+HLL), so the raw estimates can never hash-match an oracle. Instead each
+query emits the *accuracy contract itself* as hashable columns: the exact
+value (computed by both engines) plus a boolean
+``abs(approx − exact) ≤ eps`` verdict computed Spark-side, with the
+oracle asserting ``TRUE``. A sketch drifting outside its error bound
+flips the boolean and fails the driver's value-hash — the contract is
+driver-gated, not merely pytest-pinned (``tests/test_sketches.py`` still
+covers mergeability and tighter error curves).
 """
 
 from __future__ import annotations
@@ -23,14 +28,23 @@ from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 
 @query(
     "sketch_users_by_type",
-    None,  # estimates are engine-specific; accuracy pinned in pytest
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct,
+           TRUE AS direct_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "Per-event-type distinct users twice over: approx_count_distinct "
     "(HLL++, fixed ~KB state per group) and an explicit Datasketches HLL "
     "built per 8-way subgroup then merged with hll_union_agg — proving "
     "the sketch is mergeable, i.e. daily partial sketches roll up without "
-    "re-reading raw events. Scale: shuffle carries |types|×KB, not "
-    "|distinct users|; the exact twin (topk_group_distinct) shuffles "
-    "every distinct (type, user) pair.",
+    "re-reading raw events. The output is the hashable contract: exact "
+    "distinct (both engines compute it) + a ≤5%-relative-error boolean "
+    "per sketch, TRUE-asserted by the oracle, so estimator drift fails "
+    "the driver hash. Scale: the exact column exists only to gate the "
+    "contract; production rollups ship the sketch alone — shuffle carries "
+    "|types|×KB, not |distinct users|.",
 )
 def sketch_users_by_type(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
@@ -41,17 +55,25 @@ def sketch_users_by_type(spark, sf_dir):
         .groupBy("event_type", "sub")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    # stage 2: merge partials — the rollup no exact distinct can do
+    merged = partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("direct_est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+    def within(est):  # ≤5% relative error vs exact
+        return (F.abs(F.col(est) - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"))
+
     return (
-        partial.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
-        )
-        .join(
-            events.groupBy("event_type").agg(
-                F.approx_count_distinct("user_id").alias("direct_estimate")
-            ),
+        merged.join(direct, "event_type")
+        .select(
             "event_type",
+            "exact_users",
+            within("merged_est").alias("merged_within_5pct"),
+            within("direct_est").alias("direct_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -59,21 +81,42 @@ def sketch_users_by_type(spark, sf_dir):
 
 @query(
     "sketch_value_quantiles",
-    None,  # estimates are engine-specific; accuracy pinned in pytest
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS p50_within_eps,
+           TRUE AS p95_within_eps,
+           TRUE AS p99_within_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "Per-event-type approx_percentile (p50/p95/p99) — the bounded-memory "
-    "quantile sketch. The exact twin (value_percentiles_by_type) is "
-    "oracle-gated; this is what actually ships at 100 TB: state is "
-    "O(1/accuracy) per group instead of a full sort of every value.",
+    "quantile sketch that actually ships at 100 TB (state is O(1/accuracy) "
+    "per group instead of a full sort of every value). Output is the "
+    "hashable contract: exact percentiles (Spark percentile() ≡ DuckDB "
+    "quantile_cont, bit-equal after round(4) — same technique as "
+    "value_percentiles_by_type) plus a per-quantile "
+    "abs(approx−exact) ≤ 5%·|exact|+0.01 boolean the oracle asserts TRUE.",
 )
 def sketch_value_quantiles(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
-    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.round(pct[0], 2).alias("p50"),
-            F.round(pct[1], 2).alias("p95"),
-            F.round(pct[2], 2).alias("p99"),
-        )
-        .orderBy("event_type")
+    approx = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    exact = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    agg = events.groupBy("event_type").agg(
+        approx.alias("a"), exact.alias("e")
     )
+
+    def within(i):  # relative eps with a small absolute floor near 0
+        return (F.abs(F.col("a")[i] - F.col("e")[i])
+                <= 0.05 * F.abs(F.col("e")[i]) + 0.01)
+
+    return agg.select(
+        "event_type",
+        F.round(F.col("e")[0], 4).alias("p50"),
+        F.round(F.col("e")[1], 4).alias("p95"),
+        F.round(F.col("e")[2], 4).alias("p99"),
+        within(0).alias("p50_within_eps"),
+        within(1).alias("p95_within_eps"),
+        within(2).alias("p99_within_eps"),
+    ).orderBy("event_type")

@@ -327,3 +327,42 @@ def salted_user_event_stats(spark, sf_dir):
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "salted_join_hot_customer",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "Explicit salted equi-join (operators/skew.py:salted_join): the big "
+    "side (orders) gets a uniform salt in [0,8), the small side "
+    "(customer) is replicated once per salt, and the join key becomes "
+    "(custkey, salt) — spreading any hot customer over 8 reducers. The "
+    "oracle is the PLAIN equi-join: every big row meets exactly one "
+    "replica of each matching small row, so the salted result is provably "
+    "identical, which the hash gate verifies value-for-value. Scale: the "
+    "pattern for a pathological key AQE skew-split can't save (one key = "
+    "double-digit % of a 100 TB fact table); cost is ×8 on the small side "
+    "only, and the big side is never broadcast (pinned in "
+    "tests/test_plan_shapes.py).",
+)
+def salted_join_hot_customer(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.skew import salted_join
+
+    (orders, customer) = _t(spark, sf_dir, "orders", "customer")
+    j = salted_join(
+        orders, customer, "o_custkey", "c_custkey", buckets=8,
+        force_sort_merge=True,
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -60,19 +60,28 @@ def load_tables(
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long ns (via
-    ``spark.sql.legacy.parquet.nanosAsLong``); convert to timestamp.
-    Only ``events.ts`` is affected in the testdata.
+    """Normalize the ``ts`` column to TIMESTAMP_LTZ regardless of how the
+    parquet writer typed it; every query (and every driver-green verdict)
+    assumes LTZ-with-UTC-session semantics, where ``cast(ts AS DOUBLE)``
+    yields epoch seconds exactly like DuckDB's ``epoch(ts)``.
 
-    Integral ``div`` keeps the arithmetic in long — ns epoch values
-    (~1.7e18) exceed double's 53-bit mantissa, so float division would be
-    off by up to 1 us (and DuckDB reads TIMESTAMP_NS exactly)."""
+    - TIMESTAMP(NANOS) arrives as long ns (via
+      ``spark.sql.legacy.parquet.nanosAsLong``): integral ``div`` keeps
+      the arithmetic in long — ns epoch values (~1.7e18) exceed double's
+      53-bit mantissa, so float division would be off by up to 1 us.
+    - timestamp[us] without timezone arrives as TIMESTAMP_NTZ: cast to
+      LTZ under the pinned UTC session zone is an exact identity on the
+      underlying micros (NTZ wall-clock == UTC instant)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

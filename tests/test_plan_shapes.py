@@ -123,3 +123,15 @@ def test_tfidf_build_runs_no_job(spark):
         assert len(jobs) == 0, f"build() launched {len(jobs)} job(s)"
     finally:
         sc.setJobGroup("", "")
+
+
+def test_salted_join_shuffles_not_broadcasts_big_side(spark):
+    """The salted join must land in the shuffle (SortMergeJoin) regime
+    with the salt as a join key — broadcasting the big side would bypass
+    the reducer-spreading the operator exists for."""
+    plan = _plan(spark, "salted_join_hot_customer")
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0], (
+        "big side must not be broadcast into the salted join"
+    )
