@@ -74,64 +74,71 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 _GATE_PRIORITY: list[str] = [
-    # -- no driver verdict in CORRECTNESS_r02 (artifact held entries 1-50;
-    #    these registered 51-70): the reference's cleaning conformance gates,
-    #    the four streaming batch-twins, and the later text queries --
-    "normalize_phone_lengths",
-    "normalize_postcode_formats",
-    "split_tag_keys_agg",
-    "eav_unpivot_topk",
-    "table_stats",
+    # ---- round 4 rotation ----
+    # (a) changed or added this round: the three HUGEINT-cast oracles, the
+    #     two reframed sketch contracts, fixed-k sample-Lloyd IVF, the two
+    #     invariant-gated xxhash64 dedup twins, and the two new queries
+    "salted_user_event_stats",
+    "quality_filter_pipeline",
+    "token_budget_pack",
+    "token_budget_pack_sharded",
+    "salted_join_hot_customer",
+    "ann_ivf",
+    "sketch_users_by_type",
+    "sketch_value_quantiles",
+    "dedup_minhash_pairs",
+    "dedup_simhash_bands",
+    # (b) the r02-green tail rotated out of the r03 artifact — every one of
+    #     these would otherwise go two rounds unverified (VERDICT r3 #2)
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "ilike_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "above_avg_orders_per_customer",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    # (c) every remaining events-table query: the round-4 testdata switched
+    #     events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros and the
+    #     loader normalization changed with it — all ts semantics re-gated
     "json_props_stats",
     "value_percentiles_by_type",
-    "salted_user_event_stats",
     "tumbling_window_stats",
     "sliding_window_by_type",
     "session_window_per_user",
     "interval_join_click_error",
-    "doc_rolling_fingerprint",
-    "stratified_sample_counts",
-    "quality_scores",
-    "quality_filter_pipeline",
-    "quality_components",
-    "chunk_documents",
-    "token_budget_pack",
-    "tfidf_top_terms",
-    # -- changed or added in round 3: need fresh verdicts --
-    "dedup_clusters",
-    "dedup_minhash_portable_pairs",
+    "asof_last_click_before_error",
+    "event_gap_stats",
+    "segment_event_counts",
+    # (d) similarity/dedup module neighbors of this round's edits + the
+    #     heaviest previously-green plans
     "knn_cosine_brute",
-    "ann_ivf",
-    "ann_rand_lsh",
-    # -- previously green, highest re-verification value (complex plans) --
     "ann_sign_lsh",
+    "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "embedding_norm_zscores",
     "embedding_label_stats",
-    "multimodal_features",
-    "frame_sample_stats",
-    "dedup_exact_groups",
+    "dedup_clusters",
+    "dedup_minhash_portable_pairs",
     "dedup_ngram_jaccard",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "pricing_summary",
-    "join_revenue_by_priority",
-    "star_join_customers_by_region",
-    "asof_last_click_before_error",
-    "range_join_balance_bands",
-    "eav_pivot_wide",
-    "rollup_revenue",
-    "cube_revenue",
+    "tfidf_top_terms",
     "window_function_zoo",
-    "bag_set_ops",
-    "event_gap_stats",
-    "topn_per_group",
-    "running_revenue_per_customer",
-    "ordered_position_per_group",
-    # -- slot 50 pinned to a hash-gated query: the next registration-order
-    #    entry would be dedup_minhash_pairs, which is rows-only by design
-    #    and would waste the last driver-verdict slot --
-    "segment_event_counts",
+    "pricing_summary",
+    "star_join_customers_by_region",
+    # rotated out this round (r03-green verdicts stand, back in round 5):
+    # the cleaning-conformance gates, doc fingerprint/quality/chunking,
+    # multimodal pair, portable sig twins, exact dedup, and the r03
+    # lineitem/orders window-analytics block
 ]
 
 

@@ -2,13 +2,16 @@
 
 ``dedup_exact_groups`` and ``dedup_ngram_jaccard`` are fully oracle-gated
 (DuckDB computes the identical md5-fingerprint grouping / w-gram Jaccard).
-``dedup_minhash_pairs`` and ``dedup_simhash_bands`` depend on Spark's
-xxhash64 (no DuckDB twin), so they carry no oracle — the driver records the
-weaker rows-only check. Their construction is still value-verified at the
-gate through ``dedup_minhash_portable`` / ``dedup_simhash_portable``: the
-same signature algebra with an md5-derived (engine-portable) hash family,
-hash-compared against DuckDB; and their pair *semantics* are pytest-verified
-against the exact-Jaccard query (tests/test_dedup.py).
+``dedup_minhash_pairs`` and ``dedup_simhash_bands`` run the PRODUCTION
+xxhash64 paths, whose raw codes have no DuckDB twin; since round 4 they are
+hash-gated anyway via engine-portable INVARIANTS (every exact-duplicate
+pair/group — portable md5 fingerprint — must be recalled / share one code
+in ANY hash family, asserted TRUE by the oracle). Their value algebra is
+additionally gated through ``dedup_minhash_portable`` /
+``dedup_minhash_portable_pairs`` / ``dedup_simhash_portable`` (same
+signature algebra, md5-derived family), and their pair *semantics* are
+pytest-verified against the exact-Jaccard query (tests/test_dedup.py).
+No query in this module is rows-only at the driver gate.
 """
 
 from __future__ import annotations
@@ -116,17 +119,58 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_minhash_pairs",
-    None,  # xxhash64 signatures have no DuckDB twin — rows-only at the gate
-    "MinHash-LSH near-dup candidates: 16-component signatures, 4 bands × "
-    "4 rows, bucket-join on (band_idx, band_hash), signature-estimated "
-    "Jaccard ≥ 0.5. Scale: the ONLY join is on band buckets — the pair "
-    "space never materializes; banding keeps bucket sizes ~uniform. "
-    "Exactness is cross-checked against dedup_ngram_jaccard in pytest.",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS lsh_recalled
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    """,
+    "MinHash-LSH near-dup candidates on the PRODUCTION xxhash64 path: "
+    "16-component signatures, 4 bands × 4 rows, bucket-join on "
+    "(band_idx, band_hash), signature-estimated Jaccard ≥ 0.5, over the "
+    "corpus-with-injected-copies. The gated output is the engine-portable "
+    "INVARIANT: every exact-duplicate pair (identical normalized text — "
+    "identical shingle sets — identical signatures in ANY hash family) "
+    "must be recalled with est_jaccard exactly 1.0; the oracle derives "
+    "the exact-dup pairs from the md5 fingerprint and asserts TRUE, so a "
+    "banding/signature regression flips the boolean and fails the hash "
+    "gate. (The full candidate list is xxhash64-family-specific by "
+    "nature — dedup_minhash_portable_pairs value-gates the identical "
+    "join/dedup path with a portable family.) Scale: the ONLY joins are "
+    "band buckets and the fingerprint block — the pair space never "
+    "materializes.",
 )
 def dedup_minhash_pairs(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint
+
     (documents,) = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
-        documents, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
+    corpus = _with_copies(documents)
+    cand = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
+    )
+    fp = corpus.select(
+        F.col("doc_id"), fingerprint(F.col("text")).alias("f")
+    )
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("f"))
+    exact_pairs = (
+        fp.select(F.col("doc_id").alias("id_a"), "f")
+        .join(b, "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return exact_pairs.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("est_jaccard") == 1.0, F.lit(False)).alias(
+            "lsh_recalled"
+        ),
     )
 
 
@@ -348,18 +392,48 @@ def dedup_simhash_portable(spark, sf_dir):
 
 @query(
     "dedup_simhash_bands",
-    None,  # xxhash64-based — rows-only at the gate
-    "SimHash (16-bit) per document plus band-bucket near-dup candidates: "
-    "docs agreeing on the full code are near-identical token multisets. "
-    "Scale: signature is one groupBy(id); candidate generation groups on "
-    "the code itself — no pairwise work.",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT min(doc_id) AS keep_id,
+           COUNT(*) AS n_docs,
+           TRUE AS same_simhash
+    FROM corpus
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    HAVING COUNT(*) > 1
+    """,
+    "SimHash (16-bit, PRODUCTION xxhash64 token hash) over the "
+    "corpus-with-injected-copies, gated on the engine-portable INVARIANT: "
+    "every exact-duplicate group (identical normalized text — identical "
+    "token multiset — identical bit votes in ANY hash family) must map to "
+    "ONE simhash code. Output is one row per exact group (min-id keeper, "
+    "copy count, all-same-code boolean); the oracle derives the groups "
+    "from the md5 fingerprint and asserts TRUE, so any vote/threshold "
+    "regression fails the hash gate. (Code values and near-dup — "
+    "non-exact — collisions are hash-family-specific; dedup_simhash_"
+    "portable value-gates the vote algebra with the md5 family.) Scale: "
+    "signature is one groupBy(id); the invariant adds one fingerprint "
+    "groupBy — no pairwise work.",
 )
 def dedup_simhash_bands(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint
+
     (documents,) = _t(spark, sf_dir, "documents")
-    codes = simhash(documents, "doc_id", "text", bits=16)
+    corpus = _with_copies(documents)
+    codes = simhash(corpus, "doc_id", "text", bits=16)
+    fp = corpus.select(F.col("doc_id").alias("id"), fingerprint(F.col("text")).alias("f"))
     return (
-        codes.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        fp.join(codes, "id")
+        .groupBy("f")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("n_docs"),
+            (F.count_distinct("simhash") == 1).alias("same_simhash"),
+        )
         .filter(F.col("n_docs") > 1)
-        .orderBy(F.desc("n_docs"), "simhash")
+        .drop("f")
+        .select("keep_id", "n_docs", "same_simhash")
     )

@@ -636,3 +636,80 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score")
     )
+
+
+@query(
+    "token_budget_pack_sharded",
+    r"""
+    WITH sized AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM cum WHERE cum_tokens <= 10000
+    GROUP BY lang
+    """,
+    "Two-level token-budget packing — the scale-safe form of "
+    "token_budget_pack, whose single per-lang ordered scan serializes a "
+    "hot language onto one reducer. Distributed prefix-sum instead: "
+    "(1) per-(lang, shard) token subtotals (shard = doc_id div 64, "
+    "monotone in doc_id so shards are contiguous ranges), one plain agg; "
+    "(2) per-lang exclusive running sum over the tiny shard-subtotal "
+    "relation -> each shard's global token offset; (3) per-(lang, shard) "
+    "local cumulative + offset = the EXACT global running total, cut at "
+    "the 10k budget. Parallelism is langs x shards instead of langs. The "
+    "oracle is the 1-LEVEL packing SQL, so the driver hash-match IS the "
+    "equivalence proof (same kept set, any skew).",
+)
+def token_budget_pack_sharded(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (F.col("doc_id") / 64).cast("long").alias("shard"),
+    )
+    # level 1: one subtotal row per (lang, shard) — plain agg, no ordering
+    subtotals = sized.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").alias("sub_tokens")
+    )
+    # level 2: exclusive prefix over shard subtotals — window over a
+    # relation of |langs|x|shards| rows, not over documents
+    w_shard = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtotals.select(
+        "lang",
+        "shard",
+        F.coalesce(F.sum("sub_tokens").over(w_shard), F.lit(0)).alias("offset"),
+    )
+    # level 3: local in-shard cumulative + shard offset = exact global
+    # running total; shards of one lang proceed in parallel
+    w_local = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.join(offsets, ["lang", "shard"]).withColumn(
+        "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_local)
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= 10_000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+short JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {top-10 slowest: sec}, "n_queries": ..., "sf": ...,
+"queries_file": "bench_results.json"} — the FULL per-query map is written
+to bench_results.json next to this script (the driver's stdout capture
+keeps only ~2 KB, which a 74-query map exceeds).
 """
 
 from __future__ import annotations
@@ -64,19 +67,48 @@ def main() -> None:
         (name for name, t in timings.items() if t > budget),
         key=lambda n: -timings[n],
     )
+    # The driver records only the LAST ~2 KB of stdout and json-parses it;
+    # the full per-query map for this catalog is >2 KB on its own, which
+    # is exactly how BENCH_r03.json ended up with a truncated string blob
+    # and "parsed": null. So: full-fidelity per-query map goes to a
+    # committed file (round-over-round diffs read that), and stdout gets
+    # ONE short, always-parseable line whose "queries" field carries the
+    # top-10 slowest — the part of the map a regression check needs first.
+    detail = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "mean_sec_per_query": round(total / max(len(timings), 1), 4),
+        "budget_sec": budget,
+        "over_budget": over,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 3) for k, v in slowest.items()},
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 4),
                 "budget_sec": budget,
                 "over_budget": over,
                 "sf": sf,
-            }
+                "queries_file": "bench_results.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

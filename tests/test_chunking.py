@@ -113,3 +113,56 @@ def test_token_budget_pack_is_prefix_closed(spark):
     )
     assert j.filter(F.col("max_kept") >= F.col("min_dropped")).count() == 0
     assert kept.count() > 0
+
+
+def test_sharded_pack_equals_onelevel_on_skewed_langs(spark, tmp_path):
+    """token_budget_pack_sharded must produce the IDENTICAL kept set as
+    the 1-level packing under pathological language skew (one lang with
+    ~98% of the docs), and both must match a driver-side brute force."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        token_budget_pack,
+        token_budget_pack_sharded,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for lang, n in [("hot", 5000), ("a", 60), ("b", 3)]:
+        for _ in range(n):
+            n_tok = rng.randint(1, 40)
+            rows.append((doc_id, lang, " ".join(["w"] * n_tok), n_tok))
+            doc_id += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        [(d, lang, text) for d, lang, text, _ in rows],
+        "doc_id bigint, lang string, text string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    one = {
+        r["lang"]: (r["n_docs_kept"], r["tokens_kept"])
+        for r in token_budget_pack(spark, sf_dir).collect()
+    }
+    two = {
+        r["lang"]: (r["n_docs_kept"], r["tokens_kept"])
+        for r in token_budget_pack_sharded(spark, sf_dir).collect()
+    }
+    assert one == two
+
+    # brute force: per lang, doc_id order, cut at 10k
+    expect = {}
+    for lang in ("hot", "a", "b"):
+        cum = kept = tok = 0
+        for d, lg, _, n_tok in sorted(rows):
+            if lg != lang:
+                continue
+            cum += n_tok
+            if cum <= 10_000:
+                kept += 1
+                tok += n_tok
+        if kept:
+            expect[lang] = (kept, tok)
+    assert one == expect

@@ -69,8 +69,14 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # every round-2 never-gated query must sit inside the gated window
-    for name in ("normalize_phone_lengths", "quality_filter_pipeline",
-                 "chunk_documents", "tumbling_window_stats",
-                 "interval_join_click_error", "tfidf_top_terms"):
-        assert ordered.index(name) < 50
+    # round-4 evidence policy: everything changed this round plus the
+    # whole r02 tail (queries with no verdict since round 2) must sit
+    # inside the 50-slot gated window
+    for name in ("salted_user_event_stats", "quality_filter_pipeline",
+                 "token_budget_pack", "token_budget_pack_sharded",
+                 "salted_join_hot_customer", "ann_ivf",
+                 "sketch_users_by_type", "sketch_value_quantiles",
+                 "dedup_minhash_pairs", "dedup_simhash_bands",
+                 "count_global", "pct_shares", "lang_id_confusion",
+                 "tumbling_window_stats", "interval_join_click_error"):
+        assert ordered.index(name) < 50, name
