@@ -57,12 +57,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # Per-query time budget: one regressed query must fail LOUD instead of
-    # silently eating the catalog-total slack. 2.5 s sits ~10% above the
-    # heaviest steady-state query at sf0.1 (dedup_clusters ≈ 2.3 s:
-    # iterative connected components on 32 local threads), so any real
-    # plan regression (a reintroduced shuffle, a lost broadcast, an eager
-    # action) trips it while scheduler noise does not.
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "2.5"))
+    # silently eating the catalog-total slack. 3.0 s sits ~20% above the
+    # heaviest steady-state query at sf0.1 (dedup_clusters ≈ 2.5 s:
+    # 5-gram Jaccard pair generation + iterative connected components on
+    # 32 local threads), so any real plan regression (a reintroduced
+    # shuffle, a lost broadcast, an eager action) trips it while scheduler
+    # noise does not. (r3's 2.5 s line left dedup_clusters <1% headroom —
+    # a budget that can fail on a clean run measures the scheduler, not
+    # the plan.)
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "3.0"))
     over = sorted(
         (name for name, t in timings.items() if t > budget),
         key=lambda n: -timings[n],
