@@ -462,11 +462,17 @@ def ivf_topk(
         for i in range(min(n_cells, len(sample_rows)))
     )
     cents = _np_lloyd(smat, cents, lloyd_iters)
-    # query side: fetch the handful of query vectors (filter pushdown),
-    # compute their cells with the same exact kernel, and inline them as a
-    # literal broadcast relation; norms/sims stay JVM-side (same HOF
-    # arithmetic as the brute path)
-    qrows = emb0.filter(F.col("vec_id").isin(query_ids)).collect()
+    # query side: the handful of query vectors, their cells computed with
+    # the same exact kernel, inlined as a literal broadcast relation;
+    # norms/sims stay JVM-side (same HOF arithmetic as the brute path).
+    # Opportunistic: reuse vectors already in the collected sample and run
+    # the pushdown-filter job only for the remainder (on a small corpus the
+    # sample covers everything, saving the job entirely)
+    by_id = {int(r["vec_id"]): r for r in sample_rows}
+    missing = [i for i in query_ids if int(i) not in by_id]
+    qrows = [by_id[int(i)] for i in query_ids if int(i) in by_id]
+    if missing:
+        qrows += emb0.filter(F.col("vec_id").isin(missing)).collect()
     if qrows:
         qcids, qcmat, qcsn = _cent_arrays(cents)
         qmat = _np_quant(

@@ -26,9 +26,13 @@ _STREAM_SCHEMA_CACHE: dict[str, "object"] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet (file-source). The
-    TIMESTAMP(NANOS) column needs the same nanosAsLong + integral-div
-    conversion as the batch loader (sources/registry.py)."""
+    """Streaming scan of the events parquet (file-source). The ``ts``
+    column needs the same normalization as the batch loader
+    (sources/registry.py): TIMESTAMP(NANOS) arrives as long ns (via
+    nanosAsLong) → integral-div to micros; timestamp[us] without timezone
+    arrives as TIMESTAMP_NTZ → cast to LTZ under the pinned UTC session
+    (watermarks require TIMESTAMP, and every gated twin assumes LTZ
+    epoch semantics)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,8 +47,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
