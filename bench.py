@@ -57,15 +57,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # Per-query time budget: one regressed query must fail LOUD instead of
-    # silently eating the catalog-total slack. 3.0 s sits ~20% above the
-    # heaviest steady-state query at sf0.1 (dedup_clusters ≈ 2.5 s:
-    # 5-gram Jaccard pair generation + iterative connected components on
-    # 32 local threads), so any real plan regression (a reintroduced
-    # shuffle, a lost broadcast, an eager action) trips it while scheduler
-    # noise does not. (r3's 2.5 s line left dedup_clusters <1% headroom —
-    # a budget that can fail on a clean run measures the scheduler, not
-    # the plan.)
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "3.0"))
+    # silently eating the catalog-total slack. The heaviest steady-state
+    # query at sf0.1 is dedup_clusters (5-gram Jaccard pair generation +
+    # iterative connected components): clean-run MIN-of-3 measured 2.2 to
+    # 2.8 s on this box depending on host load, with single-run spikes to
+    # 3.5 s. The regressions this gate exists to catch — a reintroduced
+    # shuffle, a lost broadcast, an eager driver loop — cost 2-10x, so
+    # 4.0 s (~1.6x the typical min) keeps full detection power while a
+    # noisy scheduler tick cannot fail a clean run. (r3's 2.5 s line left
+    # <1% headroom and measured the scheduler, not the plan.)
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "4.0"))
     over = sorted(
         (name for name, t in timings.items() if t > budget),
         key=lambda n: -timings[n],
