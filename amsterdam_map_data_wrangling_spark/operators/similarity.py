@@ -208,20 +208,24 @@ def _np_cents(rows) -> list[tuple[int, "object", int]]:
     return out
 
 
-def _np_best(qmat, cmat, csn):
-    """Vectorized twin of the SQL argmax fold over a quantized int64
-    matrix. All arithmetic replicates the engines exactly: idot = int64
-    matmul (exact — quantized components keep every product and sum far
-    below 2^53); sim = double(idot) / (sqrt(qn2)·sqrt(cn2)), each step
-    correctly-rounded IEEE identically in numpy, Spark, and DuckDB; ties
-    go to the lowest c_id (ascending centroid order + numpy
-    argmax-first-max). Returns the best centroid INDEX per row."""
+def _np_sims(qmat, cmat, csn):
+    """Row-vs-centroid cosine matrix over quantized int64 vectors. All
+    arithmetic replicates the engines exactly: idot = int64 matmul (exact
+    — quantized components keep every product and sum far below 2^53);
+    sim = double(idot) / (sqrt(qn2)·sqrt(cn2)), each step
+    correctly-rounded IEEE identically in numpy, Spark, and DuckDB."""
     import numpy as np
 
     idot = qmat @ cmat.T  # exact int64
     qn = np.sqrt((qmat * qmat).sum(axis=1, dtype=np.int64).astype(np.float64))
-    sims = idot.astype(np.float64) / (qn[:, None] * csn[None, :])
-    return sims.argmax(axis=1)
+    return idot.astype(np.float64) / (qn[:, None] * csn[None, :])
+
+
+def _np_best(qmat, cmat, csn):
+    """Vectorized twin of the SQL argmax fold: best centroid INDEX per
+    row, ties to the lowest c_id (ascending centroid order + numpy
+    argmax-first-max)."""
+    return _np_sims(qmat, cmat, csn).argmax(axis=1)
 
 
 def _cent_arrays(cents: list):
@@ -394,6 +398,7 @@ def ivf_topk(
     lloyd_iters: int = 2,
     dim: int = 64,
     sample_n: int = 2048,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN with LEARNED coarse cells: ``lloyd_iters`` seeded Lloyd
     (k-means) iterations over a bounded ``sample_n`` hash-sample refine a
@@ -435,8 +440,14 @@ def ivf_topk(
     updates cost a full corpus pass per iteration, which sampling
     removes.) Ranking uses the true double cosine (round 4, vec_id
     tie-break) over original vectors computed JVM-side, identical to the
-    brute path. nprobe > 1 would be the same join with an IN-list of
-    top-n cells."""
+    brute path.
+
+    ``nprobe`` > 1 searches each query's top-``nprobe`` cells (the
+    standard IVF recall/cost dial): the broadcast side simply carries one
+    (qid, cell) row per probed cell — the same equi-join, an IN-list in
+    relational form. Corpus vectors live in exactly one cell, so probed
+    pairs never duplicate; recall is monotone in nprobe
+    (tests/test_similarity.py)."""
     from pyspark.sql import Window
 
     import numpy as np
@@ -478,13 +489,17 @@ def ivf_topk(
         qmat = _np_quant(
             np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
         )
-        qbest = qcids[_np_best(qmat, qcmat, qcsn)]
+        qsims = _np_sims(qmat, qcmat, qcsn)
+        lit_rows = []
+        for rr, r in enumerate(qrows):
+            # top-nprobe cells: sims desc, c_id asc tie-break (lexsort's
+            # last key is primary)
+            order = np.lexsort((qcids, -qsims[rr]))[: max(nprobe, 1)]
+            lit_rows += [
+                (int(r["vec_id"]), list(r["v"]), int(qcids[i])) for i in order
+            ]
         qdf = spark.createDataFrame(
-            [
-                (int(r["vec_id"]), list(r["v"]), int(c))
-                for r, c in zip(qrows, qbest)
-            ],
-            "qid bigint, qv array<double>, qcell bigint",
+            lit_rows, "qid bigint, qv array<double>, qcell bigint"
         )
     else:
         qdf = spark.createDataFrame([], "qid bigint, qv array<double>, qcell bigint")

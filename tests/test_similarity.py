@@ -131,3 +131,33 @@ def test_ivf_learned_centroids_recall_at_least_seed_recall(spark):
     for key, sim in learned.items():
         if key in brute:
             assert brute[key] == sim
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """nprobe is the IVF recall dial: probing more cells must never lose
+    hits, every hit carries the brute-force similarity, and nprobe >=
+    n_cells degenerates to exact brute-force recall."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r.qid, r.vec_id): r.sim
+        for r in cosine_topk(emb, "vec_id", "embedding", qids, k=3).collect()
+    }
+    prev_hits = -1
+    for nprobe in (1, 4, 64):
+        got = {
+            (r.qid, r.vec_id): r.sim
+            for r in ivf_topk(
+                emb, "vec_id", "embedding", qids, k=3, nprobe=nprobe
+            ).collect()
+        }
+        hits = len(set(got) & set(brute))
+        assert hits >= prev_hits, (nprobe, hits, prev_hits)
+        prev_hits = hits
+        for key, sim in got.items():
+            if key in brute:
+                assert brute[key] == sim
+    # probing every cell == brute force
+    assert prev_hits == len(brute)
