@@ -49,3 +49,36 @@ def _duck_hash(texts, k):
 def test_md5_long_anchor_matches_duckdb(spark, texts):
     for k in (8, 15):
         assert _spark_hash(spark, texts, k) == _duck_hash(texts, k)
+
+
+def test_quantization_identical_numpy_spark_duckdb(spark):
+    """The IVF oracle's exactness rests on floor(x*1000 + 0.5) → int64
+    producing bit-identical integers in numpy (_np_quant), Spark SQL, and
+    DuckDB — including adversarial halfway and negative cases where a
+    round-half-even implementation would diverge."""
+    import duckdb
+    import numpy as np
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import _np_quant
+
+    xs = [0.0005, -0.0005, 0.0015, -0.0015, 0.5, -0.5, 0.0004999999999,
+          0.9999995, -0.9999995, 1.0, -1.0, 0.123456789, -0.987654321,
+          3.0000005, -3.0000005, 1e-12, -1e-12]
+    want = _np_quant(np.array(xs, dtype=np.float64)).tolist()
+
+    got_spark = [
+        r["q"]
+        for r in spark.createDataFrame([(x,) for x in xs], "x double")
+        .selectExpr("CAST(floor(x * 1000 + 0.5) AS BIGINT) AS q")
+        .collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT CAST(floor(? * 1000 + 0.5) AS BIGINT)", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert got_duck == want
