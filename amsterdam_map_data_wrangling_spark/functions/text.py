@@ -124,6 +124,25 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def normalized_text_cs(text: Column) -> Column:
+    """CASE-SENSITIVE canonical form: collapse whitespace, trim — no
+    lowercasing. Equality here implies an identical token sequence under
+    :func:`tokens` (split on ``\\s+``), which lowercased equality does not."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def fingerprint_cs(text: Column) -> Column:
+    """Case-sensitive content fingerprint. THE fingerprint for invariant
+    gates of case-sensitive hash paths (MinHash/SimHash over raw tokens):
+    ``fingerprint_cs(a) = fingerprint_cs(b)`` ⇒ ``tokens(a) = tokens(b)`` ⇒
+    identical shingle sets / token multisets ⇒ identical signatures in ANY
+    hash family. The lowercased :func:`fingerprint` lacks that implication —
+    two docs differing only in case share it yet hash to different
+    signatures — so using it in an invariant would make the gate spuriously
+    fail on a case-only duplicate."""
+    return F.md5(normalized_text_cs(text))
+
+
 def lexical_diversity(text: Column) -> Column:
     """distinct/total token ratio — a quality-score component."""
     return distinct_token_count(text) / token_count(text)

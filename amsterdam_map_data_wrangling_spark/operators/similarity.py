@@ -327,6 +327,10 @@ def lloyd_assign_sql(
     engines. Shape differs by dialect on purpose (cross join + row_number
     argmax here; a vectorized kernel on the Spark side) — shape is not
     what the gate compares."""
+    # clamp exactly as ivf_topk does (limit(max(sample_n, n_cells))): the
+    # two engines must train on the SAME sample set even when a caller
+    # passes sample_n < n_cells (ADVICE r4 — unguarded parameter trap)
+    sample_n = max(sample_n, n_cells)
     idot = (
         "CAST(list_dot_product(CAST({a} AS DOUBLE[]),"
         " CAST({b} AS DOUBLE[])) AS BIGINT)"

@@ -126,7 +126,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
     ), fp AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
       FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS lsh_recalled
@@ -136,19 +136,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "16-component signatures, 4 bands × 4 rows, bucket-join on "
     "(band_idx, band_hash), signature-estimated Jaccard ≥ 0.5, over the "
     "corpus-with-injected-copies. The gated output is the engine-portable "
-    "INVARIANT: every exact-duplicate pair (identical normalized text — "
-    "identical shingle sets — identical signatures in ANY hash family) "
-    "must be recalled with est_jaccard exactly 1.0; the oracle derives "
-    "the exact-dup pairs from the md5 fingerprint and asserts TRUE, so a "
-    "banding/signature regression flips the boolean and fails the hash "
-    "gate. (The full candidate list is xxhash64-family-specific by "
+    "INVARIANT: every exact-duplicate pair (identical CASE-SENSITIVE "
+    "whitespace-normalized text — identical token sequence — identical "
+    "shingle sets — identical signatures in ANY hash family) must be "
+    "recalled with est_jaccard exactly 1.0; the oracle derives the "
+    "exact-dup pairs from the same case-sensitive md5 fingerprint and "
+    "asserts TRUE, so a banding/signature regression flips the boolean "
+    "and fails the hash gate. (fingerprint_cs, not the lowercased "
+    "fingerprint: the production shingle hash is case-sensitive, so only "
+    "case-sensitive fp equality implies signature equality — round-5 "
+    "ADVICE fix.) (The full candidate list is xxhash64-family-specific by "
     "nature — dedup_minhash_portable_pairs value-gates the identical "
     "join/dedup path with a portable family.) Scale: the ONLY joins are "
     "band buckets and the fingerprint block — the pair space never "
     "materializes.",
 )
 def dedup_minhash_pairs(spark, sf_dir):
-    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint
+    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint_cs
 
     (documents,) = _t(spark, sf_dir, "documents")
     corpus = _with_copies(documents)
@@ -156,7 +160,7 @@ def dedup_minhash_pairs(spark, sf_dir):
         corpus, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
     )
     fp = corpus.select(
-        F.col("doc_id"), fingerprint(F.col("text")).alias("f")
+        F.col("doc_id"), fingerprint_cs(F.col("text")).alias("f")
     )
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("f"))
     exact_pairs = (
@@ -402,29 +406,34 @@ def dedup_simhash_portable(spark, sf_dir):
            COUNT(*) AS n_docs,
            TRUE AS same_simhash
     FROM corpus
-    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
     HAVING COUNT(*) > 1
     """,
     "SimHash (16-bit, PRODUCTION xxhash64 token hash) over the "
     "corpus-with-injected-copies, gated on the engine-portable INVARIANT: "
-    "every exact-duplicate group (identical normalized text — identical "
-    "token multiset — identical bit votes in ANY hash family) must map to "
-    "ONE simhash code. Output is one row per exact group (min-id keeper, "
-    "copy count, all-same-code boolean); the oracle derives the groups "
-    "from the md5 fingerprint and asserts TRUE, so any vote/threshold "
-    "regression fails the hash gate. (Code values and near-dup — "
-    "non-exact — collisions are hash-family-specific; dedup_simhash_"
-    "portable value-gates the vote algebra with the md5 family.) Scale: "
-    "signature is one groupBy(id); the invariant adds one fingerprint "
-    "groupBy — no pairwise work.",
+    "every exact-duplicate group (identical CASE-SENSITIVE "
+    "whitespace-normalized text — identical token multiset — identical "
+    "bit votes in ANY hash family) must map to ONE simhash code. Output "
+    "is one row per exact group (min-id keeper, copy count, all-same-code "
+    "boolean); the oracle derives the groups from the same case-sensitive "
+    "md5 fingerprint (fingerprint_cs — the lowercased fingerprint would "
+    "group case-only variants whose raw-token votes legitimately differ, "
+    "a spurious gate failure; round-5 ADVICE fix) and asserts TRUE, so "
+    "any vote/threshold regression fails the hash gate. (Code values and "
+    "near-dup — non-exact — collisions are hash-family-specific; "
+    "dedup_simhash_portable value-gates the vote algebra with the md5 "
+    "family.) Scale: signature is one groupBy(id); the invariant adds one "
+    "fingerprint groupBy — no pairwise work.",
 )
 def dedup_simhash_bands(spark, sf_dir):
-    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint
+    from amsterdam_map_data_wrangling_spark.functions.text import fingerprint_cs
 
     (documents,) = _t(spark, sf_dir, "documents")
     corpus = _with_copies(documents)
     codes = simhash(corpus, "doc_id", "text", bits=16)
-    fp = corpus.select(F.col("doc_id").alias("id"), fingerprint(F.col("text")).alias("f"))
+    fp = corpus.select(
+        F.col("doc_id").alias("id"), fingerprint_cs(F.col("text")).alias("f")
+    )
     return (
         fp.join(codes, "id")
         .groupBy("f")

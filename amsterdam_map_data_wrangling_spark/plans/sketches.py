@@ -50,16 +50,21 @@ def sketch_users_by_type(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     # stage 1: one sketch per (type, subgroup) — stands in for per-day
     # / per-file partial aggregation
+    # estimator accuracy is configured WELL INSIDE the gated 5% bound
+    # (ADVICE r4: a bound equal to the estimator's own standard error
+    # fails ~1-in-3 per group once cardinalities leave the near-exact
+    # sparse range): approx_count_distinct at rsd=0.01 → 5% ≈ 5σ;
+    # hll_sketch_agg at lgConfigK=14 → ~0.8% rel. std err → 5% ≈ 6σ.
     partial = (
         events.withColumn("sub", (F.col("user_id") % 8).cast("int"))
         .groupBy("event_type", "sub")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
     )
     merged = partial.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
     )
     direct = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("direct_est"),
+        F.approx_count_distinct("user_id", 0.01).alias("direct_est"),
         F.count_distinct("user_id").alias("exact_users"),
     )
 

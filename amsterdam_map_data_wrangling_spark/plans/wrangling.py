@@ -334,7 +334,8 @@ def salted_user_event_stats(spark, sf_dir):
     """
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           round(SUM(o_totalprice), 2) AS revenue
+           round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -358,11 +359,18 @@ def salted_join_hot_customer(spark, sf_dir):
         orders, customer, "o_custkey", "c_custkey", buckets=8,
         force_sort_merge=True,
     )
+    # gated column sums EXACT integer cents, not doubles: a double SUM's
+    # value depends on accumulation order (SMJ partials here vs DuckDB's
+    # scan order), so 2-decimal equality would be data-dependent luck at
+    # scale (ADVICE r4). round(x*100) is never a halfway case (prices are
+    # 2-decimal, so x*100 sits within ~1e-9 of an integer) — both engines
+    # round to the same cent and BIGINT summation is order-free.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         j.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
