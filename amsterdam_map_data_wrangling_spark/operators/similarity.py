@@ -228,6 +228,19 @@ def _np_best(qmat, cmat, csn):
     return _np_sims(qmat, cmat, csn).argmax(axis=1)
 
 
+def _top_cells(qcids, sim_row, nprobe: int) -> list[int]:
+    """Top-``nprobe`` cell ids for ONE query's centroid-similarity row:
+    sim descending, c_id ascending on exact ties — the same total order
+    the oracle's ``ORDER BY csim DESC, c_id`` window uses. np.lexsort
+    sorts by its LAST key first, so ``(qcids, -sim_row)`` is
+    primary-by-(-sim), secondary-by-c_id; ties are exact (sims derive
+    from exact integers), pinned by tests/test_similarity.py."""
+    import numpy as np
+
+    order = np.lexsort((qcids, -sim_row))[: max(nprobe, 1)]
+    return [int(qcids[i]) for i in order]
+
+
 def _cent_arrays(cents: list):
     import numpy as np
 
@@ -496,11 +509,9 @@ def ivf_topk(
         qsims = _np_sims(qmat, qcmat, qcsn)
         lit_rows = []
         for rr, r in enumerate(qrows):
-            # top-nprobe cells: sims desc, c_id asc tie-break (lexsort's
-            # last key is primary)
-            order = np.lexsort((qcids, -qsims[rr]))[: max(nprobe, 1)]
             lit_rows += [
-                (int(r["vec_id"]), list(r["v"]), int(qcids[i])) for i in order
+                (int(r["vec_id"]), list(r["v"]), c)
+                for c in _top_cells(qcids, qsims[rr], nprobe)
             ]
         qdf = spark.createDataFrame(
             lit_rows, "qid bigint, qv array<double>, qcell bigint"

@@ -151,22 +151,44 @@ def ann_rand_lsh(spark, sf_dir):
     return ann_rand_lsh_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, bits=8)
 
 
-def _ivf_learned_sql(iters: int = 2, dim: int = 64, k: int = 3) -> str:
+def _ivf_learned_sql(
+    iters: int = 2, dim: int = 64, k: int = 3, nprobe: int = 1
+) -> str:
     """DuckDB twin of the learned-centroid IVF: the Lloyd CTE chain from
     operators/similarity.lloyd_assign_sql (the value-exact oracle twin of
-    the Spark-side stepwise Lloyd), with the search/rank tail appended."""
+    the Spark-side stepwise Lloyd), with the search/rank tail appended.
+
+    ``nprobe`` > 1 ranks each query's cells the same way the Spark side's
+    ``_top_cells`` lexsort does — ``row_number() OVER (ORDER BY csim DESC,
+    c_id)`` over the final-generation similarity CTE (``s{iters+1}``, which
+    already holds every (vec_id, c_id, csim)) — and probes the top
+    ``nprobe``; corpus vectors live in exactly one cell, so probed
+    candidates never duplicate across cells."""
     from amsterdam_map_data_wrangling_spark.operators.similarity import (
         lloyd_assign_sql,
     )
 
     lloyd = lloyd_assign_sql(iters=iters, dim=dim)
     head, final = lloyd.rsplit("SELECT", 1)
+    if nprobe == 1:
+        q_cte = """, q AS (
+      SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assign WHERE vec_id < 5
+    )"""
+    else:
+        q_cte = f""", qrank AS (
+      SELECT vec_id, c_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, c_id) AS rn
+      FROM s{iters + 1} WHERE vec_id < 5
+    ), q AS (
+      SELECT r.vec_id AS qid, e2.v AS qv, r.c_id AS qcell
+      FROM qrank r JOIN eqn e2 USING (vec_id) WHERE r.rn <= {nprobe}
+    )"""
     return (
         head
         + f""", assign AS (SELECT{final.rstrip()})
-    , q AS (
-      SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assign WHERE vec_id < 5
-    ), scored AS (
+    {q_cte}
+    , scored AS (
       SELECT qid, a.vec_id,
              round(list_dot_product(a.v, qv)
                    / (sqrt(list_dot_product(a.v, a.v))
@@ -200,6 +222,25 @@ def _ivf_learned_sql(iters: int = 2, dim: int = 64, k: int = 3) -> str:
 def ann_ivf(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return ivf_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3)
+
+
+@query(
+    "ann_ivf_probe2",
+    _ivf_learned_sql(2, 64, 3, nprobe=2),
+    "IVF ANN at nprobe=2 — the standard recall/cost dial, gated: each "
+    "query searches its TOP-2 cells by centroid similarity (sim desc, "
+    "c_id asc tie-break, identical lexsort/window order on both engines), "
+    "exercising the multi-cell broadcast join that nprobe=1 never builds. "
+    "Recall is monotone in nprobe (pytest-pinned) because probed cell "
+    "sets are nested and corpus vectors live in exactly one cell — no "
+    "duplicate candidates, no extra dedup stage. Scale: the broadcast "
+    "query side carries nprobe rows per query (an IN-list in relational "
+    "form); the corpus still shuffles ONCE on the cell key, so the dial "
+    "costs candidates, not shuffles.",
+)
+def ann_ivf_probe2(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, nprobe=2)
 
 
 @query(

@@ -161,3 +161,39 @@ def test_ivf_nprobe_recall_is_monotone(spark):
                 assert brute[key] == sim
     # probing every cell == brute force
     assert prev_hits == len(brute)
+
+
+def test_top_cells_tie_break_is_sim_desc_then_cid_asc():
+    """Adversarial equal-sim fixture pinning the nprobe cell-ordering
+    tie-break (_top_cells: np.lexsort((qcids, -sims))): sims descend,
+    exact ties resolve to the LOWEST c_id — the same total order the
+    oracle's ORDER BY csim DESC, c_id window uses. Centroids that are
+    exact scalar multiples produce bit-identical cosines, so the ties
+    here are real, not approximate."""
+    import numpy as np
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        _np_sims,
+        _top_cells,
+    )
+
+    # centroids 7 and 2 are scalar multiples ([1,0] vs [3,0]) -> cosine
+    # vs any query is IDENTICAL; 9 is orthogonal-ish, 4 ties with them on
+    # the second query
+    qcids = np.array([7, 2, 9, 4], dtype=np.int64)
+    cmat = np.array([[1, 0], [3, 0], [0, 1], [2, 0]], dtype=np.int64)
+    csn = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    qmat = np.array([[5, 0], [0, 2]], dtype=np.int64)
+    sims = _np_sims(qmat, cmat, csn)
+    # query 0 aligns with cells 7/2/4 at sim exactly 1.0 (three-way tie)
+    assert sims[0, 0] == sims[0, 1] == sims[0, 3] == 1.0
+    assert _top_cells(qcids, sims[0], 1) == [2]
+    assert _top_cells(qcids, sims[0], 2) == [2, 4]
+    assert _top_cells(qcids, sims[0], 3) == [2, 4, 7]
+    assert _top_cells(qcids, sims[0], 4) == [2, 4, 7, 9]
+    # query 1 aligns with cell 9; the other three tie at exactly 0.0
+    assert sims[1, 0] == sims[1, 1] == sims[1, 3] == 0.0
+    assert _top_cells(qcids, sims[1], 1) == [9]
+    assert _top_cells(qcids, sims[1], 3) == [9, 2, 4]
+    # nprobe <= 0 clamps to 1 probe, never zero
+    assert _top_cells(qcids, sims[0], 0) == [2]
