@@ -96,3 +96,52 @@ def test_sample_frames_count_and_determinism(spark):
     # determinism across runs
     again = sample_frames(media, every_ms=500).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_parse_image_dims_walks_real_headers():
+    """The header parser does a genuine chunk/marker walk, pinned on
+    hand-built byte sequences: PNG IHDR found after a leading non-IHDR
+    chunk, JPEG SOF0 found only by skipping variable-length segments
+    (APP0 + COM), truncated/foreign payloads degrade to None dims."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_image_dims,
+    )
+
+    def be(v, n):
+        return v.to_bytes(n, "big")
+
+    # PNG whose FIRST chunk is not IHDR (private 'abCD', 3 data bytes) —
+    # a fixed-offset reader would misparse; the walk must skip it
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + be(3, 4) + b"abCD" + b"xyz" + b"\x00" * 4
+        + be(13, 4) + b"IHDR" + be(640, 4) + be(360, 4) + b"\x08\x06\x00\x00\x00"
+        + b"\x00" * 4
+    )
+    assert _parse_image_dims(png) == ("png", 640, 360)
+    # JPEG: SOI, APP0 (16 bytes), COM (4 bytes), SOF0 h=123 w=456
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + be(16, 2) + b"JFIF\x00" + b"\x01\x01\x00" + be(1, 2) + be(1, 2) + b"\x00\x00"
+        + b"\xff\xfe" + be(4, 2) + b"\xab\xcd"
+        + b"\xff\xc0" + be(17, 2) + b"\x08" + be(123, 2) + be(456, 2)
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    assert _parse_image_dims(jpeg) == ("jpeg", 456, 123)
+    # SOF2 (progressive) is also a frame header; C4 (DHT) must be skipped
+    jpeg2 = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + be(4, 2) + b"\x00\x00"  # DHT, not a frame header
+        + b"\xff\xc2" + be(17, 2) + b"\x08" + be(7, 2) + be(9, 2) + b"\x03"
+    )
+    assert _parse_image_dims(jpeg2) == ("jpeg", 9, 7)
+    # truncated after SOI: jpeg but unknown dims
+    assert _parse_image_dims(b"\xff\xd8\xff\xe0") == ("jpeg", None, None)
+    # PNG sig with no IHDR anywhere
+    assert _parse_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) == (
+        "png", None, None,
+    )
+    # foreign magic
+    assert _parse_image_dims(b"GIF89a\x01\x00") == ("unknown", None, None)
+    assert _parse_image_dims(b"") == ("unknown", None, None)
