@@ -74,71 +74,75 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 4 rotation ----
-    # (a) changed or added this round: the three HUGEINT-cast oracles, the
-    #     two reframed sketch contracts, fixed-k sample-Lloyd IVF, the two
-    #     invariant-gated xxhash64 dedup twins, and the two new queries
-    "salted_user_event_stats",
-    "quality_filter_pipeline",
-    "token_budget_pack",
-    "token_budget_pack_sharded",
-    "salted_join_hot_customer",
-    "ann_ivf",
-    "sketch_users_by_type",
-    "sketch_value_quantiles",
+    # ---- round 5 rotation ----
+    # (a) the r03-green tail rotated out of the r04 artifact (VERDICT r4
+    #     #1): re-gated now so no query's verdict goes > 2 rounds stale
+    "normalize_phone_lengths",
+    "normalize_postcode_formats",
+    "split_tag_keys_agg",
+    "table_stats",
+    "eav_pivot_wide",
+    "eav_unpivot_topk",
+    "ordered_position_per_group",
+    "topn_per_group",
+    "running_revenue_per_customer",
+    "rollup_revenue",
+    "cube_revenue",
+    "bag_set_ops",
+    "join_revenue_by_priority",
+    "range_join_balance_bands",
+    "dedup_exact_groups",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "chunk_documents",
+    "doc_rolling_fingerprint",
+    "quality_scores",
+    "quality_components",
+    "stratified_sample_counts",
+    "multimodal_features",
+    "frame_sample_stats",
+    # (b) changed this round (ADVICE fixes: case-sensitive invariant
+    #     fingerprints, exact-cents revenue, tightened sketch estimators,
+    #     IVF sample clamp)
     "dedup_minhash_pairs",
     "dedup_simhash_bands",
-    # (b) the r02-green tail rotated out of the r03 artifact — every one of
-    #     these would otherwise go two rounds unverified (VERDICT r3 #2)
-    "count_global",
-    "distinct_users_union",
-    "custkeys_intersect",
-    "custkeys_except",
-    "topk_group_distinct",
-    "topk_group_count",
-    "topk_order_limit",
-    "like_filter_count",
-    "ilike_filter_count",
-    "scan_filter_project",
-    "pct_shares",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "above_avg_orders_per_customer",
-    "text_stats",
-    "term_freq_topk",
-    "bigram_topk",
-    "lang_id_confusion",
-    # (c) every remaining events-table query: the round-4 testdata switched
-    #     events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros and the
-    #     loader normalization changed with it — all ts semantics re-gated
-    "json_props_stats",
-    "value_percentiles_by_type",
-    "tumbling_window_stats",
-    "sliding_window_by_type",
-    "session_window_per_user",
-    "interval_join_click_error",
-    "asof_last_click_before_error",
-    "event_gap_stats",
-    "segment_event_counts",
-    # (d) similarity/dedup module neighbors of this round's edits + the
-    #     heaviest previously-green plans
+    "salted_join_hot_customer",
+    "sketch_users_by_type",
+    "ann_ivf",
+    # (c) new this round
+    "ann_ivf_probe2",
+    "multimodal_dims",
+    # (d) r04-green complex plans kept fresh (heaviest lineages + this
+    #     round's module neighbors: dedup_clusters gets the lineage-cut
+    #     change, similarity shares _top_cells)
+    "dedup_clusters",
+    "dedup_minhash_portable_pairs",
+    "dedup_ngram_jaccard",
     "knn_cosine_brute",
     "ann_sign_lsh",
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "embedding_norm_zscores",
     "embedding_label_stats",
-    "dedup_clusters",
-    "dedup_minhash_portable_pairs",
-    "dedup_ngram_jaccard",
     "tfidf_top_terms",
     "window_function_zoo",
     "pricing_summary",
     "star_join_customers_by_region",
-    # rotated out this round (r03-green verdicts stand, back in round 5):
-    # the cleaning-conformance gates, doc fingerprint/quality/chunking,
-    # multimodal pair, portable sig twins, exact dedup, and the r03
-    # lineitem/orders window-analytics block
+    "sketch_value_quantiles",
+    "salted_user_event_stats",
+    "token_budget_pack",
+    "token_budget_pack_sharded",
+    "quality_filter_pipeline",
+    "tumbling_window_stats",
+    # rotated out this round (26, ALL r04-green on unchanged code — their
+    # verdicts are 1 round old; front of the r6 rotation): count_global,
+    # distinct_users_union, custkeys_intersect/except, topk_* , like/ilike,
+    # scan_filter_project, pct_shares, semi/anti_join, above_avg_orders,
+    # text_stats, term_freq_topk, bigram_topk, lang_id_confusion, and the
+    # events block (json_props_stats, value_percentiles_by_type,
+    # sliding/session windows, interval_join, asof, event_gap_stats,
+    # segment_event_counts). tests/test_gate_freshness.py asserts the
+    # ≤2-round invariant mechanically.
 ]
 
 
