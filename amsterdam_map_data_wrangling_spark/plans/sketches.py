@@ -32,7 +32,7 @@ from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS merged_within_5pct,
-           TRUE AS direct_within_5pct
+           TRUE AS direct_within_10pct
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     "Per-event-type distinct users twice over: approx_count_distinct "
@@ -50,11 +50,14 @@ def sketch_users_by_type(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     # stage 1: one sketch per (type, subgroup) — stands in for per-day
     # / per-file partial aggregation
-    # estimator accuracy is configured WELL INSIDE the gated 5% bound
-    # (ADVICE r4: a bound equal to the estimator's own standard error
-    # fails ~1-in-3 per group once cardinalities leave the near-exact
-    # sparse range): approx_count_distinct at rsd=0.01 → 5% ≈ 5σ;
-    # hll_sketch_agg at lgConfigK=14 → ~0.8% rel. std err → 5% ≈ 6σ.
+    # gated bounds sit WELL ABOVE the configured estimator error (ADVICE
+    # r4: a bound equal to the estimator's own standard error fails
+    # ~1-in-3 per group once cardinalities leave the near-exact sparse
+    # range): hll_sketch_agg at lgConfigK=14 → ~0.8% rel. std err, 5%
+    # bound ≈ 6σ; approx_count_distinct at rsd=0.02 → 10% bound = 5σ.
+    # (rsd=0.01 would allow a 5% bound but costs ~3.4 s/run at sf0.1 —
+    # HLL++ register count grows ~1/rsd²; 0.02 keeps the query ~1 s with
+    # equivalent contract headroom.)
     partial = (
         events.withColumn("sub", (F.col("user_id") % 8).cast("int"))
         .groupBy("event_type", "sub")
@@ -64,21 +67,21 @@ def sketch_users_by_type(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
     )
     direct = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("direct_est"),
+        F.approx_count_distinct("user_id", 0.02).alias("direct_est"),
         F.count_distinct("user_id").alias("exact_users"),
     )
 
-    def within(est):  # ≤5% relative error vs exact
+    def within(est, eps):  # ≤eps relative error vs exact
         return (F.abs(F.col(est) - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users"))
+                <= eps * F.col("exact_users"))
 
     return (
         merged.join(direct, "event_type")
         .select(
             "event_type",
             "exact_users",
-            within("merged_est").alias("merged_within_5pct"),
-            within("direct_est").alias("direct_within_5pct"),
+            within("merged_est", 0.05).alias("merged_within_5pct"),
+            within("direct_est", 0.10).alias("direct_within_10pct"),
         )
         .orderBy("event_type")
     )

@@ -54,7 +54,27 @@ def load_tables(
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 raise FileNotFoundError(f"table {name!r} not found at {path}")
-            _DF_CACHE[key] = _fix_nanos(spark.read.parquet(path))
+            if name == "events":
+                # events.ts must be TIMESTAMP_LTZ (every gated ts query
+                # assumes LTZ-under-UTC). Reading NTZ then casting costs a
+                # per-row cast expression in EVERY events scan (~20% of a
+                # window-agg query at sf0.1, measured round 5); flipping
+                # inferTimestampNTZ for just this read makes the parquet
+                # reader deliver LTZ directly — same micros, zero cast.
+                # Schema inference happens eagerly inside read.parquet(),
+                # so the toggle is safely scoped; other tables keep their
+                # NTZ dtypes (and their driver-green schemas) untouched.
+                prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+                spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+                try:
+                    df = spark.read.parquet(path)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.parquet.inferTimestampNTZ.enabled", prev
+                    )
+            else:
+                df = spark.read.parquet(path)
+            _DF_CACHE[key] = _fix_nanos(df)
         out[name] = _DF_CACHE[key]
     return out
 
@@ -69,9 +89,12 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
       ``spark.sql.legacy.parquet.nanosAsLong``): integral ``div`` keeps
       the arithmetic in long — ns epoch values (~1.7e18) exceed double's
       53-bit mantissa, so float division would be off by up to 1 us.
-    - timestamp[us] without timezone arrives as TIMESTAMP_NTZ: cast to
-      LTZ under the pinned UTC session zone is an exact identity on the
-      underlying micros (NTZ wall-clock == UTC instant)."""
+    - timestamp[us] without timezone normally arrives as LTZ already (the
+      events read flips ``inferTimestampNTZ`` for exactly that reason —
+      see ``load_tables``); the NTZ branch remains as a safety net for
+      sessions where the conf could not be applied: cast to LTZ under the
+      pinned UTC session zone is an exact identity on the underlying
+      micros (NTZ wall-clock == UTC instant)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -39,7 +39,11 @@ def main() -> None:
 
     # three timed passes, min per query: single-shot numbers on a shared box
     # carry ±10-15% scheduler/GC noise; the min is the stable steady-state.
-    timings: dict[str, float] = {}
+    # ALL pass times are recorded (bench_results.json "passes") so host
+    # noise and plan regressions are distinguishable from the artifact
+    # alone (round-4 verdict: a +30% min-drift on untouched queries was
+    # undecidable from min-of-3 without the spread).
+    passes: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(3):
         for name, spec in QUERIES.items():
             # a few operators persist() self-join hubs; drop those cache
@@ -52,8 +56,18 @@ def main() -> None:
             # noop sink: materializes every column of every row (a bare
             # .count() would let Catalyst prune the payload and under-measure)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+            passes[name].append(round(time.perf_counter() - t0, 4))
+
+    timings = {name: min(ts) for name, ts in passes.items()}
+    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in passes.items()}
+    # one-number host-noise witness: median over queries of (median/min).
+    # ~1.0x-1.1x → quiet box, mins are trustworthy steady-state; >1.3x →
+    # the host was noisy and cross-round min drift is not evidence of a
+    # plan regression.
+    ratios = sorted(
+        medians[n] / timings[n] for n in timings if timings[n] > 0
+    )
+    noise_med_over_min = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
 
     total = round(sum(timings.values()), 4)
     # Per-query time budget: one regressed query must fail LOUD instead of
@@ -83,6 +97,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
+        "medians": medians,
+        "noise_med_over_min": noise_med_over_min,
         "n_queries": len(timings),
         "mean_sec_per_query": round(total / max(len(timings), 1), 4),
         "budget_sec": budget,
@@ -107,6 +124,7 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in slowest.items()},
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 4),
+                "noise_med_over_min": noise_med_over_min,
                 "budget_sec": budget,
                 "over_budget": over,
                 "sf": sf,

@@ -69,14 +69,15 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-4 evidence policy: everything changed this round plus the
-    # whole r02 tail (queries with no verdict since round 2) must sit
-    # inside the 50-slot gated window
-    for name in ("salted_user_event_stats", "quality_filter_pipeline",
-                 "token_budget_pack", "token_budget_pack_sharded",
-                 "salted_join_hot_customer", "ann_ivf",
-                 "sketch_users_by_type", "sketch_value_quantiles",
-                 "dedup_minhash_pairs", "dedup_simhash_bands",
-                 "count_global", "pct_shares", "lang_id_confusion",
-                 "tumbling_window_stats", "interval_join_click_error"):
+    # round-5 evidence policy: everything changed or added this round plus
+    # the whole r03 tail (queries with no verdict since round 3) must sit
+    # inside the 50-slot gated window. (The general ≤2-round freshness
+    # invariant is asserted mechanically in tests/test_gate_freshness.py —
+    # this list pins only the current round's specific obligations.)
+    for name in ("dedup_minhash_pairs", "dedup_simhash_bands",
+                 "salted_join_hot_customer", "sketch_users_by_type",
+                 "ann_ivf", "ann_ivf_probe2", "multimodal_dims",
+                 "normalize_phone_lengths", "table_stats", "eav_pivot_wide",
+                 "dedup_exact_groups", "chunk_documents", "quality_scores",
+                 "multimodal_features", "frame_sample_stats"):
         assert ordered.index(name) < 50, name

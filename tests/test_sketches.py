@@ -33,7 +33,7 @@ def test_hll_contract_columns_all_true(spark):
     for r in got:
         assert r["exact_users"] == exact[r["event_type"]], r
         assert r["merged_within_5pct"] is True, r
-        assert r["direct_within_5pct"] is True, r
+        assert r["direct_within_10pct"] is True, r
 
 
 def test_merged_hll_equals_single_pass_hll(spark):
