@@ -231,3 +231,58 @@ def test_portable_banding_recalls_injected_duplicates(spark):
     # 50 docs in the 1-in-10 subset at sf0.01, each with one injected copy
     assert len(exact) == 50
     assert all(v == 1.0 for v in exact.values())
+
+
+def test_invariant_gates_survive_case_only_duplicates(spark):
+    """Round-4 ADVICE (medium): the invariant 'identical normalized text
+    => identical signatures' must hold when the corpus contains a
+    CASE-ONLY duplicate. The production minhash/simhash paths hash raw
+    case-sensitive tokens, so the invariant's exact-dup groups must come
+    from the case-sensitive fingerprint: docs differing only in letter
+    case share the lowercased fingerprint but NOT signatures — deriving
+    groups from fingerprint_cs keeps the gate engine-true."""
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        fingerprint,
+        fingerprint_cs,
+    )
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("quick", "QUICK")),  # case-only variant
+            (3, base),  # true exact duplicate of 1
+            (4, "completely unrelated text about amsterdam map wrangling"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: (r.f_cs, r.f_lo) for r in corpus.select(
+        "doc_id",
+        fingerprint_cs(F.col("text")).alias("f_cs"),
+        fingerprint(F.col("text")).alias("f_lo"),
+    ).collect()}
+    # the trap: lowercased fingerprints collide for the case-only pair...
+    assert fps[1][1] == fps[2][1] == fps[3][1]
+    # ...but case-sensitive ones only for the true duplicate
+    assert fps[1][0] == fps[3][0] and fps[1][0] != fps[2][0]
+
+    cand = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(
+            corpus, "doc_id", "text", w=3, k=16, bands=4, threshold=0.0
+        ).collect()
+    }
+    # cs-derived exact pair IS recalled at est exactly 1.0 (the invariant)
+    assert cand.get((1, 3)) == 1.0
+    # the case-only pair does NOT estimate 1.0 on the case-sensitive hash
+    # path — exactly why it must not be in the invariant's exact set
+    assert cand.get((1, 2), 0.0) < 1.0
+
+    codes = {r.id: r.simhash for r in simhash(corpus, "doc_id", "text", 16).collect()}
+    assert codes[1] == codes[3]
+    assert codes[1] != codes[2]

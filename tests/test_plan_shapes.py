@@ -135,3 +135,26 @@ def test_salted_join_shuffles_not_broadcasts_big_side(spark):
     assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0], (
         "big side must not be broadcast into the salted join"
     )
+
+
+def test_multimodal_dims_is_map_only(spark):
+    """Header synthesis (hex concat -> unhex, codegen) + the mapInPandas
+    parse must be one narrow pipeline: zero Exchange, zero join — payload
+    bytes never leave the scanning task at any scale."""
+    plan = _plan(spark, "multimodal_dims")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_ivf_probe2_broadcasts_probes_never_corpus(spark):
+    """nprobe=2 must add broadcast (qid, qcell) rows, NOT plan shape: the
+    corpus-side assignment feeds one BroadcastHashJoin on the cell key
+    (corpus never broadcast, never cartesian), and the only corpus
+    exchange remains the per-query rank merge."""
+    plan = _plan(spark, "ann_ivf_probe2")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the broadcast build side is the tiny literal probe relation
+    assert plan.count("Exchange hashpartitioning") == 1
