@@ -13,6 +13,20 @@ DuckDB widens ``SUM(BIGINT)`` to HUGEINT (Spark stays BIGINT), so every
 integer SUM in an oracle's SELECT list must be ``CAST(SUM(...) AS
 BIGINT)``.  (Window/CTE-internal sums that never reach the output are
 exempt.)
+
+Float-SUM convention (round-5 ADVICE follow-through): a gated
+``round(SUM(double), k)`` depends on accumulation order, so 2-decimal
+equality is data-dependent luck that a testdata scale-up can flip. Where
+the summand is an exact 2-decimal quantity (prices, balances), gate the
+exact integer form instead: ``round(SUM(CAST(round(x*100) AS
+BIGINT))/100.0, 2)`` on BOTH engines (see salted_join_hot_customer).
+Where it is not (products like ``price*(1-disc)``, continuous values,
+averages), exact re-representation would change semantics; those rely on
+both engines' chunked partial summation keeping FP error orders of
+magnitude under the rounding granularity — green since round 1, and a
+flip localizes immediately to the rounding boundary. ORDERED window
+running sums are exempt: both engines accumulate in the same frame
+order, so they are bit-identical by construction.
 """
 
 from __future__ import annotations
