@@ -647,7 +647,8 @@ def eav_pivot_wide(spark, sf_dir):
     )
     SELECT band_id,
            COUNT(*) AS n_customers,
-           round(avg(c_acctbal), 2) AS avg_bal
+           round(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 2) AS avg_bal
     FROM bands JOIN customer ON c_acctbal BETWEEN lo AND hi
     GROUP BY band_id ORDER BY band_id
     """,
@@ -679,11 +680,17 @@ def range_join_balance_bands(spark, sf_dir):
         hi_col="hi",
         bucket_width=350.0,
     )
+    # avg over EXACT cents (catalog docstring float-SUM convention): a
+    # double avg's accumulation order differs between engines, and at
+    # sf0.001 the rounded value landed on opposite sides of a half-cent.
+    # SUM(cents)/100.0/COUNT divides two exact quantities — identical
+    # IEEE result on both engines at any scale.
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
         matched.groupBy("band_id")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.sum(cents) / 100.0 / F.count("*"), 2).alias("avg_bal"),
         )
         .orderBy("band_id")
     )

@@ -86,6 +86,6 @@ def test_quantile_contract_columns_all_true(spark):
     got = sketch_value_quantiles(spark, SF_ORACLE).collect()
     assert got, "empty result"
     for r in got:
-        assert r["p50_within_eps"] is True, r
-        assert r["p95_within_eps"] is True, r
-        assert r["p99_within_eps"] is True, r
+        assert r["p50_rank_ok"] is True, r
+        assert r["p95_rank_ok"] is True, r
+        assert r["p99_rank_ok"] is True, r
