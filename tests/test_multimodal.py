@@ -145,3 +145,41 @@ def test_parse_image_dims_walks_real_headers():
     # foreign magic
     assert _parse_image_dims(b"GIF89a\x01\x00") == ("unknown", None, None)
     assert _parse_image_dims(b"") == ("unknown", None, None)
+
+
+def test_parse_image_dims_roundtrip_property():
+    """Generative round-trip: arbitrary dimensions and arbitrary
+    leading chunk/segment clutter must never confuse the walk — the
+    parser's only contract is the spec'd layout, not our fixture's."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_image_dims,
+    )
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        pre_chunks=st.lists(st.binary(min_size=0, max_size=32), max_size=3),
+        com=st.binary(min_size=0, max_size=32),
+    )
+    def check(w, h, pre_chunks, com):
+        # PNG: arbitrary private chunks (4-byte type 'prIV') before IHDR
+        png = b"\x89PNG\r\n\x1a\n"
+        for data in pre_chunks:
+            png += be(len(data), 4) + b"prIV" + data + b"\x00" * 4
+        png += be(13, 4) + b"IHDR" + be(w, 4) + be(h, 4) + b"\x08\x06\x00\x00\x00"
+        assert _parse_image_dims(png) == ("png", w, h)
+        # JPEG: APP1 + COM segments of arbitrary length before SOF0
+        jpeg = b"\xff\xd8"
+        for data in (*pre_chunks, com):
+            jpeg += b"\xff\xe1" + be(len(data) + 2, 2) + data
+        jpeg += b"\xff\xc0" + be(17, 2) + b"\x08" + be(h, 2) + be(w, 2) + b"\x03"
+        assert _parse_image_dims(jpeg) == ("jpeg", w, h)
+
+    check()
