@@ -440,17 +440,19 @@ def ivf_topk(
     on both engines.
 
     Architecture (sketch-and-solve k-means, which is the 100 TB shape):
-    ONE distributed pass collects the seeded top-``sample_n`` hash sample
-    (TakeOrderedAndProject: per-partition heap + driver merge — bounded
-    O(sample_n·dim) driver traffic, corpus-independent); ``lloyd_iters``
-    Lloyd iterations then run in pure numpy on the driver over that
-    sample (the first ``n_cells`` sample rows are the seed generation —
-    the hash order makes seed ⊂ sample by construction); ONE more tiny
-    job fetches the query vectors (parquet filter pushdown on vec_id)
-    whose cells and norms become a literal broadcast side; and the single
-    full-corpus pass is the final cell assignment — a zero-shuffle
-    Arrow/numpy kernel — feeding the search join, which shuffles the
-    corpus once on the cell key. (An earlier all-SQL formulation with
+    ONE fused driver action collects both bounded relations — the seeded
+    top-``sample_n`` hash sample (TakeOrderedAndProject: per-partition
+    heap + driver merge — bounded O(sample_n·dim) driver traffic,
+    corpus-independent) unioned with the query vectors (parquet filter
+    pushdown on vec_id; the TakeOrdered heap survives inside the Union,
+    so the fusion costs no plan quality); ``lloyd_iters`` Lloyd
+    iterations then run in pure numpy on the driver over that sample
+    (the first ``n_cells`` sample rows are the seed generation — the
+    hash order makes seed ⊂ sample by construction); the query cells and
+    norms become a literal broadcast side; and the single full-corpus
+    pass is the final cell assignment — a zero-shuffle Arrow/numpy
+    kernel — feeding the search join, which shuffles the corpus once on
+    the cell key. (An earlier all-SQL formulation with
     nested-lambda HOF argmax folds was value-identical but cost ~4-5 s of
     driver-side Catalyst analysis per build — lambda-bearing plans are
     the slow path in the Spark 4 analyzer; and per-iteration distributed
@@ -470,18 +472,30 @@ def ivf_topk(
     import numpy as np
 
     spark = df.sparkSession
+    sample_n = max(sample_n, n_cells)  # mirror lloyd_assign_sql's clamp
     emb0 = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # seeded bounded sample: global top-sample_n by the portable hash is
-    # a TakeOrderedAndProject (per-partition heap + driver merge), never a
-    # full sort/shuffle of the corpus
-    sample_rows = (
-        emb0.orderBy(seed_hash_spark(seed), "vec_id")
-        .limit(max(sample_n, n_cells))
+    # ONE fused driver action collects both bounded relations (round 5 —
+    # previously two sequential jobs, each paying submission latency):
+    # leg 0 = the query vectors (parquet pushdown filter scan), leg 1 =
+    # the seeded top-sample_n hash sample. The TakeOrderedAndProject
+    # survives inside the Union (per-partition heap + driver merge,
+    # plan-verified), so the corpus is never sorted or shuffled, and the
+    # leg-1 row set is bit-identical to the standalone orderBy+limit —
+    # the oracle's ``eqs`` CTE is unchanged.
+    fused = (
+        emb0.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("leg", F.lit(0))
+        .unionByName(
+            emb0.orderBy(seed_hash_spark(seed), "vec_id")
+            .limit(sample_n)
+            .withColumn("leg", F.lit(1))
+        )
         .collect()
     )
+    sample_rows = [r for r in fused if r["leg"] == 1]
     smat = _np_quant(
         np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
     )
@@ -492,15 +506,9 @@ def ivf_topk(
     cents = _np_lloyd(smat, cents, lloyd_iters)
     # query side: the handful of query vectors, their cells computed with
     # the same exact kernel, inlined as a literal broadcast relation;
-    # norms/sims stay JVM-side (same HOF arithmetic as the brute path).
-    # Opportunistic: reuse vectors already in the collected sample and run
-    # the pushdown-filter job only for the remainder (on a small corpus the
-    # sample covers everything, saving the job entirely)
-    by_id = {int(r["vec_id"]): r for r in sample_rows}
-    missing = [i for i in query_ids if int(i) not in by_id]
+    # norms/sims stay JVM-side (same HOF arithmetic as the brute path)
+    by_id = {int(r["vec_id"]): r for r in fused if r["leg"] == 0}
     qrows = [by_id[int(i)] for i in query_ids if int(i) in by_id]
-    if missing:
-        qrows += emb0.filter(F.col("vec_id").isin(missing)).collect()
     if qrows:
         qcids, qcmat, qcsn = _cent_arrays(cents)
         qmat = _np_quant(
