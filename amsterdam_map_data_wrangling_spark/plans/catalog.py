@@ -126,6 +126,7 @@ _GATE_PRIORITY: list[str] = [
     # (c) new this round
     "ann_ivf_probe2",
     "multimodal_dims",
+    "pii_redaction_stats",
     # (d) r04-green complex plans kept fresh (heaviest lineages + this
     #     round's module neighbors: dedup_clusters gets the lineage-cut
     #     change, similarity shares _top_cells)
@@ -147,6 +148,8 @@ _GATE_PRIORITY: list[str] = [
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",
+    # (tumbling_window_stats dropped to slot 51 when pii_redaction_stats
+    # landed — r04-green, so its verdict stays ≤ 2 rounds old)
     "tumbling_window_stats",
     # rotated out this round (26, ALL r04-green on unchanged code — their
     # verdicts are 1 round old; front of the r6 rotation): count_global,

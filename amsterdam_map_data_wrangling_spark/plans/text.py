@@ -713,3 +713,111 @@ def token_budget_pack_sharded(spark, sf_dir):
             F.sum("n_tokens").alias("tokens_kept"),
         )
     )
+
+
+#: PII patterns for the redaction stage — written in the regex subset
+#: where Java regex (Spark) and RE2 (DuckDB) agree exactly: character
+#: classes, bounded/unbounded repetition, alternation via `?` — no
+#: backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+@query(
+    "pii_redaction_stats",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.org/d/'
+                  || CAST(doc_id AS VARCHAR) || ' tel +31 6 1234 '
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_URL}')) AS n_urls,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_URL}', '<URL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+           CAST(SUM(n_urls) AS BIGINT) AS urls_found,
+           CAST(SUM(len(regexp_extract_all(redacted, '{PII_EMAIL}'))
+                    + len(regexp_extract_all(redacted, '{PII_URL}'))) AS BIGINT)
+             AS residual_pii,
+           min(md5(redacted)) AS redact_fp_min,
+           max(md5(redacted)) AS redact_fp_max
+    FROM red GROUP BY source ORDER BY source
+    """,
+    "PII redaction — the scrub stage every pre-training text pipeline "
+    "runs: email/URL/phone patterns (written in the Java-regex ∩ RE2 "
+    "dialect subset so both engines match identically) counted, then "
+    "replaced with typed placeholder tokens. The synthetic corpus "
+    "carries no natural PII, so deterministic per-doc PII is INJECTED "
+    "first — the gate then proves the redaction actually strips it: "
+    "found-counts per source, residual matches after redaction "
+    "(asserted 0 by both engines), and min/max md5 of the redacted "
+    "text as an order-insensitive content witness that the replacement "
+    "output is byte-identical. Scale: pure narrow map (regex per row) + "
+    "one tiny agg shuffle on source — the canonical cheap scrub pass.",
+)
+def pii_redaction_stats(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    aug = documents.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +31 6 1234 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    # redaction order: emails first (so the URL pass can't swallow a
+    # trailing mailto-ish token), then URLs, then phones (digits inside
+    # URLs are already collapsed to <URL> and can't false-match)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    red = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_URL), F.lit(0))).alias(
+            "n_urls"
+        ),
+        redacted.alias("redacted"),
+    )
+    residual = F.size(
+        F.regexp_extract_all("redacted", F.lit(PII_EMAIL), F.lit(0))
+    ) + F.size(F.regexp_extract_all("redacted", F.lit(PII_URL), F.lit(0)))
+    return (
+        red.withColumn("residual", residual)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("emails_found"),
+            F.sum("n_urls").alias("urls_found"),
+            F.sum("residual").alias("residual_pii"),
+            F.min(F.md5("redacted")).alias("redact_fp_min"),
+            F.max(F.md5("redacted")).alias("redact_fp_max"),
+        )
+        .orderBy("source")
+    )
