@@ -158,3 +158,12 @@ def test_ivf_probe2_broadcasts_probes_never_corpus(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the broadcast build side is the tiny literal probe relation
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redaction_is_narrow_map_plus_one_agg_shuffle(spark):
+    """The scrub pass must stay a narrow regex map feeding one tiny agg
+    exchange on source — no join, no second shuffle, no Python."""
+    plan = _plan(spark, "pii_redaction_stats")
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
