@@ -220,7 +220,9 @@ _PORTABLE_B = (3, 5, 11, 17, 23, 41, 83, 163)
 def minhash_signatures_portable(sh: DataFrame, k: int = 8) -> DataFrame:
     """Engine-portable MinHash twin of :func:`minhash_signatures`: the
     production path uses ``xxhash64`` (JVM-only), so the driver's DuckDB
-    oracle can only do a rows-only check on it. This twin derives the k
+    oracle cannot replay its hash values directly (``dedup_minhash_pairs``
+    instead hash-gates the engine-portable exact-dup recall invariant).
+    This twin derives the k
     hash families from md5 — identical on any engine — so the MinHash
     *construction* (min over a per-shingle hash family, one map-side
     partial groupBy) is fully hash-verifiable at the gate:
@@ -321,8 +323,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     exactly when sum(label) stops changing — a metadata-cheap agg fused
     into the round's single driver action. Near-dup components are tiny
     (diameter ~2-3), so 1-2 double-hop rounds settle real inputs.
-    Genuinely non-SQL-expressible (recursive), hence rows-only at the
-    driver gate; pytest verifies vs union-find.
+    Hash-gated end-to-end since round 4: the ``dedup_clusters`` oracle
+    reaches the same fixed point through a DuckDB recursive CTE (label
+    reachability + min), and pytest cross-checks union-find.
     """
     # cut the (possibly expensive: LSH, blocking) pair lineage ONCE —
     # every derived frame below references it several times. eager=False:

@@ -88,78 +88,81 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 5 rotation ----
-    # (a) the r03-green tail rotated out of the r04 artifact (VERDICT r4
-    #     #1): re-gated now so no query's verdict goes > 2 rounds stale
-    "normalize_phone_lengths",
-    "normalize_postcode_formats",
-    "split_tag_keys_agg",
-    "table_stats",
-    "eav_pivot_wide",
-    "eav_unpivot_topk",
-    "ordered_position_per_group",
-    "topn_per_group",
-    "running_revenue_per_customer",
-    "rollup_revenue",
-    "cube_revenue",
-    "bag_set_ops",
-    "join_revenue_by_priority",
+    # ---- round 6 rotation ----
+    # (a) the 27 queries absent from CORRECTNESS_r05.json (all r04-green
+    #     on unchanged code; verdicts 1 round old — VERDICT r5 #1 names
+    #     exactly this set): front of the artifact so no verdict goes
+    #     > 2 rounds stale. tests/test_gate_freshness.py asserts the
+    #     invariant mechanically against the latest artifact.
+    "tumbling_window_stats",
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "ilike_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "event_gap_stats",
+    "asof_last_click_before_error",
+    "above_avg_orders_per_customer",
+    "segment_event_counts",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    "sliding_window_by_type",
+    "session_window_per_user",
+    "interval_join_click_error",
+    "json_props_stats",
+    "value_percentiles_by_type",
+    # (b) changed this round (r5 ADVICE: order-free integer gate replaces
+    #     the half-cent-prone rounded avg)
     "range_join_balance_bands",
-    "dedup_exact_groups",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "chunk_documents",
-    "doc_rolling_fingerprint",
-    "quality_scores",
-    "quality_components",
-    "stratified_sample_counts",
-    "multimodal_features",
-    "frame_sample_stats",
-    # (b) changed this round (ADVICE fixes: case-sensitive invariant
-    #     fingerprints, exact-cents revenue, tightened sketch estimators,
-    #     IVF sample clamp)
-    "dedup_minhash_pairs",
-    "dedup_simhash_bands",
-    "salted_join_hot_customer",
-    "sketch_users_by_type",
-    "ann_ivf",
     # (c) new this round
-    "ann_ivf_probe2",
-    "multimodal_dims",
-    "pii_redaction_stats",
-    # (d) r04-green complex plans kept fresh (heaviest lineages + this
-    #     round's module neighbors: dedup_clusters gets the lineage-cut
-    #     change, similarity shares _top_cells)
+    "audio_dims",
+    # (d) r05-green heavy lineages kept fresh (this round's module
+    #     neighbors: dedup_clusters gets the perf probe, text shares the
+    #     PII regex dialect under new property tests, multimodal gains
+    #     the audio kernel)
     "dedup_clusters",
+    "pii_redaction_stats",
+    "multimodal_dims",
+    "multimodal_features",
+    "dedup_minhash_pairs",
     "dedup_minhash_portable_pairs",
+    "dedup_simhash_bands",
     "dedup_ngram_jaccard",
+    "ann_ivf",
+    "ann_ivf_probe2",
     "knn_cosine_brute",
     "ann_sign_lsh",
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
-    "embedding_norm_zscores",
-    "embedding_label_stats",
     "tfidf_top_terms",
-    "window_function_zoo",
-    "pricing_summary",
-    "star_join_customers_by_region",
-    "sketch_value_quantiles",
-    "salted_user_event_stats",
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",
-    # (tumbling_window_stats dropped to slot 51 when pii_redaction_stats
-    # landed — r04-green, so its verdict stays ≤ 2 rounds old)
-    "tumbling_window_stats",
-    # rotated out this round (26, ALL r04-green on unchanged code — their
-    # verdicts are 1 round old; front of the r6 rotation): count_global,
-    # distinct_users_union, custkeys_intersect/except, topk_* , like/ilike,
-    # scan_filter_project, pct_shares, semi/anti_join, above_avg_orders,
-    # text_stats, term_freq_topk, bigram_topk, lang_id_confusion, and the
-    # events block (json_props_stats, value_percentiles_by_type,
-    # sliding/session windows, interval_join, asof, event_gap_stats,
-    # segment_event_counts). tests/test_gate_freshness.py asserts the
-    # ≤2-round invariant mechanically.
+    "sketch_users_by_type",
+    "sketch_value_quantiles",
+    "salted_join_hot_customer",
+    # rotated out this round (28, ALL r05-green on unchanged code — their
+    # verdicts are 1 round old; they form the front of the r7 rotation):
+    # normalize_phone_lengths, normalize_postcode_formats,
+    # split_tag_keys_agg, table_stats, eav_pivot_wide, eav_unpivot_topk,
+    # ordered_position_per_group, topn_per_group,
+    # running_revenue_per_customer, rollup_revenue, cube_revenue,
+    # bag_set_ops, join_revenue_by_priority, dedup_exact_groups,
+    # dedup_minhash_portable, dedup_simhash_portable, chunk_documents,
+    # doc_rolling_fingerprint, quality_scores, quality_components,
+    # stratified_sample_counts, frame_sample_stats, embedding_norm_zscores,
+    # embedding_label_stats, window_function_zoo, pricing_summary,
+    # star_join_customers_by_region, salted_user_event_stats.
 ]
 
 

@@ -253,7 +253,8 @@ def dedup_clusters(spark, sf_dir):
     """,
     "MinHash signatures with an md5-derived universal-hash family — the "
     "oracle-gated verification twin of dedup_minhash_pairs (whose xxhash64 "
-    "families have no DuckDB equivalent, hence rows-only there). Verifies "
+    "families DuckDB cannot replay value-for-value — that query hash-gates "
+    "the exact-dup recall invariant instead). Verifies "
     "the construction value-for-value: shingling, per-shingle hash, k "
     "family transforms, min-aggregation — on a deterministic 1-in-10 doc "
     "subset (the md5 anchor is ~2x the cost of the production hash; a "
@@ -336,9 +337,10 @@ def _minhash_pairs_portable_sql(k: int = 8, bands: int = 4) -> str:
     "The FULL MinHash→LSH pipeline with the md5-portable hash family — "
     "signatures AND the banding bucket-join AND the pair dedup, hash-gated "
     "end-to-end (dedup_minhash_portable gates only the signatures; the "
-    "production dedup_minhash_pairs is rows-only because xxhash64 has no "
-    "DuckDB twin — this query runs the SAME banding/join/dedup code path "
-    "with portable band hashes, retiring that blind spot). Corpus: the "
+    "production dedup_minhash_pairs hash-gates the exact-dup recall "
+    "invariant rather than raw xxhash64 values, which have no DuckDB "
+    "twin — this query runs the SAME banding/join/dedup code path "
+    "with portable band hashes, value-gating the full output). Corpus: the "
     "1-in-10 doc subset plus re-keyed copies, so every doc has an exact "
     "duplicate and the banding provably recalls est=1.0 pairs. Scale: "
     "identical plan shape to the production path — the ONLY join is on "
@@ -384,7 +386,8 @@ def dedup_minhash_portable_pairs(spark, sf_dir):
         ),
     ),
     "16-bit SimHash with an md5-derived token hash — the oracle-gated "
-    "verification twin of dedup_simhash_bands (xxhash64 there, rows-only). "
+    "verification twin of dedup_simhash_bands (xxhash64 there, gated via "
+    "its case-sensitive exact-dup invariant). "
     "Verifies bit votes and sign-threshold code value-for-value on a "
     "deterministic 1-in-10 doc subset. Scale: one groupBy(id) with 16 "
     "partial sums — no pairwise work.",

@@ -101,6 +101,96 @@ def multimodal_dims(spark, sf_dir):
 
 
 @query(
+    "audio_dims",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             2 + (doc_id % 4) * 2 AS clen,
+             1 + doc_id % 2 AS channels,
+             8000 + (doc_id % 8) * 1000 AS rate,
+             8 + (doc_id % 3) * 8 AS bits
+      FROM documents
+    ), c AS (
+      SELECT *, channels * bits // 8 AS ba FROM m
+    ), hh AS (
+      SELECT media_id, clen,
+             lpad(hex(60 + clen), 8, '0') AS riff_sz,
+             lpad(hex(12 + clen), 8, '0') AS list_sz,
+             lpad(hex(clen), 8, '0') AS clen_h,
+             lpad(hex(channels), 4, '0') AS ch_h,
+             lpad(hex(rate), 8, '0') AS rate_h,
+             lpad(hex(rate * ba), 8, '0') AS br_h,
+             lpad(hex(ba), 4, '0') AS ba_h,
+             lpad(hex(bits), 4, '0') AS bits_h
+      FROM c
+    ), p AS (
+      SELECT media_id, clen,
+             '52494646'
+             || substr(riff_sz,7,2)||substr(riff_sz,5,2)
+             || substr(riff_sz,3,2)||substr(riff_sz,1,2)
+             || '57415645' || '4C495354'
+             || substr(list_sz,7,2)||substr(list_sz,5,2)
+             || substr(list_sz,3,2)||substr(list_sz,1,2)
+             || '494E464F' || '49434D54'
+             || substr(clen_h,7,2)||substr(clen_h,5,2)
+             || substr(clen_h,3,2)||substr(clen_h,1,2)
+             || repeat('58', CAST(clen AS INTEGER))
+             || '666D7420' || '10000000' || '0100'
+             || substr(ch_h,3,2)||substr(ch_h,1,2)
+             || substr(rate_h,7,2)||substr(rate_h,5,2)
+             || substr(rate_h,3,2)||substr(rate_h,1,2)
+             || substr(br_h,7,2)||substr(br_h,5,2)
+             || substr(br_h,3,2)||substr(br_h,1,2)
+             || substr(ba_h,3,2)||substr(ba_h,1,2)
+             || substr(bits_h,3,2)||substr(bits_h,1,2)
+             || '64617461' || '04000000' || 'CAFEF00D' AS hx
+      FROM hh
+    )
+    SELECT media_id,
+           CASE WHEN substr(hx, 1, 8) = '52494646'
+                 AND substr(hx, 17, 8) = '57415645'
+                THEN 'wav' ELSE 'unknown' END AS fmt,
+           CAST(('0x' || substr(hx, (44+clen)*2+7, 2)
+                      || substr(hx, (44+clen)*2+5, 2)
+                      || substr(hx, (44+clen)*2+3, 2)
+                      || substr(hx, (44+clen)*2+1, 2))::BIGINT
+                AS INTEGER) AS sample_rate,
+           CAST(('0x' || substr(hx, (42+clen)*2+3, 2)
+                      || substr(hx, (42+clen)*2+1, 2))::BIGINT
+                AS INTEGER) AS channels,
+           CAST(('0x' || substr(hx, (54+clen)*2+3, 2)
+                      || substr(hx, (54+clen)*2+1, 2))::BIGINT
+                AS INTEGER) AS bits
+    FROM p
+    """,
+    "Header-level WAV decode, gated end-to-end (round-5 verdict #3 — "
+    "closes the multimodal family the way multimodal_dims closed "
+    "images): payloads are genuine RIFF/WAVE byte sequences synthesized "
+    "JVM-side (hex concat → unhex) with a variable-length LIST/INFO "
+    "chunk BEFORE the fmt chunk (comment length varies with the id, so a "
+    "fixed-offset reader misparses 3 of every 4 rows), and the "
+    "mapInPandas kernel does the actual RIFF chunk walk — 4-byte FourCC, "
+    "4-byte little-endian size, even-padded data — to the fmt block, "
+    "extracting (sample_rate, channels, bits) with little-endian "
+    "int.from_bytes arithmetic. The DuckDB oracle rebuilds the identical "
+    "payload bytes with the same hex algebra and re-parses them at "
+    "closed-form offsets (LE byte-pair reassembly via substr), so either "
+    "a synthesis or a parser regression mismatches values. Full sample "
+    "decode still honestly raises (decode_stub). Scale: map-only — "
+    "payload bytes never leave the scanning executor; output is 5 narrow "
+    "columns through Arrow.",
+)
+def audio_dims(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_audio_fmt,
+        synthesize_wav_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return extract_audio_fmt(synthesize_wav_payloads(documents, "doc_id"))
+
+
+@query(
     "frame_sample_stats",
     """
     WITH media AS (

@@ -647,8 +647,8 @@ def eav_pivot_wide(spark, sf_dir):
     )
     SELECT band_id,
            COUNT(*) AS n_customers,
-           round(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
-                 / COUNT(*), 2) AS avg_bal
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM bands JOIN customer ON c_acctbal BETWEEN lo AND hi
     GROUP BY band_id ORDER BY band_id
     """,
@@ -680,17 +680,18 @@ def range_join_balance_bands(spark, sf_dir):
         hi_col="hi",
         bucket_width=350.0,
     )
-    # avg over EXACT cents (catalog docstring float-SUM convention): a
-    # double avg's accumulation order differs between engines, and at
-    # sf0.001 the rounded value landed on opposite sides of a half-cent.
-    # SUM(cents)/100.0/COUNT divides two exact quantities — identical
-    # IEEE result on both engines at any scale.
+    # Gate ORDER-FREE integers (round-5 ADVICE): even over exact cents,
+    # round(sum/100/count, 2) diverges at exact half-cent averages —
+    # Spark's Round on DOUBLE rounds the shortest decimal repr HALF_UP
+    # (2.675 → 2.68) while DuckDB rounds the binary double
+    # (2.67499… → 2.67). SUM of integer cents has no such boundary at
+    # any data scale.
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
         matched.groupBy("band_id")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum(cents) / 100.0 / F.count("*"), 2).alias("avg_bal"),
+            F.sum(cents).alias("sum_cents"),
         )
         .orderBy("band_id")
     )

@@ -147,6 +147,113 @@ def test_parse_image_dims_walks_real_headers():
     assert _parse_image_dims(b"") == ("unknown", None, None)
 
 
+def test_parse_wav_fmt_walks_real_chunks():
+    """The RIFF parser does a genuine chunk walk, pinned on hand-built
+    byte sequences: fmt found after a LIST chunk (and after an ODD-sized
+    chunk, exercising the even-padding rule), truncated/foreign payloads
+    degrade to None fields."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_wav_fmt,
+    )
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    def fmt_chunk(rate, ch, bits):
+        ba = ch * bits // 8
+        return (
+            b"fmt " + le(16, 4)
+            + le(1, 2) + le(ch, 2) + le(rate, 4) + le(rate * ba, 4)
+            + le(ba, 2) + le(bits, 2)
+        )
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + le(len(body), 4) + body
+
+    # LIST chunk before fmt — a fixed-offset reader would misparse
+    wav = riff(
+        b"LIST" + le(10, 4) + b"INFOICMTXY",
+        fmt_chunk(44100, 2, 16),
+    )
+    assert _parse_wav_fmt(wav) == ("wav", 44100, 2, 16)
+    # odd-sized chunk before fmt: the walk must skip the pad byte
+    wav_odd = riff(b"junk" + le(3, 4) + b"abc\x00", fmt_chunk(8000, 1, 8))
+    assert _parse_wav_fmt(wav_odd) == ("wav", 8000, 1, 8)
+    # RIFF/WAVE magic but no fmt chunk anywhere
+    assert _parse_wav_fmt(riff(b"data" + le(4, 4) + b"\x00" * 4)) == (
+        "wav", None, None, None,
+    )
+    # truncated mid-header and foreign magic
+    assert _parse_wav_fmt(b"RIFF\x04\x00\x00\x00WAVE") == ("wav", None, None, None)
+    assert _parse_wav_fmt(b"RIFX\x00\x00\x00\x00WAVE\x00\x00") == (
+        "unknown", None, None, None,
+    )
+    assert _parse_wav_fmt(b"") == ("unknown", None, None, None)
+
+
+def test_parse_wav_fmt_roundtrip_property():
+    """Generative round-trip: arbitrary fmt values and arbitrary leading
+    chunk clutter (including odd sizes) must never confuse the walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_wav_fmt,
+    )
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rate=st.integers(1, 2**31 - 1),
+        ch=st.integers(1, 64),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        pre_chunks=st.lists(st.binary(min_size=0, max_size=33), max_size=4),
+    )
+    def check(rate, ch, bits, pre_chunks):
+        wav = b"RIFF" + le(0, 4) + b"WAVE"  # size field unused by the walk
+        for data in pre_chunks:
+            wav += b"LIST" + le(len(data), 4) + data
+            if len(data) % 2:
+                wav += b"\x00"  # RIFF even-padding
+        ba = ch * bits // 8
+        wav += (
+            b"fmt " + le(16, 4)
+            + le(1, 2) + le(ch, 2) + le(rate, 4) + le((rate * ba) % 2**32, 4)
+            + le(ba, 2) + le(bits, 2)
+        )
+        assert _parse_wav_fmt(wav) == ("wav", rate, ch, bits)
+
+    check()
+
+
+def test_synthesized_wav_payloads_parse_back(spark):
+    """End-to-end twin of the audio_dims gate, without DuckDB: the
+    JVM-synthesized RIFF bytes parse back to the id-derived fields, and
+    the variable-length LIST chunk really varies the fmt offset."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_audio_fmt,
+        synthesize_wav_payloads,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(40)
+    media = synthesize_wav_payloads(docs, "doc_id")
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    offsets = set()
+    for mid, b in raw.items():
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        offsets.add(b.index(b"fmt "))
+    assert len(offsets) > 1, "LIST chunk must vary the fmt offset"
+    got = {r.media_id: r for r in extract_audio_fmt(media).collect()}
+    for mid, r in got.items():
+        assert r.fmt == "wav"
+        assert r.sample_rate == 8000 + (mid % 8) * 1000
+        assert r.channels == 1 + mid % 2
+        assert r.bits == 8 + (mid % 3) * 8
+
+
 def test_parse_image_dims_roundtrip_property():
     """Generative round-trip: arbitrary dimensions and arbitrary
     leading chunk/segment clutter must never confuse the walk — the

@@ -69,15 +69,18 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-5 evidence policy: everything changed or added this round plus
-    # the whole r03 tail (queries with no verdict since round 3) must sit
-    # inside the 50-slot gated window. (The general ≤2-round freshness
-    # invariant is asserted mechanically in tests/test_gate_freshness.py —
-    # this list pins only the current round's specific obligations.)
-    for name in ("dedup_minhash_pairs", "dedup_simhash_bands",
-                 "salted_join_hot_customer", "sketch_users_by_type",
-                 "ann_ivf", "ann_ivf_probe2", "multimodal_dims",
-                 "normalize_phone_lengths", "table_stats", "eav_pivot_wide",
-                 "dedup_exact_groups", "chunk_documents", "quality_scores",
-                 "multimodal_features", "frame_sample_stats"):
+    # round-6 evidence policy: everything changed or added this round plus
+    # the whole r04 tail (the 27 queries absent from CORRECTNESS_r05.json)
+    # must sit inside the 50-slot gated window. (The general ≤2-round
+    # freshness invariant is asserted mechanically in
+    # tests/test_gate_freshness.py — this list pins only the current
+    # round's specific obligations.)
+    for name in ("range_join_balance_bands",  # changed: order-free int gate
+                 "audio_dims",  # new: WAV/RIFF header parse
+                 # the r04 tail (sample — the freshness test covers all 27)
+                 "count_global", "distinct_users_union", "topk_group_count",
+                 "scan_filter_project", "pct_shares", "text_stats",
+                 "event_gap_stats", "session_window_per_user",
+                 "json_props_stats", "value_percentiles_by_type",
+                 "above_avg_orders_per_customer", "lang_id_confusion"):
         assert ordered.index(name) < 50, name
