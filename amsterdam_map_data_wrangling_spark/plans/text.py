@@ -716,11 +716,15 @@ def token_budget_pack_sharded(spark, sf_dir):
 
 
 #: PII patterns for the redaction stage — written in the regex subset
-#: where Java regex (Spark) and RE2 (DuckDB) agree exactly: character
-#: classes, bounded/unbounded repetition, alternation via `?` — no
-#: backreferences, no lookaround.
+#: where Java regex (Spark) and RE2 (DuckDB) agree exactly: explicit
+#: character classes, bounded/unbounded repetition, alternation via `?`
+#: — no backreferences, no lookaround, and no shorthand classes whose
+#: definitions differ between dialects (`\s` is one: Java's includes
+#: \x0B, RE2's does not, so the URL pattern spells its whitespace class
+#: out). tests/test_pii_properties.py pins the subset claim with a
+#: Hypothesis cross-engine sweep over adversarial inputs.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_URL = r"https?://[^\s]+"
+PII_URL = "https?://[^ \\t\\n\\x0B\\f\\r]+"
 PII_PHONE = r"\+?[0-9][0-9 -]{7,}[0-9]"
 
 
