@@ -339,12 +339,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # repo emits id_a < id_b exactly once, so forward, reversed, and
     # self-loop rows are disjoint by construction. min() in the hop absorbs
     # any duplicates a foreign caller might pass, so correctness never
-    # depends on it — only the shuffle a .distinct() would cost. Narrow
-    # unions over the checkpointed e are cheap to recompute per hop, so no
-    # persist either (its columnar conversion costs more at this size).
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).union(nodes.select("src", F.col("src").alias("dst")))
+    # depends on it — only the shuffle a .distinct() would cost.
+    # Lazy-checkpoint the symmetrized set too: edges appears in EVERY hop,
+    # so without the cut each hop's analyzed plan carries the
+    # 3-way-union-plus-distinct subtree and Catalyst re-analyzes it per
+    # hop — on this hop-bound loop that is the budget, not the data
+    # (round-6 measurement at sf0.1: 2.29 s → 1.78 s driver min). The cut
+    # is per-partition executor state — linear in |E|, no driver
+    # materialization — so it holds at 100 TB. (Deliberately NOT
+    # F.broadcast(labels) in the hop: −0.09 s here, but labels ~ |V| grows
+    # with the corpus and a hardcoded broadcast becomes the scale-killer;
+    # AQE still picks a runtime broadcast when the side is genuinely
+    # small.)
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select("src", F.col("src").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
 
     def hop(labels: DataFrame) -> DataFrame:
         return (
