@@ -356,6 +356,157 @@ def extract_audio_fmt(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AUDIO_SCHEMA)
 
 
+#: FourCC hex constants for the synthesized ISO-BMFF (MP4) payloads.
+_FTYP_HEX = "0000001066747970" + "69736F6D" + "00000200"  # 16-byte ftyp, isom
+_FREE_HEX = "66726565"  # "free"
+_SKIP_HEX = "736B6970"  # "skip"
+_MOOV_HEX = "6D6F6F76"  # "moov"
+_MVHD_HEX = "6D766864"  # "mvhd"
+#: mvhd tail after duration: rate, volume, 10 reserved bytes, unity
+#: matrix, 24 predefined bytes, next_track_id — identical for v0/v1.
+_MVHD_TAIL_HEX = (
+    "00010000" + "0100" + "0000" + "0" * 16
+    + "000100000000000000000000000000000001000000000000000000000000000040000000"
+    + "0" * 48 + "00000002"
+)
+
+
+def synthesize_mp4_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Fabricate (media_id, payload) rows whose payloads are REAL
+    ISO-BMFF (MP4) box sequences: ``ftyp`` → a variable-length ``free``
+    box (id % 4 filler bytes) → ``moov`` containing a variable-length
+    ``skip`` box (id % 3 filler bytes) and then ``mvhd``. Even ids carry
+    a version-0 movie header (32-bit times), odd ids version-1 (64-bit
+    times) — so a parser must walk top-level boxes, RECURSE into the
+    moov container, skip the nested clutter, and dispatch on the mvhd
+    version byte; a fixed offset or a single-version reader misparses
+    most rows. timescale = 600 + (id % 5)·300 and duration =
+    timescale · (1 + id % 10) units, so duration_ms is exactly
+    (1 + id % 10)·1000. Built JVM-side (hex concat → ``unhex``; box
+    sizes are BIG-endian so plain ``lpad(hex(...))``), replayable in
+    DuckDB with the same hex algebra (``video_dims``)."""
+    df = df.select(F.col(id_col).cast("long").alias("media_id"))
+    mid = F.col("media_id")
+    fpad = (mid % 4).cast("int")  # free-box filler bytes
+    spad = (mid % 3).cast("int")  # skip-box filler bytes
+    timescale = (F.lit(600) + (mid % 5) * 300).cast("long")
+    duration = timescale * (F.lit(1) + mid % 10)
+
+    def be_hex(col, nbytes):
+        return F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+
+    is_v0 = mid % 2 == 0
+    mvhd_hex = F.concat(
+        be_hex(F.when(is_v0, 108).otherwise(120), 4),
+        F.lit(_MVHD_HEX),
+        F.when(is_v0, F.lit("00000000" + "0" * 16)).otherwise(  # v0: 4+4-byte times
+            F.lit("01000000" + "0" * 32)  # v1: 8+8-byte times
+        ),
+        be_hex(timescale, 4),
+        F.when(is_v0, be_hex(duration, 4)).otherwise(be_hex(duration, 8)),
+        F.lit(_MVHD_TAIL_HEX),
+    )
+    skip_hex = F.concat(
+        be_hex(F.lit(8) + spad, 4),
+        F.lit(_SKIP_HEX),
+        F.expr("repeat('58', CAST(media_id % 3 AS INT))"),
+    )
+    moov_payload_len = (
+        F.lit(8) + spad + F.when(is_v0, 108).otherwise(120)
+    )
+    mp4_hex = F.concat(
+        F.lit(_FTYP_HEX),
+        be_hex(F.lit(8) + fpad, 4),
+        F.lit(_FREE_HEX),
+        F.expr("repeat('58', CAST(media_id % 4 AS INT))"),
+        be_hex(F.lit(8) + moov_payload_len, 4),
+        F.lit(_MOOV_HEX),
+        skip_hex,
+        mvhd_hex,
+    )
+    return df.select("media_id", F.unhex(mp4_hex).alias("payload"))
+
+
+def _parse_mp4_mvhd(b: bytes) -> tuple[str, int | None, int | None]:
+    """Header-level MP4 decode from magic bytes — the real ISO-BMFF box
+    walk, no codec dependency: verify the leading ``ftyp`` box, walk the
+    top-level box sequence (4-byte big-endian size, 4-byte type),
+    recurse into container boxes (``moov``), and read timescale/duration
+    from ``mvhd``, dispatching on its version byte (v0: 32-bit times,
+    v1: 64-bit). Returns (format, timescale, duration_units); foreign
+    magic → ('unknown', None, None)."""
+    b = bytes(b)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return "unknown", None, None
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            if size < 8:
+                return None
+            if typ == b"moov":
+                found = walk(pos + 8, min(pos + size, hi))
+                if found is not None:
+                    return found
+            elif typ == b"mvhd" and pos + 12 <= hi:
+                ver = b[pos + 8]
+                if ver == 0 and pos + 28 <= hi:
+                    return (
+                        int.from_bytes(b[pos + 20 : pos + 24], "big"),
+                        int.from_bytes(b[pos + 24 : pos + 28], "big"),
+                    )
+                if ver == 1 and pos + 40 <= hi:
+                    return (
+                        int.from_bytes(b[pos + 28 : pos + 32], "big"),
+                        int.from_bytes(b[pos + 32 : pos + 40], "big"),
+                    )
+                return None
+            pos += size
+        return None
+
+    found = walk(0, len(b))
+    if found is None:
+        return "mp4", None, None
+    return "mp4", found[0], found[1]
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+    ]
+)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched header-level MP4 decode over binary payloads
+    (``mapInPandas`` + :func:`_parse_mp4_mvhd`) — the video twin of
+    :func:`extract_image_dims` / :func:`extract_audio_fmt`, completing
+    the multimodal family with a real byte parse per modality. Full
+    frame decode still honestly raises in :func:`decode_stub`. Scale:
+    map-only; payload bytes never leave the scanning executor."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            parsed = [_parse_mp4_mvhd(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": [p[0] for p in parsed],
+                    "timescale": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "duration": pd.array([p[2] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_SCHEMA)
+
+
 def resize_dims(width, height, box_w: int, box_h: int):
     """Fit-in-box output dimensions (aspect-preserving, never upscale) as
     pure Column arithmetic — the metadata half of a resize stage. The

@@ -126,6 +126,7 @@ _GATE_PRIORITY: list[str] = [
     "range_join_balance_bands",
     # (c) new this round
     "audio_dims",
+    "video_dims",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -150,6 +151,8 @@ _GATE_PRIORITY: list[str] = [
     "quality_filter_pipeline",
     "sketch_users_by_type",
     "sketch_value_quantiles",
+    # (salted_join_hot_customer dropped to slot 51 when video_dims landed
+    # — r05-green on unchanged code, so its verdict stays ≤ 2 rounds old)
     "salted_join_hot_customer",
     # rotated out this round (28, ALL r05-green on unchanged code — their
     # verdicts are 1 round old; they form the front of the r7 rotation):

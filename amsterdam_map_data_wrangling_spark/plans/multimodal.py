@@ -10,6 +10,7 @@ computed through the Python path bit-for-bit.
 from __future__ import annotations
 
 from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+    _MVHD_TAIL_HEX,
     as_media_table,
     extract_features,
 )
@@ -188,6 +189,84 @@ def audio_dims(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     return extract_audio_fmt(synthesize_wav_payloads(documents, "doc_id"))
+
+
+@query(
+    "video_dims",
+    rf"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 4 AS f, doc_id % 3 AS s,
+             600 + (doc_id % 5) * 300 AS ts,
+             (600 + (doc_id % 5) * 300) * (1 + doc_id % 10) AS dur,
+             CASE WHEN doc_id % 2 = 0 THEN 108 ELSE 120 END AS mvhd_sz
+      FROM documents
+    ), p AS (
+      SELECT media_id, f, s,
+             '0000001066747970' || '69736F6D' || '00000200'
+             || lpad(hex(8 + f), 8, '0') || '66726565'
+             || repeat('58', CAST(f AS INTEGER))
+             || lpad(hex(16 + s + mvhd_sz), 8, '0') || '6D6F6F76'
+             || lpad(hex(8 + s), 8, '0') || '736B6970'
+             || repeat('58', CAST(s AS INTEGER))
+             || lpad(hex(mvhd_sz), 8, '0') || '6D766864'
+             || CASE WHEN media_id % 2 = 0
+                     THEN '00000000' || repeat('0', 16)
+                     ELSE '01000000' || repeat('0', 32) END
+             || lpad(hex(ts), 8, '0')
+             || CASE WHEN media_id % 2 = 0
+                     THEN lpad(hex(dur), 8, '0')
+                     ELSE lpad(hex(dur), 16, '0') END
+             || '{_MVHD_TAIL_HEX}' AS hx
+      FROM m
+    ), parsed AS (
+      SELECT media_id,
+             CASE WHEN substr(hx, 9, 8) = '66747970'
+                  THEN 'mp4' ELSE 'unknown' END AS fmt,
+             ('0x' || CASE WHEN media_id % 2 = 0
+                           THEN substr(hx, (60+f+s)*2+1, 8)
+                           ELSE substr(hx, (68+f+s)*2+1, 8) END)::BIGINT
+               AS timescale,
+             ('0x' || CASE WHEN media_id % 2 = 0
+                           THEN substr(hx, (64+f+s)*2+1, 8)
+                           ELSE substr(hx, (72+f+s)*2+1, 16) END)::BIGINT
+               AS duration
+      FROM p
+    )
+    SELECT media_id, fmt,
+           CAST(timescale AS BIGINT) AS timescale,
+           CAST(duration AS BIGINT) AS duration,
+           CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms
+    FROM parsed
+    """,
+    "Header-level MP4 decode, gated end-to-end — closes the multimodal "
+    "family (images: multimodal_dims; audio: audio_dims; video: here): "
+    "payloads are genuine ISO-BMFF box sequences synthesized JVM-side — "
+    "ftyp, then a variable-length free box, then moov CONTAINING a "
+    "variable-length skip box and the mvhd movie header, version 0 "
+    "(32-bit times) on even ids and version 1 (64-bit) on odd — and the "
+    "mapInPandas kernel does the actual walk: top-level boxes by 4-byte "
+    "big-endian size, recursion into the moov container, version-byte "
+    "dispatch in mvhd. A fixed-offset or single-version reader misparses "
+    "most rows. The DuckDB oracle rebuilds the identical bytes with the "
+    "same hex algebra and re-parses them at closed-form offsets; "
+    "duration_ms = duration·1000 // timescale is exact integer "
+    "arithmetic on both engines. Scale: map-only — payload bytes never "
+    "leave the scanning executor.",
+)
+def video_dims(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_video_meta,
+        synthesize_mp4_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    meta = extract_video_meta(synthesize_mp4_payloads(documents, "doc_id"))
+    return meta.withColumn(
+        "duration_ms", F.expr("duration * 1000 DIV timescale")
+    )
 
 
 @query(

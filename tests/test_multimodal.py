@@ -254,6 +254,119 @@ def test_synthesized_wav_payloads_parse_back(spark):
         assert r.bits == 8 + (mid % 3) * 8
 
 
+def test_parse_mp4_mvhd_walks_nested_boxes():
+    """The ISO-BMFF parser does a genuine box walk, pinned on hand-built
+    sequences: mvhd found only by recursing into moov past nested
+    clutter, version-0 and version-1 headers both dispatched, truncated/
+    foreign payloads degrade to None fields."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_mp4_mvhd,
+    )
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def box(typ, payload):
+        return be(8 + len(payload), 4) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + be(0x200, 4))
+
+    def mvhd_v0(ts, dur):
+        return box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8 + be(ts, 4) + be(dur, 4) + b"\x00" * 80)
+
+    def mvhd_v1(ts, dur):
+        return box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16 + be(ts, 4) + be(dur, 8) + b"\x00" * 80)
+
+    # clutter before moov AND inside moov before mvhd
+    mp4 = ftyp + box(b"free", b"xy") + box(
+        b"moov", box(b"skip", b"z") + mvhd_v0(600, 3000)
+    )
+    assert _parse_mp4_mvhd(mp4) == ("mp4", 600, 3000)
+    # version-1: 64-bit duration beyond 2^32
+    mp4v1 = ftyp + box(b"moov", mvhd_v1(90000, 2**33 + 7))
+    assert _parse_mp4_mvhd(mp4v1) == ("mp4", 90000, 2**33 + 7)
+    # mvhd at top level (degenerate but walkable)
+    assert _parse_mp4_mvhd(ftyp + mvhd_v0(1, 2)) == ("mp4", 1, 2)
+    # no mvhd anywhere
+    assert _parse_mp4_mvhd(ftyp + box(b"moov", box(b"skip", b""))) == (
+        "mp4", None, None,
+    )
+    # corrupt size < 8 stops the walk instead of looping forever
+    assert _parse_mp4_mvhd(ftyp + be(3, 4) + b"bad\x00") == ("mp4", None, None)
+    # truncated mvhd payload
+    assert _parse_mp4_mvhd(ftyp + box(b"moov", be(108, 4) + b"mvhd\x00")) == (
+        "mp4", None, None,
+    )
+    # foreign magic
+    assert _parse_mp4_mvhd(b"RIFF\x00\x00\x00\x00WAVE") == ("unknown", None, None)
+    assert _parse_mp4_mvhd(b"") == ("unknown", None, None)
+
+
+def test_parse_mp4_mvhd_roundtrip_property():
+    """Generative round-trip: arbitrary timescale/duration, either mvhd
+    version, and arbitrary box clutter before and inside moov must never
+    confuse the walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_mp4_mvhd,
+    )
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def box(typ, payload):
+        return be(8 + len(payload), 4) + typ + payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.integers(1, 2**32 - 1),
+        dur=st.integers(0, 2**40),
+        v1=st.booleans(),
+        pre=st.lists(st.binary(min_size=0, max_size=24), max_size=3),
+        inner=st.lists(st.binary(min_size=0, max_size=24), max_size=3),
+    )
+    def check(ts, dur, v1, pre, inner):
+        if not v1:
+            dur %= 2**32
+            mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8 + be(ts, 4) + be(dur, 4) + b"\x00" * 80)
+        else:
+            mvhd = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16 + be(ts, 4) + be(dur, 8) + b"\x00" * 80)
+        mp4 = box(b"ftyp", b"isom" + be(0x200, 4))
+        for data in pre:
+            mp4 += box(b"free", data)
+        mp4 += box(b"moov", b"".join(box(b"skip", d) for d in inner) + mvhd)
+        assert _parse_mp4_mvhd(mp4) == ("mp4", ts, dur)
+
+    check()
+
+
+def test_synthesized_mp4_payloads_parse_back(spark):
+    """End-to-end twin of the video_dims gate, without DuckDB: the
+    JVM-synthesized ISO-BMFF bytes parse back to the id-derived fields,
+    and the variable free/skip boxes really vary the mvhd offset."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_video_meta,
+        synthesize_mp4_payloads,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(40)
+    media = synthesize_mp4_payloads(docs, "doc_id")
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    offsets = set()
+    for mid, b in raw.items():
+        assert b[4:8] == b"ftyp"
+        offsets.add(b.index(b"mvhd"))
+    assert len(offsets) > 1, "free/skip boxes must vary the mvhd offset"
+    got = {r.media_id: r for r in extract_video_meta(media).collect()}
+    for mid, r in got.items():
+        ts = 600 + (mid % 5) * 300
+        assert r.fmt == "mp4"
+        assert r.timescale == ts
+        assert r.duration == ts * (1 + mid % 10)
+
+
 def test_parse_image_dims_roundtrip_property():
     """Generative round-trip: arbitrary dimensions and arbitrary
     leading chunk/segment clutter must never confuse the walk — the
