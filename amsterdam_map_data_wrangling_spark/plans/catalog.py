@@ -127,6 +127,7 @@ _GATE_PRIORITY: list[str] = [
     # (c) new this round
     "audio_dims",
     "video_dims",
+    "runtime_bloom_filter_join",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -150,9 +151,10 @@ _GATE_PRIORITY: list[str] = [
     "token_budget_pack_sharded",
     "quality_filter_pipeline",
     "sketch_users_by_type",
+    # (sketch_value_quantiles + salted_join_hot_customer dropped past
+    # slot 50 when video_dims / runtime_bloom_filter_join landed —
+    # r05-green on unchanged code, so their verdicts stay ≤ 2 rounds old)
     "sketch_value_quantiles",
-    # (salted_join_hot_customer dropped to slot 51 when video_dims landed
-    # — r05-green on unchanged code, so its verdict stays ≤ 2 rounds old)
     "salted_join_hot_customer",
     # rotated out this round (28, ALL r05-green on unchanged code — their
     # verdicts are 1 round old; they form the front of the r7 rotation):

@@ -343,6 +343,59 @@ def join_revenue_by_priority(spark, sf_dir):
 
 
 @query(
+    "runtime_bloom_filter_join",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY priority ORDER BY priority
+    """,
+    "Runtime bloom-filter join pruning — Spark's row-level runtime "
+    "filter (SPARK-32268): a selective dim (one mktsegment) joined to "
+    "the fact, in the 100 TB shape where the dim side exceeds any "
+    "broadcast threshold so the join must shuffle BOTH sides. With "
+    "spark.sql.optimizer.runtime.bloomFilter.* on, Catalyst plants a "
+    "bloom_filter_agg subquery on the dim and a might_contain filter on "
+    "the fact scan, so ~4/5 of fact rows drop BEFORE the fact's shuffle "
+    "exchange — the single biggest shuffle-byte lever for selective "
+    "fact-dim joins at scale. Configs are scoped to a child session "
+    "(newSession shares the SparkContext but clones SQLConf) so no "
+    "other query inherits the forced-shuffle shape. Bloom false "
+    "positives cost only wasted shuffle rows; the exact join removes "
+    "them, so the gated result is identical to the plain join the "
+    "oracle runs — the bloom's presence is pinned by plan shape "
+    "(tests/test_plan_shapes.py), its harmlessness by this hash gate.",
+)
+def runtime_bloom_filter_join(spark, sf_dir):
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # fact side is far below the 10 GiB default application-side
+    # threshold at test SFs — drop it so the sf0.01/sf0.1 plan is the
+    # same one a 100 TB fact would get
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders, customer = _t(s2, sf_dir, "orders", "customer")
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
     "star_join_customers_by_region",
     """
     SELECT r.r_name AS region, COUNT(*) AS num_customers,

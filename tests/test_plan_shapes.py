@@ -167,3 +167,27 @@ def test_pii_redaction_is_narrow_map_plus_one_agg_shuffle(spark):
     assert "Join" not in plan
     assert "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_multimodal_audio_video_are_map_only(spark):
+    """The audio/video header parses share the image contract: synthesis
+    (hex concat -> unhex) + mapInPandas walk as one narrow pipeline —
+    zero Exchange, zero join."""
+    for name in ("audio_dims", "video_dims"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert "Join" not in plan, name
+
+
+def test_runtime_bloom_filter_is_planted_on_fact_side(spark):
+    """The runtime-filter join must carry Catalyst's injected bloom: a
+    bloom_filter_agg subquery on the dim side and a might_contain filter
+    on the fact scan, ahead of a shuffle join (broadcast disabled in the
+    query's child session to model the 100 TB dim)."""
+    df = QUERIES["runtime_bloom_filter_join"].build(spark, SF_ORACLE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in optimized
+    assert "bloom_filter_agg" in optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in physical  # forced 100 TB shuffle shape

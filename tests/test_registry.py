@@ -78,6 +78,7 @@ def test_gate_priority_orders_catalog():
     for name in ("range_join_balance_bands",  # changed: order-free int gate
                  "audio_dims",  # new: WAV/RIFF header parse
                  "video_dims",  # new: MP4/ISO-BMFF box walk
+                 "runtime_bloom_filter_join",  # new: runtime filter join
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
                  "scan_filter_project", "pct_shares", "text_stats",
