@@ -128,6 +128,8 @@ _GATE_PRIORITY: list[str] = [
     "audio_dims",
     "video_dims",
     "runtime_bloom_filter_join",
+    "funnel_conversion",
+    "key_skew_profile",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -149,11 +151,12 @@ _GATE_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_budget_pack",
     "token_budget_pack_sharded",
+    # (the four below dropped past slot 50 as the round-6 additions —
+    # video_dims, runtime_bloom_filter_join, funnel_conversion,
+    # key_skew_profile — landed; all four are r05-green on unchanged
+    # code, so their verdicts stay ≤ 2 rounds old)
     "quality_filter_pipeline",
     "sketch_users_by_type",
-    # (sketch_value_quantiles + salted_join_hot_customer dropped past
-    # slot 50 when video_dims / runtime_bloom_filter_join landed —
-    # r05-green on unchanged code, so their verdicts stay ≤ 2 rounds old)
     "sketch_value_quantiles",
     "salted_join_hot_customer",
     # rotated out this round (28, ALL r05-green on unchanged code — their

@@ -593,6 +593,119 @@ def event_gap_stats(spark, sf_dir):
 
 
 @query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+      FROM events
+    ), s2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' AND r1 = 1
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      FROM s1
+    ), s3 AS (
+      SELECT *, max(CASE WHEN event_type = 'purchase' AND r2 = 1
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, max(r1) AS m1, max(r2) AS m2, max(r3) AS m3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(m1) AS BIGINT) AS reached_view,
+           CAST(SUM(m2) AS BIGINT) AS reached_click,
+           CAST(SUM(m3) AS BIGINT) AS reached_purchase
+    FROM per_user
+    """,
+    "Ordered-sequence funnel (view → click → purchase, in timestamp "
+    "order per user) — the conversion query every event pipeline runs. "
+    "Implemented as three chained running-max flags over ONE window "
+    "(same partition + order ⇒ one shuffle, one sort): r1 = seen a "
+    "view; r2 = seen a click at-or-after that view; r3 = seen a "
+    "purchase at-or-after that click — then per-user maxima and a "
+    "1-row global rollup. Scale: the per-user groupBy reuses the "
+    "window's hash partitioning (no second wide exchange), and state "
+    "per row is three bits — no per-user event list is ever collected.",
+)
+def funnel_conversion(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = events.withColumn(
+        "r1", F.max((F.col("event_type") == "view").cast("int")).over(w)
+    )
+    s2 = s1.withColumn(
+        "r2",
+        F.max(
+            ((F.col("event_type") == "click") & (F.col("r1") == 1)).cast("int")
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "r3",
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("r2") == 1)).cast("int")
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("r1").alias("m1"),
+        F.max("r2").alias("m2"),
+        F.max("r3").alias("m3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("m1").alias("reached_view"),
+        F.sum("m2").alias("reached_click"),
+        F.sum("m3").alias("reached_purchase"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(length(bin(cnt)) AS BIGINT) AS n_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_key
+    FROM counts GROUP BY n_bits ORDER BY n_bits
+    """,
+    "Key-skew profile — the diagnostic behind every shuffle-debug at "
+    "scale: per-key row counts bucketed by bit length (power-of-two "
+    "histogram), with keys/rows/max per bucket. A heavy-hitter key "
+    "shows up as a lone populated high bucket — the signal that a join "
+    "or agg on this key needs salting (operators/skew.py) or an AQE "
+    "skew split. Bit length via length(bin(cnt)) — exact integer "
+    "algebra on both engines, immune to the float-log2 boundary error "
+    "at exact powers of two. Scale: one shuffle on the key, then a "
+    "histogram over one row per DISTINCT key — output is ~64 rows no "
+    "matter the corpus.",
+)
+def key_skew_profile(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy(F.length(F.bin("cnt")).cast("long").alias("n_bits"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_per_key"),
+        )
+        .orderBy("n_bits")
+    )
+
+
+@query(
     "asof_last_click_before_error",
     """
     WITH err AS (SELECT event_id, user_id, ts FROM events

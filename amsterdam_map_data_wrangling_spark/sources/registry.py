@@ -10,6 +10,7 @@ tables costs nothing until a query runs.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -17,15 +18,21 @@ from amsterdam_map_data_wrangling_spark.schemas import STAR_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: (application id, sf_dir, table) → DataFrame. A DataFrame is just a
-#: logical plan — caching it skips the parquet footer/schema read that
+#: session → {(sf_dir, table) → DataFrame}. A DataFrame is just a logical
+#: plan — caching it skips the parquet footer/schema read that
 #: ``spark.read.parquet`` performs eagerly, which dominates when a catalog
-#: of 70 queries each re-loads its inputs. Keyed on the SparkContext's
-#: applicationId (unique per context), NOT ``id(spark)``: CPython reuses
-#: object ids after GC, so an id-keyed cache could hand a new session plans
-#: bound to a dead one. The testdata is read-only, so plans never go stale;
-#: ``clear_cache`` exists for other inputs.
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: of 80 queries each re-loads its inputs. Keyed WEAKLY on the session
+#: object itself, not on applicationId: ``spark.newSession()`` shares the
+#: applicationId but has its OWN SQLConf, and a DataFrame optimizes under
+#: the session that created it — an app-keyed cache handed child sessions
+#: plans bound to the parent, silently discarding the child's conf
+#: (runtime_bloom_filter_join's scoped configs found this). Weak keys
+#: avoid the stale-id hazard of ``id(spark)`` (CPython reuses ids after
+#: GC): an entry dies with its session. The testdata is read-only, so
+#: plans never go stale; ``clear_cache`` exists for other inputs.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def clear_cache() -> None:
@@ -47,10 +54,10 @@ def load_tables(
     # results are identical on any session regardless of host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
-    app_id = spark.sparkContext.applicationId
+    per_session = _DF_CACHE.setdefault(spark, {})
     for name in names:
-        key = (app_id, sf_dir, name)
-        if key not in _DF_CACHE:
+        key = (sf_dir, name)
+        if key not in per_session:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 raise FileNotFoundError(f"table {name!r} not found at {path}")
@@ -74,8 +81,8 @@ def load_tables(
                     )
             else:
                 df = spark.read.parquet(path)
-            _DF_CACHE[key] = _fix_nanos(df)
-        out[name] = _DF_CACHE[key]
+            per_session[key] = _fix_nanos(df)
+        out[name] = per_session[key]
     return out
 
 

@@ -191,3 +191,12 @@ def test_runtime_bloom_filter_is_planted_on_fact_side(spark):
     assert "bloom_filter_agg" in optimized
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in physical  # forced 100 TB shuffle shape
+
+
+def test_funnel_groupby_reuses_window_partitioning(spark):
+    """The funnel's per-user groupBy must ride the window's user_id hash
+    partitioning — one wide exchange total (plus the 1-row final agg's
+    single-partition exchange), one sort."""
+    plan = _plan(spark, "funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
