@@ -130,6 +130,8 @@ _GATE_PRIORITY: list[str] = [
     "runtime_bloom_filter_join",
     "funnel_conversion",
     "key_skew_profile",
+    "zorder_layout_stats",
+    "dedup_keep_canonical",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -149,12 +151,13 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
+    # (the six below dropped past slot 50 as the round-6 additions —
+    # video_dims, runtime_bloom_filter_join, funnel_conversion,
+    # key_skew_profile, zorder_layout_stats, dedup_keep_canonical —
+    # landed; all six are r05-green on unchanged code, so their verdicts
+    # stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",
-    # (the four below dropped past slot 50 as the round-6 additions —
-    # video_dims, runtime_bloom_filter_join, funnel_conversion,
-    # key_skew_profile — landed; all four are r05-green on unchanged
-    # code, so their verdicts stay ≤ 2 rounds old)
     "quality_filter_pipeline",
     "sketch_users_by_type",
     "sketch_value_quantiles",

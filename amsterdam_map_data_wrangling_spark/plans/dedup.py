@@ -226,6 +226,66 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_canonical",
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """
+    , pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ), clusters AS (
+      SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_in_clusters,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (COUNT(*) - COUNT(DISTINCT cluster_id)) AS BIGINT)
+             AS n_kept
+    FROM clusters
+    """,
+    "The dedup pipeline's FINAL stage — pair generation → connected "
+    "components → keep ONE canonical doc (min doc_id) per component, "
+    "drop the rest: the numbers every corpus-dedup report leads with "
+    "(docs in, near-dup components, survivors out). Docs in no "
+    "component are their own canonical, so n_kept = total − (clustered "
+    "− components). Scale: everything up to the 1-row rollup is the "
+    "dedup_clusters plan (blocked pair space, hop-bounded components); "
+    "the rollup adds one count-distinct over one row per clustered doc.",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    )
+    cc = connected_components(pairs)
+    stats = cc.agg(
+        F.count("*").alias("n_in_clusters"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    total = documents.agg(F.count("*").alias("n_docs"))
+    return total.crossJoin(stats).select(
+        "n_docs",
+        "n_in_clusters",
+        "n_clusters",
+        (
+            F.col("n_docs") - (F.col("n_in_clusters") - F.col("n_clusters"))
+        ).alias("n_kept"),
+    )
+
+
+@query(
     "dedup_minhash_portable",
     r"""
     WITH toks AS (

@@ -705,6 +705,72 @@ def key_skew_profile(spark, sf_dir):
     )
 
 
+#: Z-order (Morton) interleave of two 8-bit coordinates, generated as
+#: plain integer arithmetic once per dialect — bit i of x lands at z-bit
+#: 2i, bit i of y at 2i+1. Multiplication by the power of two instead of
+#: a dialect-specific shift operator keeps the two strings semantically
+#: identical symbol-for-symbol.
+_Z8_SPARK = " + ".join(
+    f"(shiftright(x, {i}) % 2) * {1 << (2 * i)}"
+    f" + (shiftright(y, {i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+_Z8_DUCK = " + ".join(
+    f"((x >> {i}) & 1) * {1 << (2 * i)}"
+    f" + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+
+@query(
+    "zorder_layout_stats",
+    f"""
+    WITH coords AS (
+      SELECT user_id % 256 AS x,
+             CAST(floor(value) AS BIGINT) % 256 AS y
+      FROM events
+    ), z AS (
+      SELECT x, y, {_Z8_DUCK} AS zval FROM coords
+    )
+    SELECT CAST(zval // 256 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_lo, CAST(MAX(x) AS BIGINT) AS x_hi,
+           CAST(MIN(y) AS BIGINT) AS y_lo, CAST(MAX(y) AS BIGINT) AS y_hi
+    FROM z GROUP BY tile ORDER BY tile
+    """,
+    "Z-order (Morton) layout clustering — the multi-dimensional data-"
+    "layout op behind OPTIMIZE ZORDER-style file skipping: interleave "
+    "the bits of two columns so one sort key preserves locality in "
+    "BOTH, then files written in z order serve min/max pruning for "
+    "predicates on either column. Gated output: per z-tile (top 8 of "
+    "16 z bits) row counts plus per-tile x/y bounds — a contiguous "
+    "z-tile is a 16x16 coordinate box, so the bounds THEMSELVES prove "
+    "the locality property (x_hi-x_lo and y_hi-y_lo <= 15 on every "
+    "row). The interleave is closed-form integer arithmetic generated "
+    "identically for both engines. Scale: narrow map + one agg shuffle "
+    "over <= 256 tiles; as a write-side layout the same expression "
+    "feeds repartitionByRange(zval) before the parquet sink.",
+)
+def zorder_layout_stats(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    coords = events.select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor("value").cast("long") % 256).alias("y"),
+    )
+    z = coords.withColumn("zval", F.expr(_Z8_SPARK))
+    return (
+        z.groupBy(F.shiftright("zval", 8).cast("long").alias("tile"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        .orderBy("tile")
+    )
+
+
 @query(
     "asof_last_click_before_error",
     """
