@@ -389,3 +389,143 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     got = {r.lang: r.n for r in merged.collect()}
     expect = {r.lang: r.n for r in want.collect()}
     assert got == expect and sum(got.values()) == 200
+
+
+def test_streaming_funnel_flags_match_batch_funnel(spark):
+    """applyInPandasWithState funnel: after draining the stream, the
+    per-user monotone stage flags must equal the batch funnel's chained
+    running-max window flags (the funnel_conversion per-user maxima)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.funnel import (
+        streaming_funnel_flags,
+    )
+
+    stream = streaming_funnel_flags(read_events_stream(spark, SF_ORACLE))
+    assert stream.isStreaming
+    (
+        stream.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # flags are monotone, so the per-user max across batch emissions is
+    # the final state
+    got = {
+        r.user_id: (r.r1, r.r2, r.r3)
+        for r in spark.table("t_funnel")
+        .groupBy("user_id")
+        .agg(
+            F.max("reached_view").alias("r1"),
+            F.max("reached_click").alias("r2"),
+            F.max("reached_purchase").alias("r3"),
+        )
+        .collect()
+    }
+    events = load_tables(spark, SF_ORACLE, ["events"])["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = events.withColumn(
+        "r1", F.max((F.col("event_type") == "view").cast("int")).over(w)
+    )
+    s2 = s1.withColumn(
+        "r2",
+        F.max(
+            ((F.col("event_type") == "click") & (F.col("r1") == 1)).cast("int")
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "r3",
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("r2") == 1)).cast("int")
+        ).over(w),
+    )
+    want = {
+        r.user_id: (r.r1, r.r2, r.r3)
+        for r in s3.groupBy("user_id")
+        .agg(
+            F.max("r1").alias("r1"),
+            F.max("r2").alias("r2"),
+            F.max("r3").alias("r3"),
+        )
+        .collect()
+    }
+    assert got == want
+    # flags are a valid monotone cascade and the funnel actually fires
+    # (sf0.01 gives every user ~13 events over 5 types, so full
+    # conversion everywhere is the EXPECTED fixture behavior — stage
+    # diversity is exercised by the synthetic split-batch test below)
+    assert got, "no users emitted"
+    for r1, r2, r3 in got.values():
+        assert r1 >= r2 >= r3
+    assert (1, 1, 1) in set(got.values())
+
+
+def test_funnel_handler_gates_stages_across_batches():
+    """The funnel state handler, driven directly with a fake GroupState
+    and hand-built pandas batches: intra-batch disorder is repaired by
+    the event-time sort, a click BEFORE the first view never counts,
+    and stage bits persist and cascade across micro-batches."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.funnel import _update_funnel
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_type": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "event_id": [r[2] for r in rows],
+            }
+        )
+
+    def run(state, rows):
+        (out,) = _update_funnel((1,), iter([batch(rows)]), state)
+        return tuple(out.iloc[0][c] for c in
+                     ("reached_view", "reached_click", "reached_purchase"))
+
+    # click arrives physically first but is EARLIER in event time than
+    # the view: sort repairs the order, so the click must NOT count
+    st = FakeState()
+    assert run(st, [("click", "2024-01-01 00:00", 0),
+                    ("view", "2024-01-01 00:01", 1)]) == (1, 0, 0)
+    # next batch: purchase before any click → still gated
+    assert run(st, [("purchase", "2024-01-01 00:02", 2)]) == (1, 0, 0)
+    # click now counts (view bit persisted from batch 1)...
+    assert run(st, [("click", "2024-01-01 00:03", 3)]) == (1, 1, 0)
+    # ...and a same-batch purchase AFTER the click completes the funnel
+    assert run(st, [("purchase", "2024-01-01 00:05", 4)]) == (1, 1, 1)
+    # a fresh user whose events all land in one disordered batch
+    st2 = FakeState()
+    assert run(st2, [("purchase", "2024-01-01 00:03", 2),
+                     ("view", "2024-01-01 00:01", 0),
+                     ("click", "2024-01-01 00:02", 1)]) == (1, 1, 1)
+    # purchase between view and click gates stage 3 (purchase must
+    # follow the click, not just the view)
+    st3 = FakeState()
+    assert run(st3, [("view", "2024-01-01 00:01", 0),
+                     ("purchase", "2024-01-01 00:02", 1),
+                     ("click", "2024-01-01 00:03", 2)]) == (1, 1, 0)
