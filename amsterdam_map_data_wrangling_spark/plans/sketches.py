@@ -173,3 +173,98 @@ def sketch_value_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    """
+    WITH counters AS (
+      SELECT i,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                 || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events CROSS JOIN range(4) t(i)
+      GROUP BY i, bucket
+    ), topk AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+    ), probes AS (
+      SELECT user_id, true_cnt, i,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                 || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM topk CROSS JOIN range(4) t(i)
+    )
+    SELECT p.user_id, p.true_cnt, CAST(MIN(c.c) AS BIGINT) AS est_cnt
+    FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.true_cnt
+    ORDER BY p.true_cnt DESC, p.user_id ASC
+    """,
+    "Count-min sketch heavy hitters — the third sketch family (HLL = "
+    "distincts, KLL/GK = quantiles, CMS = frequencies): a fixed d=4 × "
+    "w=256 counter matrix built with the portable md5 hash family "
+    "(dedup_minhash_portable's cross-engine anchor), point-queried for "
+    "the true top-10 keys as est = min over rows of the key's counter. "
+    "With a FIXED seeded family the estimate is deterministic, so both "
+    "engines compute IDENTICAL integers and the gate is a full value "
+    "hash — stronger than the HLL/quantile contract booleans (those "
+    "estimators are engine-specific; this one is the spec). est ≥ true "
+    "always (collisions only add), visible in the gated pairs. Scale: "
+    "the sketch is 1024 counters regardless of corpus — the groupBy IS "
+    "the merge (map-side partials = per-partition sketches), daily "
+    "sketches re-merge by summing counters, and the probe join "
+    "broadcasts a ≤1024-row relation.",
+)
+def cms_heavy_hitters(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    d, w = 4, 256
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
+    keyed = events.select(F.col("user_id").cast("string").alias("k"), rows)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("k"), F.col("i"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    counters = (
+        keyed.select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    topk = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = topk.select(
+        "user_id", "true_cnt", rows
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("user_id").cast("string"), F.col("i")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w,
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    )

@@ -89,3 +89,49 @@ def test_quantile_contract_columns_all_true(spark):
         assert r["p50_rank_ok"] is True, r
         assert r["p95_rank_ok"] is True, r
         assert r["p99_rank_ok"] is True, r
+
+
+def test_cms_overestimates_every_key_and_merges(spark):
+    """Count-min guarantees: est >= true for EVERY key (not just the
+    gated top-10), and the sketch of two disjoint halves, merged by
+    summing counters, equals the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    events = load_tables(spark, SF_ORACLE, ["events"])["events"]
+    d, w = 4, 256
+
+    def sketch(df):
+        rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
+        keyed = df.select(F.col("user_id").cast("string").alias("k"), rows)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", "k", "i")), 1, 15), 16, 10
+            ).cast("long")
+            % w
+        )
+        return (
+            keyed.select("i", bucket.alias("bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    full = {(r.i, r.bucket): r.c for r in sketch(events).collect()}
+    # merge = counter-wise sum of per-half sketches
+    lo = sketch(events.filter(F.col("event_id") % 2 == 0))
+    hi = sketch(events.filter(F.col("event_id") % 2 == 1))
+    merged = {}
+    for r in lo.unionByName(hi).collect():
+        merged[(r.i, r.bucket)] = merged.get((r.i, r.bucket), 0) + r.c
+    assert merged == full
+    # est >= true for every key
+    true = {r.user_id: r.n for r in
+            events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    import hashlib
+    for uid, n in true.items():
+        est = min(
+            full[(i, int(hashlib.md5(f"{uid}#{i}".encode()).hexdigest()[:15], 16) % w)]
+            for i in range(d)
+        )
+        assert est >= n, (uid, est, n)
