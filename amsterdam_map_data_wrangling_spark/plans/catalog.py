@@ -133,6 +133,8 @@ _GATE_PRIORITY: list[str] = [
     "zorder_layout_stats",
     "dedup_keep_canonical",
     "cms_heavy_hitters",
+    "equi_depth_histogram",
+    "expectations_report",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -152,11 +154,12 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the seven below dropped past slot 50 as the round-6 additions —
+    # (the nine below dropped past slot 50 as the round-6 additions —
     # video_dims, runtime_bloom_filter_join, funnel_conversion,
     # key_skew_profile, zorder_layout_stats, dedup_keep_canonical,
-    # cms_heavy_hitters — landed; all seven are r05-green on unchanged
-    # code, so their verdicts stay ≤ 2 rounds old)
+    # cms_heavy_hitters, equi_depth_histogram, expectations_report —
+    # landed; all nine are r05-green on unchanged code, so their verdicts
+    # stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",

@@ -374,3 +374,115 @@ def salted_join_hot_customer(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "equi_depth_histogram",
+    """
+    WITH binned AS (
+      SELECT value,
+             ntile(8) OVER (ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(value), 2) AS lo,
+           round(MAX(value), 2) AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "Equi-depth histogram over a value column (8 bins of equal row "
+    "count via ntile with a total tie-break order): per-bin bounds + "
+    "counts — the statistic behind range-partition boundary planning "
+    "(repartitionByRange samples toward exactly these cut points), "
+    "skew-aware bucketing, and optimizer selectivity estimates. Gated "
+    "exactly: ntile over a TOTAL order is deterministic, and bin "
+    "min/max are exact values both engines agree on. Scale note: ntile "
+    "needs a global sort here (the gate needs exact determinism); the "
+    "production path at 100 TB swaps in approx_percentile cut points "
+    "(sketch_value_quantiles) and keeps this exact form for bounded "
+    "slices.",
+)
+def equi_depth_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    binned = events.select("value", F.ntile(8).over(w).alias("bin"))
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "expectations_report",
+    """
+    SELECT 'customer_custkey_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_checked,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+    ORDER BY rule
+    """,
+    "Data-quality expectations — the validation pass every production "
+    "table runs before downstream jobs trust it: uniqueness (PK), "
+    "referential integrity (FK via LEFT ANTI join — never a NOT IN "
+    "subquery per row at scale), range rule, and null rule, each "
+    "reported as (rule, n_checked, n_violations). Scale: uniqueness is "
+    "one count-distinct; the FK check is a broadcast-or-shuffle anti "
+    "join; range/null rules are scan-side conditional counts that "
+    "collapse into one aggregate per table. All four run as independent "
+    "1-row aggregates unioned at the end — no cross-table shuffle.",
+)
+def expectations_report(spark, sf_dir):
+    customer, orders, lineitem, events = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "events"
+    )
+    uniq = customer.agg(
+        F.lit("customer_custkey_unique").alias("rule"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+    )
+    fk_total = orders.agg(F.count("*").alias("n_checked"))
+    fk_bad = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_violations"))
+    fk = fk_total.crossJoin(fk_bad).select(
+        F.lit("orders_custkey_fk").alias("rule"), "n_checked", "n_violations"
+    )
+    qty = lineitem.agg(
+        F.lit("lineitem_quantity_range").alias("rule"),
+        F.count("*").alias("n_checked"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("n_violations"),
+    )
+    ts_null = events.agg(
+        F.lit("events_ts_not_null").alias("rule"),
+        F.count("*").alias("n_checked"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("n_violations"),
+    )
+    return (
+        uniq.unionByName(fk).unionByName(qty).unionByName(ts_null).orderBy("rule")
+    )

@@ -82,6 +82,7 @@ def test_gate_priority_orders_catalog():
                  "funnel_conversion", "key_skew_profile",  # new: events analytics
                  "zorder_layout_stats", "dedup_keep_canonical",  # new: layout + dedup rollup
                  "cms_heavy_hitters",  # new: count-min sketch
+                 "equi_depth_histogram", "expectations_report",  # new: stats + DQ
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
                  "scan_filter_project", "pct_shares", "text_stats",
