@@ -103,16 +103,18 @@ def test_cms_overestimates_every_key_and_merges(spark):
     d, w = 4, 256
 
     def sketch(df):
-        rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
-        keyed = df.select(F.col("user_id").cast("string").alias("k"), rows)
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat_ws("#", "k", "i")), 1, 15), 16, 10
-            ).cast("long")
-            % w
+        h = F.md5(F.col("user_id").cast("string"))
+        withb = df.select(
+            *[
+                (
+                    F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long") % w
+                ).alias(f"_b{i}")
+                for i in range(d)
+            ]
         )
+        stack = ", ".join(f"{i}, _b{i}" for i in range(d))
         return (
-            keyed.select("i", bucket.alias("bucket"))
+            withb.selectExpr(f"stack({d}, {stack}) AS (i, bucket)")
             .groupBy("i", "bucket")
             .agg(F.count("*").alias("c"))
         )
@@ -130,8 +132,8 @@ def test_cms_overestimates_every_key_and_merges(spark):
             events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     import hashlib
     for uid, n in true.items():
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
         est = min(
-            full[(i, int(hashlib.md5(f"{uid}#{i}".encode()).hexdigest()[:15], 16) % w)]
-            for i in range(d)
+            full[(i, int(hx[i * 8 : i * 8 + 8], 16) % w)] for i in range(d)
         )
         assert est >= n, (uid, est, n)
