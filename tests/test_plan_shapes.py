@@ -200,3 +200,33 @@ def test_funnel_groupby_reuses_window_partitioning(spark):
     plan = _plan(spark, "funnel_conversion")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_zorder_is_narrow_map_plus_one_agg_exchange(spark):
+    """The Morton interleave must stay a narrow codegen map: no join,
+    exactly one hash exchange (the per-tile aggregate)."""
+    plan = _plan(spark, "zorder_layout_stats")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_key_skew_profile_is_two_aggs_no_join(spark):
+    """Key counts then histogram: two hash exchanges, nothing else."""
+    plan = _plan(spark, "key_skew_profile")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark):
+    """The CMS probe must broadcast the fixed-size counter relation —
+    never shuffle or nested-loop the corpus against it."""
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expectations_fk_rule_uses_anti_join(spark):
+    """Referential integrity must run as a LEFT ANTI join, not a per-row
+    NOT IN subquery."""
+    plan = _plan(spark, "expectations_report")
+    assert "LeftAnti" in plan
