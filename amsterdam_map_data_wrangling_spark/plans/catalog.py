@@ -122,8 +122,10 @@ _GATE_PRIORITY: list[str] = [
     "json_props_stats",
     "value_percentiles_by_type",
     # (b) changed this round (r5 ADVICE: order-free integer gate replaces
-    #     the half-cent-prone rounded avg)
+    #     the half-cent-prone rounded avg; star_join brought in line with
+    #     the exact-cents float-SUM convention)
     "range_join_balance_bands",
+    "star_join_customers_by_region",
     # (c) new this round
     "audio_dims",
     "video_dims",
@@ -154,12 +156,9 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the nine below dropped past slot 50 as the round-6 additions —
-    # video_dims, runtime_bloom_filter_join, funnel_conversion,
-    # key_skew_profile, zorder_layout_stats, dedup_keep_canonical,
-    # cms_heavy_hitters, equi_depth_histogram, expectations_report —
-    # landed; all nine are r05-green on unchanged code, so their verdicts
-    # stay ≤ 2 rounds old)
+    # (the ten below dropped past slot 50 as the round-6 additions and
+    # the star_join convention fix landed; all ten are r05-green on
+    # unchanged code, so their verdicts stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",

@@ -399,7 +399,8 @@ def runtime_bloom_filter_join(spark, sf_dir):
     "star_join_customers_by_region",
     """
     SELECT r.r_name AS region, COUNT(*) AS num_customers,
-           round(SUM(c.c_acctbal), 2) AS total_acctbal
+           round(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -408,7 +409,9 @@ def runtime_bloom_filter_join(spark, sf_dir):
     """,
     "Star join with explicitly broadcast dims (nation 25 rows, region 5): "
     "zero shuffle for the joins at any scale — only the final tiny agg "
-    "shuffles.",
+    "shuffles. Balance total gated over EXACT integer cents (catalog "
+    "float-SUM convention: the summand is an exact 2-decimal quantity, "
+    "so a double SUM's accumulation order is avoidable risk).",
 )
 def star_join_customers_by_region(spark, sf_dir):
     customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
@@ -418,7 +421,9 @@ def star_join_customers_by_region(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("num_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("total_acctbal"),
         )
         .orderBy("region")
     )
