@@ -29,3 +29,81 @@ def test_documents_roundtrip(spark, fmt):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Schema evolution — the 100 TB reality that yesterday's files have
+    fewer columns than today's: an appended batch adds a column; reading
+    with mergeSchema unifies the schema and null-backfills old rows,
+    and column pruning on the shared columns still works."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BASE, "evolve")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.limit(20).write.mode("overwrite").parquet(path)
+    docs.filter(F.col("doc_id").between(100, 119)).withColumn(
+        "quality", F.lit(0.5)
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    assert merged.count() == 40
+    # old rows backfill null, new rows keep their value
+    assert merged.filter(F.col("quality").isNull()).count() == 20
+    assert merged.filter(F.col("quality") == 0.5).count() == 20
+    # WITHOUT mergeSchema the footer-sampled schema may miss the new
+    # column — pruning to shared columns must stay correct either way
+    assert (
+        spark.read.parquet(path).select("doc_id").distinct().count()
+        == merged.select("doc_id").distinct().count()
+    )
+
+
+def test_jsonl_corrupt_record_modes(spark):
+    """Malformed lines in a JSONL corpus: PERMISSIVE quarantines them in
+    _corrupt_record (pipeline keeps going, bad rows auditable),
+    DROPMALFORMED silently drops, FAILFAST raises — the three contracts
+    an ingest stage picks between."""
+    from pyspark.sql import types as T
+
+    path = os.path.join(BASE, "corrupt")
+    os.makedirs(path, exist_ok=True)
+    lines = [
+        '{"doc_id": 1, "text": "good row"}',
+        '{"doc_id": 2, "text": "also good"}',
+        '{"doc_id": 3, "text": "truncated',  # malformed
+        "not json at all",  # malformed
+    ]
+    with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = spark.read.schema(schema).json(path)
+    # Spark requires caching/materialization to query _corrupt_record
+    # alongside data columns in one pass
+    rows = permissive.cache().collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    permissive.unpersist()
+    assert {r.doc_id for r in good} == {1, 2}
+    assert len(bad) == 2
+
+    dropped = (
+        spark.read.schema(
+            T.StructType(schema.fields[:2])
+        ).option("mode", "DROPMALFORMED").json(path)
+    )
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
+
+    with pytest.raises(Exception):
+        spark.read.schema(T.StructType(schema.fields[:2])).option(
+            "mode", "FAILFAST"
+        ).json(path).collect()
