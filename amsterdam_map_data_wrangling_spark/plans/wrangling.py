@@ -486,3 +486,63 @@ def expectations_report(spark, sf_dir):
     return (
         uniq.unionByName(fk).unionByName(qty).unionByName(ts_null).orderBy("rule")
     )
+
+
+@query(
+    "python_datasource_stats",
+    """
+    WITH ids AS (
+      SELECT range AS doc_id FROM range(2000)
+    ), docs AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'en' WHEN 1 THEN 'nl' WHEN 2 THEN 'de'
+               WHEN 3 THEN 'fr' ELSE 'xx' END AS lang,
+             (SELECT substr(h,1,4) || ' ' || substr(h,5,4) || ' '
+                  || substr(h,9,4) || ' ' || substr(h,13,4) || ' '
+                  || substr(h,17,4) || ' ' || substr(h,21,4) || ' '
+                  || substr(h,25,4) || ' ' || substr(h,29,4)
+              FROM (SELECT md5('42:' || CAST(doc_id AS VARCHAR)) AS h)) AS text
+      FROM ids
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           min(md5(text)) AS fp_min,
+           max(md5(text)) AS fp_max
+    FROM docs GROUP BY lang ORDER BY lang
+    """,
+    "Custom PYTHON DATA SOURCE, gated end-to-end — the Spark 4 "
+    "pyspark.sql.datasource extension surface (schema, options, "
+    "partition planning, per-partition generation) consumed through the "
+    "ordinary read path: a deterministic synthetic-document generator "
+    "(sources/synthdocs.py) reads 2000 docs across 8 self-describing id "
+    "ranges, then per-lang counts, id sums, and min/max md5 of the "
+    "generated text gate the CONTENT byte-for-byte — the DuckDB oracle "
+    "replays generation with its own md5 over range(2000), so a "
+    "partition-planning bug (dropped/duplicated range) or a generation "
+    "drift flips the hash. The scale story IS the source: soak tests "
+    "and backfills materialize any volume with zero input files and no "
+    "coordination — each partition generates its own range.",
+)
+def python_datasource_stats(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.sources import synthdocs
+
+    synthdocs.register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 2000)
+        .option("partitions", 8)
+        .option("seed", 42)
+        .load()
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.min(F.md5("text")).alias("fp_min"),
+            F.max(F.md5("text")).alias("fp_max"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,85 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API): a
+deterministic synthetic-document generator.
+
+The extension surface SURVEY §2.10 couldn't cover before Spark 4 shipped
+the Python DataSource API: a full source — schema, options, partition
+planning, per-partition row generation — written in Python and consumed
+through the ordinary ``spark.read.format(...)`` path. The generator is
+the 100 TB-relevant instance: scale/soak tests and backfills need a
+source that materializes ANY volume with zero input files, perfect
+determinism, and even partition splits (each partition generates its own
+id range — no driver fan-out, no shuffle, trivially linear).
+
+Determinism contract: row content is a pure function of (seed, doc_id)
+via md5 — no RNG state — so the same options always yield byte-identical
+data on any cluster layout, and a DuckDB oracle can replay generation
+with its own md5 (see ``python_datasource_stats``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LANGS = ("en", "nl", "de", "fr", "xx")
+WORDS_PER_DOC = 8
+
+
+def synth_text(seed: int, doc_id: int) -> str:
+    """The row body: 8 four-hex-char 'words' cut from
+    md5('<seed>:<doc_id>') — replayable in any engine with md5."""
+    import hashlib
+
+    hx = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return " ".join(hx[i * 4 : i * 4 + 4] for i in range(WORDS_PER_DOC))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Even id-range splits — the planner side of the source. Each
+        partition is self-describing, so executors generate
+        independently; scaling the row count or the cluster never
+        introduces coordination."""
+        step = max(1, -(-self.n // self.parts))  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n), self.seed)
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield (
+                doc_id,
+                LANGS[doc_id % len(LANGS)],
+                synth_text(partition.seed, doc_id),
+            )
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("n", ...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, text string"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration."""
+    spark.dataSource.register(SynthDocsDataSource)

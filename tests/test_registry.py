@@ -83,6 +83,8 @@ def test_gate_priority_orders_catalog():
                  "zorder_layout_stats", "dedup_keep_canonical",  # new: layout + dedup rollup
                  "cms_heavy_hitters",  # new: count-min sketch
                  "equi_depth_histogram", "expectations_report",  # new: stats + DQ
+                 "python_datasource_stats",  # new: Spark 4 Python DataSource
+                 "star_join_customers_by_region",  # changed: exact-cents gate
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
                  "scan_filter_project", "pct_shares", "text_stats",
