@@ -138,6 +138,7 @@ _GATE_PRIORITY: list[str] = [
     "equi_depth_histogram",
     "expectations_report",
     "python_datasource_stats",
+    "chunk_documents_udtf",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -157,8 +158,8 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the eleven below dropped past slot 50 as the round-6 additions and
-    # the star_join convention fix landed; all eleven are r05-green on
+    # (the twelve below dropped past slot 50 as the round-6 additions and
+    # the star_join convention fix landed; all twelve are r05-green on
     # unchanged code, so their verdicts stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",

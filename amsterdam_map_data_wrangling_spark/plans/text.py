@@ -825,3 +825,63 @@ def pii_redaction_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "chunk_documents_udtf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, l,
+             CAST(s AS INT) AS start,
+             CAST((s - 1) / 96 AS BIGINT) AS chunk_idx
+      FROM toks, unnest(range(1, greatest(len(l), 1) + 1, 96)) r(s)
+    )
+    SELECT doc_id, chunk_idx,
+           least(128, len(l) - start + 1) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(l, start, start + 127), ' '))
+             AS chunk_fp
+    FROM starts
+    """,
+    "Python UDTF extension surface (Spark 3.5+/4 `@udtf`), gated — the "
+    "last §2.10 extension point after pandas_udf / mapInPandas / "
+    "applyInPandas(WithState) / transformWithState / Python DataSource: "
+    "a table function applied per input row via LATERAL, emitting one "
+    "row per 128-token chunk (stride 96) with the same md5 content "
+    "witness as chunk_documents — and the oracle IS chunk_documents' "
+    "oracle verbatim, so the UDTF must reproduce the built-in "
+    "expression pipeline's output byte-for-byte. Scale note, honest: "
+    "row-at-a-time Python is the slow path; this query exists to gate "
+    "the API surface, and the production chunker is the zero-Python "
+    "twin (chunk_documents). When a table function genuinely needs "
+    "Python, this is the shape — deterministic, no state, LATERAL-"
+    "parallel per partition.",
+)
+def chunk_documents_udtf(spark, sf_dir):
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, n_chunk_tokens int, chunk_fp string")
+    class ChunkUdtf:
+        def eval(self, doc_id: int, text: str):
+            toks = re.split(r"\s+", (text or "").strip())
+            n = len(toks)
+            for chunk_idx, start in enumerate(range(0, max(n, 1), 96)):
+                sl = toks[start : start + 128]
+                yield (
+                    doc_id,
+                    chunk_idx,
+                    min(128, n - start),
+                    hashlib.md5(" ".join(sl).encode()).hexdigest(),
+                )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    spark.udtf.register("chunk_udtf_r6", ChunkUdtf)
+    documents.select("doc_id", "text").createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT c.* FROM _docs_for_udtf, LATERAL chunk_udtf_r6(doc_id, text) c"
+    )
