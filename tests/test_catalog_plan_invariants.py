@@ -1,0 +1,65 @@
+"""Catalog-wide physical-plan invariants: the anti-patterns that kill a
+100 TB run must stay out of EVERY query's plan, not just the ones with
+dedicated shape tests. One build+explain pass over the full registry.
+"""
+
+from __future__ import annotations
+
+from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+from .conftest import SF_ORACLE
+
+#: crossJoins whose build side is a broadcast 1-row / fixed-size
+#: relation — the intended uses of BroadcastNestedLoopJoin (query-vector
+#: broadcast, corpus-size scalar, salt replication, 1-row agg stitches).
+BNLJ_WHITELIST = {
+    "dedup_keep_canonical",  # 1-row stats x 1-row total
+    "knn_cosine_brute",  # tiny broadcast query set vs corpus scoring
+    "tfidf_top_terms",  # broadcast 1-row corpus size
+    "salted_join_hot_customer",  # salt-id replication of the small side
+    "expectations_report",  # 1-row rule aggregates stitched together
+}
+
+#: the deliberate row-Python surface gates; everything else must stay
+#: JVM-side or Arrow-batched.
+ROW_PYTHON_WHITELIST = {"chunk_documents_udtf"}
+
+
+def test_no_scale_killers_in_any_catalog_plan(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.build(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.setdefault("CartesianProduct", []).append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            offenders.setdefault("BroadcastNestedLoopJoin", []).append(name)
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_WHITELIST:
+            offenders.setdefault("row-Python (BatchEvalPython)", []).append(name)
+    assert not offenders, (
+        "scale-killer operators crept into catalog plans: "
+        f"{offenders} — fix the plan or (only for a genuinely "
+        "broadcast-tiny crossJoin) extend the whitelist with a comment"
+    )
+
+
+def test_bnlj_whitelist_is_not_stale(spark):
+    """Every whitelisted name must still (a) exist and (b) actually use
+    BNLJ — otherwise the whitelist silently over-allows."""
+    for name in BNLJ_WHITELIST | ROW_PYTHON_WHITELIST:
+        assert name in QUERIES, f"whitelist names unknown query {name}"
+    for name in sorted(BNLJ_WHITELIST):
+        plan = (
+            QUERIES[name]
+            .build(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name} no longer uses BNLJ — drop it from the whitelist"
+        )
