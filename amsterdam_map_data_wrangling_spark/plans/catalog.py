@@ -167,8 +167,9 @@ _GATE_PRIORITY: list[str] = [
     "sketch_users_by_type",
     "sketch_value_quantiles",
     "salted_join_hot_customer",
-    # rotated out this round (28, ALL r05-green on unchanged code — their
-    # verdicts are 1 round old; they form the front of the r7 rotation):
+    # rotated out this round (27, ALL r05-green on unchanged code — their
+    # verdicts are 1 round old; they form the front of the r7 rotation,
+    # together with the twelve just above):
     # normalize_phone_lengths, normalize_postcode_formats,
     # split_tag_keys_agg, table_stats, eav_pivot_wide, eav_unpivot_topk,
     # ordered_position_per_group, topn_per_group,
@@ -178,7 +179,8 @@ _GATE_PRIORITY: list[str] = [
     # doc_rolling_fingerprint, quality_scores, quality_components,
     # stratified_sample_counts, frame_sample_stats, embedding_norm_zscores,
     # embedding_label_stats, window_function_zoo, pricing_summary,
-    # star_join_customers_by_region, salted_user_event_stats.
+    # salted_user_event_stats. (star_join_customers_by_region moved into
+    # section (b) when its gate switched to exact cents.)
 ]
 
 
@@ -204,3 +206,28 @@ def oracle_sql() -> dict[str, str]:
         for name, spec in _ordered().items()
         if spec.oracle is not None
     }
+
+
+def catalog_markdown() -> str:
+    """Deterministic one-line-per-query index of the registry, in gate
+    order — regenerate QUERIES.md with
+    ``python -c "from amsterdam_map_data_wrangling_spark.plans.catalog
+    import catalog_markdown; print(catalog_markdown(), end='')" >
+    QUERIES.md``; tests/test_catalog_doc.py fails if the file drifts."""
+    specs = _ordered()
+    lines = [
+        "# Query catalog (generated — do not edit by hand)",
+        "",
+        f"{len(specs)} registered queries, listed in gate order (the "
+        f"driver's correctness artifact records the first 50). Every "
+        f"query carries a DuckDB value oracle.",
+        "",
+        "| # | query | doc |",
+        "|---|---|---|",
+    ]
+    for i, (name, spec) in enumerate(specs.items(), 1):
+        doc = (spec.doc or "").strip().replace("\n", " ")
+        first = doc.split(". ")[0].rstrip(".") + "." if doc else ""
+        first = first.replace("|", "\\|")
+        lines.append(f"| {i} | `{name}` | {first} |")
+    return "\n".join(lines) + "\n"
