@@ -139,6 +139,7 @@ _GATE_PRIORITY: list[str] = [
     "expectations_report",
     "python_datasource_stats",
     "chunk_documents_udtf",
+    "interval_overlap_balances",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -158,9 +159,9 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the twelve below dropped past slot 50 as the round-6 additions and
-    # the star_join convention fix landed; all twelve are r05-green on
-    # unchanged code, so their verdicts stay ≤ 2 rounds old)
+    # (the thirteen below dropped past slot 50 as the round-6 additions
+    # and the star_join convention fix landed; all thirteen are r05-green
+    # on unchanged code, so their verdicts stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",

@@ -935,6 +935,64 @@ def range_join_balance_bands(spark, sf_dir):
 
 
 @query(
+    "interval_overlap_balances",
+    """
+    WITH bands AS (
+      SELECT n_nationkey AS band_id,
+             n_nationkey * 400.0 AS lo_a,
+             n_nationkey * 400.0 + 700.0 AS hi_a
+      FROM nation
+    ), windows AS (
+      SELECT c_custkey,
+             c_acctbal AS lo_b,
+             c_acctbal + 300.0 AS hi_b
+      FROM customer WHERE c_custkey % 100 = 50
+    )
+    SELECT band_id, c_custkey,
+           CAST(round((least(hi_a, hi_b) - greatest(lo_a, lo_b)) * 100)
+                AS BIGINT) AS overlap_cents
+    FROM bands JOIN windows ON lo_a <= hi_b AND lo_b <= hi_a
+    """,
+    "Interval-overlap join (the second range-join flavor after the "
+    "point-in-interval gate): nation-derived price bands against "
+    "customer balance windows, matched on closed-interval overlap. "
+    "DuckDB plans the inequality pair as an IEJoin; Spark would fall "
+    "back to BroadcastNestedLoopJoin, so we use the bucketized overlap "
+    "join (operators/range_join.py:interval_overlap_join): both sides "
+    "explode to their covered width-350 buckets, equi-join on the "
+    "bucket + residual overlap predicate, exactly-once via the "
+    "overlap-start bucket guard. Overlap length gated as exact integer "
+    "cents. Scale: O((N+M)·len/W) bucket rows and an equi-join shuffle "
+    "— never an all-pairs comparison; AQE splits skewed buckets.",
+)
+def interval_overlap_balances(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    nation, customer = _t(spark, sf_dir, "nation", "customer")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 400.0).alias("lo_a"),
+        (F.col("n_nationkey") * 400.0 + 700.0).alias("hi_a"),
+    )
+    windows = customer.filter(F.col("c_custkey") % 100 == 50).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("lo_b"),
+        (F.col("c_acctbal") + 300.0).alias("hi_b"),
+    )
+    matched = interval_overlap_join(
+        bands, windows, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=350.0
+    )
+    overlap = F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+    return matched.select(
+        "band_id",
+        "c_custkey",
+        F.round(overlap * 100).cast("long").alias("overlap_cents"),
+    )
+
+
+@query(
     "above_avg_orders_per_customer",
     """
     SELECT o_orderkey, o_custkey

@@ -48,6 +48,7 @@ def test_no_cartesian_anywhere_in_pair_generators(spark):
         "embedding_near_dup_pairs",
         "interval_join_click_error",
         "range_join_balance_bands",
+        "interval_overlap_balances",
     ]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
