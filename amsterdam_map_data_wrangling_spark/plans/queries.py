@@ -396,6 +396,59 @@ def runtime_bloom_filter_join(spark, sf_dir):
 
 
 @query(
+    "local_supplier_volume",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "The classic 6-table local-supplier-volume join (TPC-H Q5 shape): "
+    "lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with "
+    "the correlation predicate customer-nation = supplier-nation — the "
+    "deepest join pipeline in the catalog and the canonical join-"
+    "ordering stress test. Scale: the two fact-fact joins shuffle on "
+    "their keys (orderkey, then custkey); supplier/nation/region ride "
+    "broadcast hash joins so the deep tail adds zero exchanges; the "
+    "nation-equality correlation is a post-join filter that Catalyst "
+    "pushes into the supplier join condition. Revenue is the documented "
+    "price*(1-disc) float class.",
+)
+def local_supplier_volume(spark, sf_dir):
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
     "star_join_customers_by_region",
     """
     SELECT r.r_name AS region, COUNT(*) AS num_customers,

@@ -231,3 +231,13 @@ def test_expectations_fk_rule_uses_anti_join(spark):
     NOT IN subquery."""
     plan = _plan(spark, "expectations_report")
     assert "LeftAnti" in plan
+
+
+def test_local_supplier_volume_join_pipeline(spark):
+    """The 6-table Q5-shape join: the three dims ride broadcast joins
+    (zero exchanges for the deep tail), fact-fact joins shuffle, and
+    nothing degenerates to a nested loop."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
