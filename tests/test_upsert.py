@@ -85,3 +85,56 @@ def test_upsert_rewrites_only_affected_partitions(spark):
     assert got[5] == (1, "v5")  # same-partition key untouched by the merge
     # other partitions fully intact
     assert spark.read.parquet(BASE).filter("p = 2").count() == 10
+
+
+def test_streaming_cdc_apply_via_foreach_batch(spark):
+    """The CDC-apply pattern: a stream of keyed updates drained through
+    foreachBatch(partition_pruned_upsert) — each micro-batch merges into
+    the partitioned parquet target, rewriting only touched partitions.
+    After the drain the target equals a batch keep-latest merge of
+    base + all updates."""
+    import shutil
+
+    target = os.path.join(BASE, "cdc_target")
+    feed = os.path.join(BASE, "cdc_feed")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(feed, ignore_errors=True)
+    # a stale checkpoint would make the re-run see zero new files
+    shutil.rmtree(os.path.join(BASE, "cdc_ckpt"), ignore_errors=True)
+
+    rows = [(k, 1, f"v{k}", k % 3) for k in range(30)]
+    schema = "k long, ver long, val string, p int"
+    spark.createDataFrame(rows, schema).write.partitionBy("p").parquet(target)
+
+    updates = [(3, 2, "U3", 0), (4, 2, "U4", 1), (200, 1, "NEW", 2)]
+    spark.createDataFrame(updates, schema).write.parquet(feed)
+
+    def apply_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        partition_pruned_upsert(batch_df.sparkSession, target, batch_df, "k", "ver", "p")
+
+    (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .parquet(feed)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(BASE, "cdc_ckpt")
+        )
+        .start()
+        .awaitTermination()
+    )
+
+    want = {
+        r.k: (r.ver, r.val)
+        for r in merge_keep_latest(
+            spark.createDataFrame(rows, schema),
+            spark.createDataFrame(updates, schema),
+            "k",
+            "ver",
+        ).collect()
+    }
+    got = {r.k: (r.ver, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == want
+    assert got[3] == (2, "U3") and got[200] == (1, "NEW")
