@@ -651,6 +651,52 @@ def event_gap_stats(spark, sf_dir):
 
 
 @query(
+    "weekly_cohort_retention",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM weekly JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "Weekly cohort retention — the product-analytics staple: users "
+    "cohorted by their first active ISO week, counted per week offset "
+    "since the cohort. Both engines truncate weeks Monday-based and the "
+    "offsets are exact multiples of 7 days, so the integer division is "
+    "boundary-free. Scale: the (user, week) activity relation is "
+    "DISTINCT-collapsed before anything else (the only big shuffle), "
+    "the first-week aggregate reuses its user partitioning, and the "
+    "cohort matrix is ≤ weeks² rows.",
+)
+def weekly_cohort_retention(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
     "funnel_conversion",
     """
     WITH s1 AS (

@@ -87,6 +87,7 @@ def test_gate_priority_orders_catalog():
                  "chunk_documents_udtf",  # new: Python UDTF surface
                  "interval_overlap_balances",  # new: overlap range join
                  "local_supplier_volume",  # new: 6-table Q5-shape join
+                 "weekly_cohort_retention",  # new: cohort analytics
                  "star_join_customers_by_region",  # changed: exact-cents gate
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
