@@ -103,3 +103,44 @@ def test_bad_args_raise(spark):
         point_in_interval_join(pts, ivs, "c_acctbal", "lo", "hi", 0)
     with pytest.raises(ValueError):
         point_in_interval_join(pts, ivs, "c_acctbal", "lo", "hi", 10.0, how="outer")
+
+
+def test_interval_overlap_exactly_once_property(spark):
+    """Hypothesis sweep of the exactly-once bucket guard: random interval
+    sets (negative coords, zero-width, bucket-boundary-straddling) must
+    match the naive cross-join EXACTLY — no dropped pairs, no duplicate
+    emission from multi-bucket overlaps. Batched: one Spark job per
+    example set, 20 examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coords = st.integers(-50, 50)
+    intervals = st.lists(
+        st.tuples(coords, st.integers(0, 25)), min_size=1, max_size=15
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(ls=intervals, rs=intervals, width=st.sampled_from([1.0, 2.5, 7.0]))
+    def check(ls, rs, width):
+        left = spark.createDataFrame(
+            [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(ls)],
+            "l_id long, l_lo double, l_hi double",
+        )
+        right = spark.createDataFrame(
+            [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(rs)],
+            "r_id long, r_lo double, r_hi double",
+        )
+        got = interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", width
+        )
+        pairs = [(r.l_id, r.r_id) for r in got.select("l_id", "r_id").collect()]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        want = {
+            (i, j)
+            for i, (llo, lw) in enumerate(ls)
+            for j, (rlo, rw) in enumerate(rs)
+            if llo <= rlo + rw and rlo <= llo + lw
+        }
+        assert set(pairs) == want
+
+    check()
