@@ -142,6 +142,7 @@ _GATE_PRIORITY: list[str] = [
     "interval_overlap_balances",
     "local_supplier_volume",
     "weekly_cohort_retention",
+    "nested_json_shred",
     # (d) r05-green heavy lineages kept fresh (this round's module
     #     neighbors: dedup_clusters gets the perf probe, text shares the
     #     PII regex dialect under new property tests, multimodal gains
@@ -161,8 +162,8 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the fifteen below dropped past slot 50 as the round-6 additions
-    # and the star_join convention fix landed; all fifteen are r05-green
+    # (the sixteen below dropped past slot 50 as the round-6 additions
+    # and the star_join convention fix landed; all sixteen are r05-green
     # on unchanged code, so their verdicts stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",

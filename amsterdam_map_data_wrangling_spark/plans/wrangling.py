@@ -546,3 +546,61 @@ def python_datasource_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "nested_json_shred",
+    """
+    WITH j AS (
+      SELECT '{"id": ' || CAST(o_orderkey AS VARCHAR)
+          || ', "items": [{"q": ' || CAST(o_orderkey % 5 AS VARCHAR)
+          || '}, {"q": ' || CAST(o_orderkey % 7 AS VARCHAR)
+          || '}], "tag": "' || o_orderpriority || '"}' AS js
+      FROM orders
+    )
+    SELECT json_extract_string(js, '$.tag') AS tag,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_items,
+           CAST(SUM(CAST(json_extract(js, '$.items[0].q') AS BIGINT)
+                  + CAST(json_extract(js, '$.items[1].q') AS BIGINT))
+                AS BIGINT) AS sum_q
+    FROM j GROUP BY tag ORDER BY tag
+    """,
+    "Nested-JSON shredding — the semi-structured ELT stage beyond the "
+    "flat json_props_stats: documents with a nested object + array "
+    "structure are synthesized JVM-side (deterministic in the row, so "
+    "both engines parse IDENTICAL strings), then Spark does the real "
+    "shred — from_json with an explicit nested schema (struct + "
+    "array<struct>), explode of the parsed array, aggregate — while "
+    "DuckDB re-parses the same strings by JSON path. A from_json schema "
+    "mismatch, array-order bug, or explode miscount flips the hash. "
+    "Scale: narrow parse + explode (fan-out x2), one agg shuffle on "
+    "tag; with an explicit schema from_json stays codegen-adjacent and "
+    "never falls back to schema inference.",
+)
+def nested_json_shred(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "items": [{"q": '),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit('}, {"q": '),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('}], "tag": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    schema = "id BIGINT, items ARRAY<STRUCT<q: BIGINT>>, tag STRING"
+    parsed = orders.select(F.from_json(js, schema).alias("doc"))
+    items = parsed.select(
+        F.col("doc.tag").alias("tag"),
+        F.explode("doc.items").alias("item"),
+    )
+    return (
+        items.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("item.q").alias("sum_q"),
+        )
+        .orderBy("tag")
+    )

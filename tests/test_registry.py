@@ -88,6 +88,7 @@ def test_gate_priority_orders_catalog():
                  "interval_overlap_balances",  # new: overlap range join
                  "local_supplier_volume",  # new: 6-table Q5-shape join
                  "weekly_cohort_retention",  # new: cohort analytics
+                 "nested_json_shred",  # new: semi-structured shredding
                  "star_join_customers_by_region",  # changed: exact-cents gate
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
