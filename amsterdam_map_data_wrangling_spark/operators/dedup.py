@@ -383,8 +383,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # single fused action (3 hops) instead of round+verify jobs; e's lazy
     # checkpoint rides the same first action, leaving exactly one job
     # before the caller's own action on the result.
+    # Budget: ceil so 3 hops/round ≥ the documented 2·max_iter hop
+    # contract (max_iter=20 → 14 rounds = 42 hops ≥ 40) — the 2+1
+    # restructure must not silently shrink the reachable diameter
+    # (components of diameter 22-40 would otherwise return unconverged
+    # labels indistinguishable from success).
     prev = None
-    for _ in range(max(1, (max_iter + 2) // 3)):
+    certified = False
+    for _ in range(max(1, (2 * max_iter + 2) // 3)):
         l1 = hop(hop(labels)).localCheckpoint(eager=False)
         l2 = hop(l1).localCheckpoint(eager=False)
         sums = dict(
@@ -400,11 +406,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # l1 already reached the fixed point; l2 is identical but l1's
             # checkpoint is the one the sums job certified
             labels = l1
+            certified = True
             break
         labels = l2
         if s2 == prev:
+            # three further hops left the monotone sum unchanged — the
+            # previous generation was already the fixed point
+            certified = True
             break
         prev = s2
+    if not certified:
+        # loop exhaustion without the equal-sums certificate must be
+        # visible to callers — unconverged labels look like success
+        import warnings
+
+        warnings.warn(
+            "connected_components: hop budget exhausted without the "
+            f"equal-sums convergence certificate (max_iter={max_iter}); "
+            "labels may span unmerged components — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -495,7 +495,22 @@ def ivf_topk(
         )
         .collect()
     )
-    sample_rows = [r for r in fused if r["leg"] == 1]
+    # Driver-side re-sort by the SAME portable key Spark ordered by:
+    # Spark guarantees orderBy().limit() is the top-sample_n SET
+    # (TakeOrderedAndProject), but row ORDER through a Union + collect()
+    # is not contractual, and the first n_cells rows are the seed
+    # generation. Recomputing md5("ivf|seed|vec_id") in Python
+    # (trivially cheap at sample_n rows) pins the seed set against any
+    # planner/AQE reordering instead of trusting plan shape.
+    import hashlib
+
+    def _seed_key(r):
+        h = hashlib.md5(
+            f"ivf|{seed}|{int(r['vec_id'])}".encode("utf-8")
+        ).hexdigest()[:15]
+        return (int(h, 16), int(r["vec_id"]))
+
+    sample_rows = sorted((r for r in fused if r["leg"] == 1), key=_seed_key)
     smat = _np_quant(
         np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
     )

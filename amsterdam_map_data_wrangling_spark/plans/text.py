@@ -753,9 +753,7 @@ PII_PHONE = r"\+?[0-9][0-9 -]{7,}[0-9]"
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_emails) AS BIGINT) AS emails_found,
            CAST(SUM(n_urls) AS BIGINT) AS urls_found,
-           CAST(SUM(len(regexp_extract_all(redacted, '{PII_EMAIL}'))
-                    + len(regexp_extract_all(redacted, '{PII_URL}'))) AS BIGINT)
-             AS residual_pii,
+           CAST(0 AS BIGINT) AS residual_pii,
            min(md5(redacted)) AS redact_fp_min,
            max(md5(redacted)) AS redact_fp_max
     FROM red GROUP BY source ORDER BY source
@@ -766,8 +764,12 @@ PII_PHONE = r"\+?[0-9][0-9 -]{7,}[0-9]"
     "replaced with typed placeholder tokens. The synthetic corpus "
     "carries no natural PII, so deterministic per-doc PII is INJECTED "
     "first — the gate then proves the redaction actually strips it: "
-    "found-counts per source, residual matches after redaction "
-    "(asserted 0 by both engines), and min/max md5 of the redacted "
+    "found-counts per source, residual matches (email + URL + phone) "
+    "after redaction — the oracle emits a LITERAL 0 for residual_pii "
+    "(the TRUE-literal contract style the sketch gates use), so any "
+    "surviving PII on the Spark side fails the hash gate rather than "
+    "silently agreeing with an oracle replaying the same regexes — "
+    "and min/max md5 of the redacted "
     "text as an order-insensitive content witness that the replacement "
     "output is byte-identical. Scale: pure narrow map (regex per row) + "
     "one tiny agg shuffle on source — the canonical cheap scrub pass.",
@@ -809,9 +811,11 @@ def pii_redaction_stats(spark, sf_dir):
         ),
         redacted.alias("redacted"),
     )
-    residual = F.size(
-        F.regexp_extract_all("redacted", F.lit(PII_EMAIL), F.lit(0))
-    ) + F.size(F.regexp_extract_all("redacted", F.lit(PII_URL), F.lit(0)))
+    residual = (
+        F.size(F.regexp_extract_all("redacted", F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all("redacted", F.lit(PII_URL), F.lit(0)))
+        + F.size(F.regexp_extract_all("redacted", F.lit(PII_PHONE), F.lit(0)))
+    )
     return (
         red.withColumn("residual", residual)
         .groupBy("source")
