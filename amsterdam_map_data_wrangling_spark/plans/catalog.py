@@ -143,20 +143,22 @@ _GATE_PRIORITY: list[str] = [
     "local_supplier_volume",
     "weekly_cohort_retention",
     "nested_json_shred",
-    # (d) r05-green heavy lineages kept fresh (this round's module
-    #     neighbors: dedup_clusters gets the perf probe, text shares the
-    #     PII regex dialect under new property tests, multimodal gains
-    #     the audio kernel)
+    # (d) queries whose CODE changed this round go ahead of unchanged
+    #     r05-green lineages: dedup_clusters (hop budget + convergence
+    #     warning), pii_redaction_stats (literal-0 oracle + phone
+    #     residual), ann_ivf / ann_ivf_probe2 (driver-side seed re-sort)
+    #     must be re-gated on the new code; multimodal_* are unchanged
+    #     and stay covered by their r05 verdicts.
     "dedup_clusters",
     "pii_redaction_stats",
+    "ann_ivf",
+    "ann_ivf_probe2",
     "multimodal_dims",
     "multimodal_features",
     "dedup_minhash_pairs",
     "dedup_minhash_portable_pairs",
     "dedup_simhash_bands",
     "dedup_ngram_jaccard",
-    "ann_ivf",
-    "ann_ivf_probe2",
     "knn_cosine_brute",
     "ann_sign_lsh",
     "ann_rand_lsh",
