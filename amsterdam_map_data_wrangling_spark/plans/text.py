@@ -889,3 +889,291 @@ def chunk_documents_udtf(spark, sf_dir):
     return spark.sql(
         "SELECT c.* FROM _docs_for_udtf, LATERAL chunk_udtf_r6(doc_id, text) c"
     )
+
+
+@query(
+    "repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, source, len(l) AS n_tokens,
+             len(list_distinct(l)) AS n_distinct
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+      FROM toks, unnest(range(1, len(l))) AS r(i)
+    ), bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), bgt AS (
+      SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens - n_distinct) AS BIGINT) AS dup_token_cnt,
+           CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           CAST(SUM(COALESCE(top_cnt, 0)) AS BIGINT) AS top_bigram_cnt,
+           CAST(SUM(COALESCE(n_bigrams, 0)) AS BIGINT) AS tot_bigrams,
+           round(CAST(SUM(n_tokens - n_distinct) AS DOUBLE)
+                 / CAST(SUM(n_tokens) AS DOUBLE), 6) AS dup_token_frac,
+           round(CAST(SUM(COALESCE(top_cnt, 0)) AS DOUBLE)
+                 / CAST(SUM(COALESCE(n_bigrams, 0)) AS DOUBLE), 6)
+             AS top_bigram_frac
+    FROM sized LEFT JOIN bgt USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "Gopher-style repetition metrics (Rae et al. 2021 quality rules, the "
+    "ones quality_scores doesn't cover): per-doc duplicate-token count "
+    "(n_tokens - n_distinct) and most-frequent-bigram occupancy, rolled "
+    "up per source. Gate convention: ORDER-FREE integer sums only, with "
+    "the two fractions derived by ONE division of exact integer totals "
+    "at the end (identical doubles on both engines by construction — no "
+    "avg-of-doubles accumulation-order risk). Scale: the bigram top "
+    "count shuffles (doc_id, bigram) partial counts — keys are "
+    "per-document so the agg is skew-free and the final rollup is a "
+    "tiny per-source exchange. Everything else is a narrow map.",
+)
+def repetition_stats(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    toked = documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("l")
+    )
+    sized = toked.select(
+        "doc_id",
+        "source",
+        F.size("l").alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+    )
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i), F.element_at("l", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bgt = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    joined = sized.join(bgt, "doc_id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens") - F.col("n_distinct")).alias(
+                "dup_token_cnt"
+            ),
+            F.sum("n_tokens").alias("tot_tokens"),
+            F.sum(F.coalesce(F.col("top_cnt"), F.lit(0))).alias(
+                "top_bigram_cnt"
+            ),
+            F.sum(F.coalesce(F.col("n_bigrams"), F.lit(0))).alias(
+                "tot_bigrams"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_token_cnt",
+            "tot_tokens",
+            "top_bigram_cnt",
+            "tot_bigrams",
+            F.round(
+                F.col("dup_token_cnt").cast("double")
+                / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("top_bigram_cnt").cast("double")
+                / F.col("tot_bigrams").cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(
+               list_aggregate(l[i:i+4], 'string_agg', ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+    ), bench AS (
+      SELECT DISTINCT h FROM sh WHERE doc_id % 13 = 0
+    ), corpus AS (
+      SELECT doc_id, h FROM sh WHERE doc_id % 13 != 0
+    ), hits AS (
+      SELECT c.doc_id, c.h FROM corpus c JOIN bench b ON c.h = b.h
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM sh WHERE doc_id % 13 = 0)
+                AS BIGINT) AS bench_docs,
+           CAST((SELECT COUNT(*) FROM bench) AS BIGINT) AS bench_grams,
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM corpus)
+                AS BIGINT) AS checked_docs,
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM hits)
+                AS BIGINT) AS contaminated_docs,
+           CAST((SELECT COUNT(DISTINCT h) FROM hits)
+                AS BIGINT) AS overlap_grams,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS overlap_hits
+    """,
+    "Benchmark contamination check — the eval-hygiene pass every "
+    "training-data pipeline runs before a model sees the corpus: which "
+    "training documents share an exact 5-gram with the held-out "
+    "benchmark set (here: doc_id % 13 == 0 stands in for the benchmark; "
+    "in production it's the actual eval suites). Shingles are hashed to "
+    "64-bit longs via the portable md5 anchor and deduplicated per doc "
+    "BEFORE the join, so no shingle strings ever move. Scale: the "
+    "benchmark side is small by nature -> broadcast hash join against "
+    "the corpus shingle stream (map-side, zero corpus shuffle); the "
+    "only exchanges are the tiny distinct-aggregates. The 5-gram width "
+    "keeps overlap sparse-but-nonzero on this corpus (3-grams match "
+    "90%+ of docs, 8-grams almost none).",
+)
+def benchmark_contamination(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    l = tokens(F.col("text"))
+    # 5-gram start positions 1..len-4; sequence() would count DOWN for
+    # len < 5, so gate it (filter() can't: empty-array transform is fine
+    # but descending sequence isn't)
+    grams = F.when(
+        F.size(l) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - 4),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(l, i, 5))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+    )
+    bench_sh = sh.filter(F.col("doc_id") % 13 == 0)
+    corpus = sh.filter(F.col("doc_id") % 13 != 0)
+    bench = bench_sh.select("h").distinct()
+    hits = corpus.join(F.broadcast(bench), "h")
+    b = bench_sh.agg(
+        F.countDistinct("doc_id").alias("bench_docs"),
+        F.countDistinct("h").alias("bench_grams"),
+    )
+    c = corpus.agg(F.countDistinct("doc_id").alias("checked_docs"))
+    hagg = hits.agg(
+        F.countDistinct("doc_id").alias("contaminated_docs"),
+        F.countDistinct("h").alias("overlap_grams"),
+        F.count("*").alias("overlap_hits"),
+    )
+    # three 1-row aggregates -> one row (tiny crossJoins, same shape as
+    # tfidf's 1-row corpus-size side)
+    return b.crossJoin(c).crossJoin(hagg).select(
+        "bench_docs",
+        "bench_grams",
+        "checked_docs",
+        "contaminated_docs",
+        "overlap_grams",
+        "overlap_hits",
+    )
+
+
+@query(
+    "mixture_proportional_sample",
+    r"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(substr(source, 4) AS BIGINT) + 1 AS w
+      FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_s, w,
+             MIN(CAST(n_s AS DOUBLE) / CAST(w AS DOUBLE)) OVER ()
+               * CAST(w AS DOUBLE) / CAST(n_s AS DOUBLE) AS rate
+      FROM counts
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN
+             CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                   1, 13)) AS BIGINT) / 4503599627370496.0 < r.rate
+             THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           round(r.rate, 6) AS rate_r
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source, r.rate ORDER BY d.source
+    """,
+    "Domain-mixture downsampling — the data-mixing stage of a training "
+    "pipeline: given target mixture weights per source (here w = "
+    "source index + 1; in production the tuned mixture), compute the "
+    "max-retention per-source keep rate (min over sources of n_s/w_s, "
+    "rescaled by w_s/n_s — sources at/below their target keep "
+    "everything) and sample DETERMINISTICALLY by hash threshold: keep "
+    "iff md5('mix'|doc_id)/2^52 < rate. 13 hex chars = 52 bits, so the "
+    "uniform variate is an EXACT double on both engines and the "
+    "comparison can't drift. Scale: the rate relation is one row per "
+    "source (broadcast); sampling is a narrow map — no repartition, no "
+    "rand() (rand is per-task nondeterministic under retries; hash "
+    "thresholds are retry-stable, the property that matters at 1000 "
+    "executors). Rates from exact integer counts -> identical doubles.",
+)
+def mixture_proportional_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    counts = documents.groupBy("source").agg(F.count("*").alias("n_s"))
+    wts = counts.withColumn(
+        "w", F.substring("source", 4, 10).cast("bigint") + 1
+    )
+    rates = wts.withColumn(
+        "rate",
+        F.min(F.col("n_s").cast("double") / F.col("w").cast("double")).over(
+            Window.partitionBy()
+        )
+        * F.col("w").cast("double")
+        / F.col("n_s").cast("double"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    joined = documents.join(
+        F.broadcast(rates.select("source", "rate")), "source"
+    )
+    return (
+        joined.groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum(F.when(u < F.col("rate"), 1).otherwise(0)).alias("kept"),
+        )
+        .select(
+            "source",
+            "n_before",
+            "kept",
+            F.round("rate", 6).alias("rate_r"),
+        )
+        .orderBy("source")
+    )

@@ -604,3 +604,121 @@ def nested_json_shred(spark, sf_dir):
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "snapshot_table_diff",
+    r"""
+    WITH fpd AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' ||
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                 o_orderpriority) AS fp,
+             o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ), base AS (
+      SELECT k, fp FROM fpd
+    ), curr AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(round((o_totalprice +
+                        CASE WHEN o_orderkey % 103 = 0 THEN 1.5 ELSE 0 END)
+                      * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                 o_orderpriority) AS fp
+      FROM fpd WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT -o_orderkey AS k,
+             md5(CAST(-o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' ||
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                 o_orderpriority) AS fp
+      FROM fpd WHERE o_orderkey % 107 = 0
+    )
+    SELECT CAST(SUM(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS added,
+           CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed,
+           CAST(SUM(CASE WHEN b.fp IS NOT NULL AND c.fp IS NOT NULL
+                          AND b.fp != c.fp THEN 1 ELSE 0 END) AS BIGINT)
+             AS changed,
+           CAST(SUM(CASE WHEN b.fp = c.fp THEN 1 ELSE 0 END) AS BIGINT)
+             AS unchanged
+    FROM base b FULL OUTER JOIN curr c ON b.k = c.k
+    """,
+    "Snapshot reconciliation diff — the audit every incremental/CDC "
+    "pipeline runs after an apply: old vs new table snapshot, "
+    "full-outer-joined on the key, rows compared by an md5 row "
+    "fingerprint over PORTABLE scalars (exact integer cents, ISO date "
+    "string — never a raw double repr, which differs between engines), "
+    "classified added / removed / changed / unchanged. The 'new' "
+    "snapshot is derived deterministically from orders (every 101st "
+    "key deleted, every 103rd repriced, every 107th re-inserted under a "
+    "fresh negative key) so both engines replay the identical history. "
+    "Scale: two narrow fingerprint projections + ONE sort-merge join on "
+    "the key — only (key, fp) pairs shuffle, never full rows; AQE "
+    "handles the residual skew. This is the 100 TB table-diff shape "
+    "(content-addressed compare, no row-by-row driver loop).",
+)
+def snapshot_table_diff(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def fp(key, price):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                key.cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round(price * 100).cast("bigint").cast("string"),
+                F.col("o_orderdate").cast("date").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("k"), fp(k, F.col("o_totalprice")).alias("fp")
+    )
+    repriced = F.col("o_totalprice") + F.when(k % 103 == 0, 1.5).otherwise(
+        0.0
+    )
+    curr = (
+        orders.filter(k % 101 != 0)
+        .select(k.alias("k"), fp(k, repriced).alias("fp"))
+        .unionByName(
+            orders.filter(k % 107 == 0).select(
+                (-k).alias("k"), fp(-k, F.col("o_totalprice")).alias("fp")
+            )
+        )
+    )
+    j = base.withColumnRenamed("fp", "fp_a").join(
+        curr.withColumnRenamed("fp", "fp_b"), "k", "full_outer"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("fp_a").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("fp_b").isNull(), 1).otherwise(0)).alias(
+            "removed"
+        ),
+        F.sum(
+            F.when(
+                F.col("fp_a").isNotNull()
+                & F.col("fp_b").isNotNull()
+                & (F.col("fp_a") != F.col("fp_b")),
+                1,
+            ).otherwise(0)
+        ).alias("changed"),
+        F.sum(F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)).alias(
+            "unchanged"
+        ),
+    )

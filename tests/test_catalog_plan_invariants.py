@@ -18,6 +18,7 @@ BNLJ_WHITELIST = {
     "tfidf_top_terms",  # broadcast 1-row corpus size
     "salted_join_hot_customer",  # salt-id replication of the small side
     "expectations_report",  # 1-row rule aggregates stitched together
+    "benchmark_contamination",  # three 1-row aggregates stitched to one row
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

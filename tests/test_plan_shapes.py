@@ -241,3 +241,30 @@ def test_local_supplier_volume_join_pipeline(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """The benchmark shingle set is small by nature, so the corpus-vs-
+    benchmark match must be a map-side broadcast hash join — the corpus
+    shingle stream must never shuffle for the join."""
+    plan = _plan(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_rates_broadcast(spark):
+    """The per-source rate relation is one row per source: the sampling
+    join must broadcast it, never shuffle the corpus on source."""
+    plan = _plan(spark, "mixture_proportional_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_joins_on_key_without_nested_loop(spark):
+    """The snapshot diff is one key-equi full outer join over narrow
+    (key, fingerprint) projections — a sort-merge (or hash) join, never
+    a nested loop, and no full-row shuffle (the fingerprint is computed
+    before the exchange, so only key+fp cross the wire)."""
+    plan = _plan(spark, "snapshot_table_diff")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
