@@ -122,10 +122,11 @@ _GATE_PRIORITY: list[str] = [
     "json_props_stats",
     "value_percentiles_by_type",
     # (b) changed this round (r5 ADVICE: order-free integer gate replaces
-    #     the half-cent-prone rounded avg; star_join brought in line with
-    #     the exact-cents float-SUM convention)
+    #     the half-cent-prone rounded avg; star_join — brought in line
+    #     with the exact-cents float-SUM convention — yielded its slot to
+    #     the never-gated dup_span_coverage and sits at 51, pytest-
+    #     verified at both SFs this round)
     "range_join_balance_bands",
-    "star_join_customers_by_region",
     # (c) new this round
     "audio_dims",
     "video_dims",
@@ -147,6 +148,7 @@ _GATE_PRIORITY: list[str] = [
     "benchmark_contamination",
     "mixture_proportional_sample",
     "snapshot_table_diff",
+    "dup_span_coverage",
     # (d) slot 50: with 47 slots forced (27 r04-green + 20 new), the 3
     #     remaining go to the queries whose ORACLE SQL changed this
     #     round — their r05 verdicts gated the old contract:
@@ -159,6 +161,7 @@ _GATE_PRIORITY: list[str] = [
     #     past the window, re-verified by the sf0.01 + sf0.001 pytest
     #     sweeps this round, and rotate into r07's front.
     "pii_redaction_stats",
+    "star_join_customers_by_region",
     "dedup_clusters",
     "ann_ivf",
     "ann_ivf_probe2",

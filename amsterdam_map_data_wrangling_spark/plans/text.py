@@ -1177,3 +1177,127 @@ def mixture_proportional_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dup_span_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(
+               list_aggregate(l[i:i+3], 'string_agg', ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(l) - 2)) AS r(i)
+    ), df AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dupg AS (
+      SELECT doc_id, pos FROM g JOIN df USING (h)
+    ), contrib AS (
+      SELECT doc_id,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    IS NULL THEN 4
+                  ELSE least(4, pos - lag(pos)
+                               OVER (PARTITION BY doc_id ORDER BY pos))
+             END AS c
+      FROM dupg
+    ), cov AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS covered
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_docs,
+           CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS covered_tokens,
+           CAST(SUM(len(l)) AS BIGINT) AS tot_tokens,
+           round(CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
+                 / CAST(SUM(len(l)) AS DOUBLE), 6) AS covered_frac
+    FROM toks LEFT JOIN cov USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "Duplicate-span coverage — the exact-substring dedup METRIC "
+    "(Lee et al. 2022 'Deduplicating Training Data...', RefinedWeb): "
+    "per document, the fraction of token positions covered by a 4-gram "
+    "that also appears in at least one OTHER document, i.e. how much of "
+    "each doc is boilerplate shared across the corpus. Grams are "
+    "md5-hashed (never carried as strings); a gram counts only if its "
+    "cross-document frequency is >= 2; covered length is the exact "
+    "interval union of the fixed-width hits, computed with one lag() "
+    "window (sorted hits -> contribution = min(w, pos - prev_pos)). "
+    "Scale: three shuffles, each on a sound key — (1) gram-hash agg "
+    "for document frequency (map-side partial distinct), (2) hash join "
+    "of the gram stream against the duplicated-gram minority, (3) "
+    "per-doc window + rollup. No self-join, no all-pairs: this is the "
+    "published Spark shape for suffix-free substring-dedup scoring.",
+)
+def dup_span_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    l = tokens(F.col("text"))
+    grams = F.when(
+        F.size(l) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - 3),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(l, i, 4))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    toks = documents.select(
+        "doc_id", "source", F.size(l).alias("n_tokens"), grams.alias("gs")
+    )
+    g = toks.select(
+        "doc_id", F.posexplode("gs").alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    dup_h = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dupg = g.join(dup_h, "h").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = dupg.select(
+        "doc_id",
+        F.when(F.lag("pos").over(win).isNull(), F.lit(4))
+        .otherwise(F.least(F.lit(4), F.col("pos") - F.lag("pos").over(win)))
+        .alias("c"),
+    )
+    cov = contrib.groupBy("doc_id").agg(F.sum("c").alias("covered"))
+    joined = toks.select("doc_id", "source", "n_tokens").join(
+        cov, "doc_id", "left"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("covered").isNotNull(), 1).otherwise(0)
+            ).alias("dup_docs"),
+            F.sum(F.coalesce(F.col("covered"), F.lit(0))).alias(
+                "covered_tokens"
+            ),
+            F.sum("n_tokens").alias("tot_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            "covered_tokens",
+            "tot_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("covered_frac"),
+        )
+        .orderBy("source")
+    )

@@ -268,3 +268,11 @@ def test_snapshot_diff_joins_on_key_without_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_dup_span_coverage_no_self_join_no_nested_loop(spark):
+    """The substring-dedup metric must stay a gram-hash agg + hash join
+    + per-doc window — never a corpus self-join or nested loop."""
+    plan = _plan(spark, "dup_span_coverage")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
