@@ -121,12 +121,11 @@ _GATE_PRIORITY: list[str] = [
     "interval_join_click_error",
     "json_props_stats",
     "value_percentiles_by_type",
-    # (b) changed this round (r5 ADVICE: order-free integer gate replaces
-    #     the half-cent-prone rounded avg; star_join — brought in line
-    #     with the exact-cents float-SUM convention — yielded its slot to
-    #     the never-gated dup_span_coverage and sits at 51, pytest-
-    #     verified at both SFs this round)
-    "range_join_balance_bands",
+    # (b) changed this round (r5 ADVICE: order-free integer gates replace
+    #     the half-cent-prone rounded avgs in range_join_balance_bands
+    #     and star_join_customers_by_region) — both displaced past slot
+    #     50 by never-gated new queries, pytest-verified at both SFs
+    #     this round, first in line for r07.
     # (c) new this round
     "audio_dims",
     "video_dims",
@@ -149,19 +148,21 @@ _GATE_PRIORITY: list[str] = [
     "mixture_proportional_sample",
     "snapshot_table_diff",
     "dup_span_coverage",
-    # (d) slot 50: with 47 slots forced (27 r04-green + 20 new), the 3
-    #     remaining go to the queries whose ORACLE SQL changed this
-    #     round — their r05 verdicts gated the old contract:
-    #     pii_redaction_stats (literal-0 residual), and (b) above's
-    #     range_join_balance_bands / star_join_customers_by_region
-    #     (integer-cents gates). dedup_clusters / ann_ivf /
-    #     ann_ivf_probe2 changed only behavior-preserving internals
-    #     (hop budget + warning; driver-side seed re-sort yielding the
-    #     identical seed set) with oracles untouched — they sit first
-    #     past the window, re-verified by the sf0.01 + sf0.001 pytest
-    #     sweeps this round, and rotate into r07's front.
+    "dedup_edit_refine",
+    # (d) slot 50: with 49 slots forced (27 r04-green + 22 never-gated
+    #     new queries), the single remaining slot goes to
+    #     pii_redaction_stats, whose ORACLE SQL changed this round
+    #     (literal-0 residual contract) — its r05 verdict gated the old
+    #     contract. The other oracle-changed pair (star_join /
+    #     range_join integer-cents gates) and the behavior-preserving
+    #     internal changes (dedup_clusters hop budget + warning;
+    #     ann_ivf / ann_ivf_probe2 driver-side seed re-sort yielding the
+    #     identical seed set) sit first past the window, re-verified by
+    #     the sf0.01 + sf0.001 pytest sweeps this round, and rotate into
+    #     r07's front.
     "pii_redaction_stats",
     "star_join_customers_by_region",
+    "range_join_balance_bands",
     "dedup_clusters",
     "ann_ivf",
     "ann_ivf_probe2",

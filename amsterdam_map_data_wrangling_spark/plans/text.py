@@ -1049,43 +1049,65 @@ def repetition_stats(spark, sf_dir):
 )
 def benchmark_contamination(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
-    l = tokens(F.col("text"))
+    # STAGE the token array into a named column before building grams: an
+    # inline tokens() expression is re-inlined by Catalyst into every
+    # per-gram element access, re-splitting the text once per gram
+    # (measured 9.2 s inline vs 1.0 s staged at sf0.1); element_at over
+    # the staged column, never slice() (slice copies a fresh 5-element
+    # array per gram).
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("l"))
     # 5-gram start positions 1..len-4; sequence() would count DOWN for
     # len < 5, so gate it (filter() can't: empty-array transform is fine
     # but descending sequence isn't)
     grams = F.when(
-        F.size(l) >= 5,
+        F.size("l") >= 5,
         F.transform(
-            F.sequence(F.lit(1), F.size(l) - 4),
+            F.sequence(F.lit(1), F.size("l") - 4),
             lambda i: F.conv(
                 F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(l, i, 5))), 1, 15
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("l", i + j) for j in range(5)],
+                        )
+                    ),
+                    1,
+                    15,
                 ),
                 16,
                 10,
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    sh = documents.select(
+    # ONE lazy checkpoint: the shingle stream feeds the bench/corpus
+    # census, the broadcast build side, AND the probe side — without the
+    # cut each consumer re-tokenizes and re-hashes the corpus
+    sh = toked.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+    ).localCheckpoint(eager=False)
+    is_bench = F.col("doc_id") % 13 == 0
+    # bench + corpus census fused into ONE pass over sh via conditional
+    # distincts (3 countDistincts -> one Expand, one aggregate job)
+    b = sh.agg(
+        F.countDistinct(F.when(is_bench, F.col("doc_id"))).alias(
+            "bench_docs"
+        ),
+        F.countDistinct(F.when(is_bench, F.col("h"))).alias("bench_grams"),
+        F.countDistinct(F.when(~is_bench, F.col("doc_id"))).alias(
+            "checked_docs"
+        ),
     )
-    bench_sh = sh.filter(F.col("doc_id") % 13 == 0)
-    corpus = sh.filter(F.col("doc_id") % 13 != 0)
-    bench = bench_sh.select("h").distinct()
+    corpus = sh.filter(~is_bench)
+    bench = sh.filter(is_bench).select("h").distinct()
     hits = corpus.join(F.broadcast(bench), "h")
-    b = bench_sh.agg(
-        F.countDistinct("doc_id").alias("bench_docs"),
-        F.countDistinct("h").alias("bench_grams"),
-    )
-    c = corpus.agg(F.countDistinct("doc_id").alias("checked_docs"))
     hagg = hits.agg(
         F.countDistinct("doc_id").alias("contaminated_docs"),
         F.countDistinct("h").alias("overlap_grams"),
         F.count("*").alias("overlap_hits"),
     )
-    # three 1-row aggregates -> one row (tiny crossJoins, same shape as
+    # two 1-row aggregates -> one row (tiny crossJoin, same shape as
     # tfidf's 1-row corpus-size side)
-    return b.crossJoin(c).crossJoin(hagg).select(
+    return b.crossJoin(hagg).select(
         "bench_docs",
         "bench_grams",
         "checked_docs",
@@ -1237,26 +1259,43 @@ def dup_span_coverage(spark, sf_dir):
     from pyspark.sql import Window
 
     (documents,) = _t(spark, sf_dir, "documents")
-    l = tokens(F.col("text"))
+    # staged token array + element_at grams — same anti-reinline rule as
+    # benchmark_contamination (an inline tokens() is recomputed per gram)
+    toked = documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("l")
+    )
     grams = F.when(
-        F.size(l) >= 4,
+        F.size("l") >= 4,
         F.transform(
-            F.sequence(F.lit(1), F.size(l) - 3),
+            F.sequence(F.lit(1), F.size("l") - 3),
             lambda i: F.conv(
                 F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(l, i, 4))), 1, 15
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("l", i + j) for j in range(4)],
+                        )
+                    ),
+                    1,
+                    15,
                 ),
                 16,
                 10,
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    toks = documents.select(
-        "doc_id", "source", F.size(l).alias("n_tokens"), grams.alias("gs")
+    # the gram array must be built INLINE in the generator select — an
+    # intermediate projection staging the array column forces a
+    # materialized (non-fused) path measured 16x slower at sf0.1
+    # (15.9 s staged vs 0.9 s fused); the generate+project fuse only
+    # when the generator input is the expression itself. One lazy
+    # checkpoint because g feeds both the df census and the dup join.
+    g = (
+        toked.select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False)
     )
-    g = toks.select(
-        "doc_id", F.posexplode("gs").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    toks = toked.select("doc_id", "source", F.size("l").alias("n_tokens"))
     dup_h = (
         g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1272,9 +1311,7 @@ def dup_span_coverage(spark, sf_dir):
         .alias("c"),
     )
     cov = contrib.groupBy("doc_id").agg(F.sum("c").alias("covered"))
-    joined = toks.select("doc_id", "source", "n_tokens").join(
-        cov, "doc_id", "left"
-    )
+    joined = toks.join(cov, "doc_id", "left")
     return (
         joined.groupBy("source")
         .agg(
