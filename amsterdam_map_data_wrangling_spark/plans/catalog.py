@@ -149,17 +149,17 @@ _GATE_PRIORITY: list[str] = [
     "snapshot_table_diff",
     "dup_span_coverage",
     "dedup_edit_refine",
-    # (d) slot 50: with 49 slots forced (27 r04-green + 22 never-gated
-    #     new queries), the single remaining slot goes to
-    #     pii_redaction_stats, whose ORACLE SQL changed this round
-    #     (literal-0 residual contract) — its r05 verdict gated the old
-    #     contract. The other oracle-changed pair (star_join /
+    "map_ops_surface",
+    # (d) the window is now exactly full: 27 r04-green + 23 never-gated
+    #     new queries = 50 forced slots. The oracle-changed trio
+    #     (pii_redaction_stats literal-0 residual; star_join /
     #     range_join integer-cents gates) and the behavior-preserving
     #     internal changes (dedup_clusters hop budget + warning;
     #     ann_ivf / ann_ivf_probe2 driver-side seed re-sort yielding the
-    #     identical seed set) sit first past the window, re-verified by
-    #     the sf0.01 + sf0.001 pytest sweeps this round, and rotate into
-    #     r07's front.
+    #     identical seed set) sit first past the window — each is
+    #     re-verified by the sf0.01 + sf0.001 pytest oracle sweeps this
+    #     round (same compare as the driver's), keeps an r05 driver
+    #     verdict on its name, and rotates into r07's front.
     "pii_redaction_stats",
     "star_join_customers_by_region",
     "range_join_balance_bands",

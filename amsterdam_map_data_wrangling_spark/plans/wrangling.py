@@ -722,3 +722,58 @@ def snapshot_table_diff(spark, sf_dir):
             "unchanged"
         ),
     )
+
+
+@query(
+    "map_ops_surface",
+    """
+    WITH kv AS (
+      SELECT 'status' AS key, o_orderstatus AS value FROM orders
+      UNION ALL
+      SELECT 'prio' AS key, o_orderpriority AS value FROM orders
+      UNION ALL
+      SELECT 'band' AS key,
+             CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END
+               AS value
+      FROM orders
+    )
+    SELECT key, upper(value) AS value_u,
+           CAST(COUNT(*) AS BIGINT) AS num
+    FROM kv
+    WHERE NOT (key = 'band' AND value = 'low')
+    GROUP BY key, value_u ORDER BY key, value_u
+    """,
+    "Map-typed column surface — the one complex type the catalog didn't "
+    "yet exercise: per-row maps built with create_map, merged with "
+    "map_concat, pruned with map_filter (drops the low band), rewritten "
+    "with transform_values (upper), and unnested with explode into "
+    "(key, value) rows for a grouped count. The oracle replays the "
+    "same relational content (the map ops are row-local, so their "
+    "composition is observable exactly as the exploded rows). Scale: "
+    "all map ops are narrow per-row expressions; the only exchange is "
+    "the final small (key, value) count agg.",
+)
+def map_ops_surface(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("status"),
+            F.col("o_orderstatus"),
+            F.lit("prio"),
+            F.col("o_orderpriority"),
+        ),
+        F.create_map(
+            F.lit("band"),
+            F.when(F.col("o_totalprice") > 100000, "high").otherwise("low"),
+        ),
+    )
+    m2 = F.transform_values(
+        F.map_filter(m, lambda k, v: ~((k == "band") & (v == "low"))),
+        lambda k, v: F.upper(v),
+    )
+    return (
+        orders.select(F.explode(m2).alias("key", "value_u"))
+        .groupBy("key", "value_u")
+        .agg(F.count("*").alias("num"))
+        .orderBy("key", "value_u")
+    )
