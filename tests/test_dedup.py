@@ -286,3 +286,35 @@ def test_invariant_gates_survive_case_only_duplicates(spark):
     codes = {r.id: r.simhash for r in simhash(corpus, "doc_id", "text", 16).collect()}
     assert codes[1] == codes[3]
     assert codes[1] != codes[2]
+
+
+def test_connected_components_warns_when_budget_exhausted(spark):
+    """Round-6 ADVICE closure: loop exhaustion without the equal-sums
+    certificate must be VISIBLE (a silent exit returns unconverged labels
+    indistinguishable from success), and the restored ceil(2*max_iter/3)
+    round budget must still converge a 40-edge path at the default
+    max_iter=20 (the diameter the 2+1 restructure had silently lost)."""
+    import warnings
+
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    # max_iter=1 -> 1 round of 3 hops: cannot converge a 10-hop path
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(path, max_iter=1)
+        labels.collect()
+        assert any("convergence certificate" in str(x.message) for x in w)
+    # ceil(2*max_iter/3) rounds: max_iter=5 -> 4 rounds = 12 hops >= 10,
+    # i.e. the restored 2*max_iter hop contract reaches diameter-10
+    # (the pre-restore budget (5+2)//3 = 2 rounds = 6 hops would NOT)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        done = connected_components(path, max_iter=5)
+        rows = done.collect()
+        assert not any("convergence certificate" in str(x.message) for x in w)
+    assert {r["cluster_id"] for r in rows} == {0}

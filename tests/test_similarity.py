@@ -197,3 +197,34 @@ def test_top_cells_tie_break_is_sim_desc_then_cid_asc():
     assert _top_cells(qcids, sims[1], 3) == [9, 2, 4]
     # nprobe <= 0 clamps to 1 probe, never zero
     assert _top_cells(qcids, sims[0], 0) == [2]
+
+
+def test_ivf_driver_seed_resort_matches_spark_order(spark):
+    """Round-6 ADVICE closure: the IVF seed generation must not depend on
+    row order surviving the fused Union + collect(). The driver re-sorts
+    the collected sample by a recomputed portable md5 key — this pins
+    that the Python key reproduces the exact Spark orderBy(seed_hash,
+    vec_id) ranking, so the seed set is planner-independent."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        seed_hash_spark,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id bigint, v array<double>"
+    )
+    seed = "spark-graft"
+    spark_order = [
+        r["vec_id"]
+        for r in df.orderBy(seed_hash_spark(seed), "vec_id").limit(20).collect()
+    ]
+
+    def py_key(vid: int):
+        h = hashlib.md5(f"ivf|{seed}|{vid}".encode()).hexdigest()[:15]
+        return (int(h, 16), vid)
+
+    py_order = sorted(range(50), key=py_key)[:20]
+    assert spark_order == py_order
