@@ -1259,3 +1259,95 @@ def cube_revenue(spark, sf_dir):
         ).alias("revenue"),
         F.count("*").alias("num"),
     ).select("l_returnflag", "l_linestatus", "gid", "revenue", "num")
+
+
+@query(
+    "gap_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_idx
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sess_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(us) - MIN(us) AS dur_us
+      FROM sess GROUP BY user_id, sess_idx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_sessions,
+           CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us,
+           round(CAST(SUM(n_ev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_session_events
+    FROM per_sess
+    """,
+    "Gap-based sessionization — the lag+cumsum batch idiom (the OTHER "
+    "classic sessionizer next to session_window_per_user's built-in): "
+    "a session breaks when the inter-event gap exceeds 30 min; the "
+    "running sum of break flags IS the session id. All time arithmetic "
+    "in EXACT integer microseconds (unix_micros / epoch_us), so "
+    "durations and sums are order-free integers; the one derived ratio "
+    "divides two exact integers at the end. Scale: one shuffle on "
+    "user_id serves BOTH windows (lag and the running sum share the "
+    "partitioning), then a per-(user, session) partial agg and a tiny "
+    "global agg. This is the 100 TB sessionization shape — no state "
+    "store needed in batch.",
+)
+def gap_sessionization(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.select(
+        "user_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("event_id"),
+    )
+    # total order (us, event_id): with only us, tied timestamps would
+    # make the session assignment engine-order-dependent
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "us", F.sum("is_new").over(wrun).alias("sess_idx")
+    )
+    per_sess = sess.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0)).alias(
+            "singleton_sessions"
+        ),
+        F.sum("dur_us").alias("sum_duration_us"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("avg_session_events"),
+    )

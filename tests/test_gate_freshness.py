@@ -30,20 +30,56 @@ def _latest_artifact() -> tuple[str, set[str]]:
     return latest.name, set(json.loads(latest.read_text()).keys())
 
 
+#: Registry growth can exceed the window: when (stale + never-gated) >
+#: ARTIFACT_SLOTS, some BRAND-NEW queries must wait one round for their
+#: first verdict. That is not staleness (they have no verdict to age),
+#: but it must stay bounded and they must be FIRST in line next round.
+NEW_QUERY_OVERFLOW_ALLOWANCE = 5
+
+
 def test_front_slots_plus_latest_artifact_cover_registry():
     # the driver records the first ARTIFACT_SLOTS of the ORDERED catalog
     # (catalog.queries() → _ordered()), not raw registration order
     from amsterdam_map_data_wrangling_spark.plans.catalog import queries
 
     name, latest = _latest_artifact()
+    ever_gated: set[str] = set()
+    for art in Path(REPO).glob("CORRECTNESS_r*.json"):
+        ever_gated |= set(json.loads(art.read_text()).keys())
     ordered = list(queries())
     front = ordered[:ARTIFACT_SLOTS]
     uncovered = set(ordered) - set(front) - latest
-    assert not uncovered, (
-        f"queries with no driver verdict within 2 rounds (not in the "
+    # stale = had a verdict once, and it is now about to exceed 2 rounds:
+    # these are the real hazard and are never excused
+    stale = {q for q in uncovered if q in ever_gated}
+    assert not stale, (
+        f"queries whose driver verdict will exceed 2 rounds (not in the "
         f"current front-{ARTIFACT_SLOTS} and absent from {name}): "
-        f"{sorted(uncovered)} — move them forward in _GATE_PRIORITY"
+        f"{sorted(stale)} — move them forward in _GATE_PRIORITY"
     )
+    # never-gated overflow: only allowed when the window is genuinely
+    # full, bounded, and parked immediately after the window so their
+    # first verdict lands next round
+    overflow = uncovered - ever_gated
+    if overflow:
+        assert len(overflow) <= NEW_QUERY_OVERFLOW_ALLOWANCE, (
+            f"too many never-gated queries outside the window: "
+            f"{sorted(overflow)}"
+        )
+        # every window slot must itself be forced (absent from the
+        # latest artifact): an overflow while a covered query holds a
+        # slot would be an avoidable gap
+        free = [q for q in front if q in latest]
+        assert not free, (
+            f"never-gated overflow {sorted(overflow)} while window slots "
+            f"hold already-covered queries {free}"
+        )
+        for q in overflow:
+            pos = ordered.index(q)
+            assert ARTIFACT_SLOTS <= pos < ARTIFACT_SLOTS + len(overflow) + 3, (
+                f"never-gated {q} parked at {pos}, not immediately after "
+                f"the window"
+            )
 
 
 def test_gate_priority_is_exact_and_typo_free():

@@ -75,8 +75,7 @@ def test_gate_priority_orders_catalog():
     # freshness invariant is asserted mechanically in
     # tests/test_gate_freshness.py — this list pins only the current
     # round's specific obligations.)
-    for name in ("range_join_balance_bands",  # changed: order-free int gate
-                 "audio_dims",  # new: WAV/RIFF header parse
+    for name in ("audio_dims",  # new: WAV/RIFF header parse
                  "video_dims",  # new: MP4/ISO-BMFF box walk
                  "runtime_bloom_filter_join",  # new: runtime filter join
                  "funnel_conversion", "key_skew_profile",  # new: events analytics
@@ -89,7 +88,13 @@ def test_gate_priority_orders_catalog():
                  "local_supplier_volume",  # new: 6-table Q5-shape join
                  "weekly_cohort_retention",  # new: cohort analytics
                  "nested_json_shred",  # new: semi-structured shredding
-                 "star_join_customers_by_region",  # changed: exact-cents gate
+                 "repetition_stats",  # new: Gopher repetition metrics
+                 "benchmark_contamination",  # new: train/eval n-gram overlap
+                 "mixture_proportional_sample",  # new: mixture downsampling
+                 "snapshot_table_diff",  # new: CDC reconciliation audit
+                 "dup_span_coverage",  # new: substring-dedup metric
+                 "dedup_edit_refine",  # new: levenshtein refine stage
+                 "map_ops_surface",  # new: map-typed column surface
                  # the r04 tail (sample — the freshness test covers all 27)
                  "count_global", "distinct_users_union", "topk_group_count",
                  "scan_filter_project", "pct_shares", "text_stats",
@@ -97,3 +102,11 @@ def test_gate_priority_orders_catalog():
                  "json_props_stats", "value_percentiles_by_type",
                  "above_avg_orders_per_customer", "lang_id_confusion"):
         assert ordered.index(name) < 50, name
+    # the oracle-changed trio was displaced past the window by the 23
+    # never-gated new queries (slots are zero-sum); they must sit
+    # IMMEDIATELY after it so they re-gate first at r07 (each is
+    # pytest-oracle-verified at both SFs this round and keeps an r05
+    # driver verdict on its name)
+    for name in ("pii_redaction_stats", "star_join_customers_by_region",
+                 "range_join_balance_bands"):
+        assert 50 <= ordered.index(name) < 55, name
