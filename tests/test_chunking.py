@@ -166,3 +166,39 @@ def test_sharded_pack_equals_onelevel_on_skewed_langs(spark, tmp_path):
         if kept:
             expect[lang] = (kept, tok)
     assert one == expect
+
+
+def test_dup_span_interval_union_formula_matches_brute_force(spark):
+    """dup_span_coverage computes |union of fixed-width intervals| with a
+    single lag() window: first hit contributes w, later hits contribute
+    min(w, pos - prev_pos). Pin the formula against the brute-force set
+    union on randomized position sets (one Spark job for all cases)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    w = 4
+    cases = {}
+    rows = []
+    for case_id in range(60):
+        n = rng.randint(1, 30)
+        pos = sorted(rng.sample(range(1, 80), n))
+        cases[case_id] = pos
+        rows += [(case_id, p) for p in pos]
+    df = spark.createDataFrame(rows, "case_id int, pos int")
+    win = Window.partitionBy("case_id").orderBy("pos")
+    contrib = F.when(F.lag("pos").over(win).isNull(), F.lit(w)).otherwise(
+        F.least(F.lit(w), F.col("pos") - F.lag("pos").over(win))
+    )
+    got = {
+        r["case_id"]: r["covered"]
+        for r in df.select("case_id", contrib.alias("c"))
+        .groupBy("case_id")
+        .agg(F.sum("c").alias("covered"))
+        .collect()
+    }
+    for case_id, pos in cases.items():
+        brute = len(set().union(*[set(range(p, p + w)) for p in pos]))
+        assert got[case_id] == brute, (case_id, pos)
