@@ -276,3 +276,11 @@ def test_dup_span_coverage_no_self_join_no_nested_loop(spark):
     plan = _plan(spark, "dup_span_coverage")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gap_sessionization_single_wide_exchange(spark):
+    """Both windows (lag + running sum) and the per-session aggregate
+    must reuse ONE user_id hash exchange; only the tiny global agg may
+    add a singleton exchange."""
+    plan = _plan(spark, "gap_sessionization")
+    assert plan.count("Exchange hashpartitioning") == 1
