@@ -777,3 +777,70 @@ def map_ops_surface(spark, sf_dir):
         .agg(F.count("*").alias("num"))
         .orderBy("key", "value_u")
     )
+
+
+@query(
+    "variant_json_stats",
+    """
+    WITH j AS (
+      SELECT '{"id": ' || CAST(o_orderkey AS VARCHAR)
+          || ', "items": [{"q": ' || CAST(o_orderkey % 5 AS VARCHAR)
+          || '}, {"q": ' || CAST(o_orderkey % 7 AS VARCHAR)
+          || '}], "tag": "' || o_orderpriority || '"}' AS js
+      FROM orders
+    )
+    SELECT json_extract_string(js, '$.tag') AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(json_extract(js, '$.id') AS BIGINT)) AS BIGINT)
+             AS sum_id,
+           CAST(SUM(CAST(json_extract(js, '$.items[1].q') AS BIGINT))
+                AS BIGINT) AS sum_q1,
+           CAST(SUM(CASE WHEN json_extract(js, '$.items[0].q')
+                              IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS q0_present
+    FROM j GROUP BY tag ORDER BY tag
+    """,
+    "Spark 4 VARIANT surface — the OTHER semi-structured path next to "
+    "nested_json_shred's explicit-schema from_json: the same "
+    "deterministically synthesized JSON strings are parsed with "
+    "parse_json into VARIANT and fields come out via typed "
+    "try_variant_get JSON-path extraction ($.id, $.items[1].q), with a "
+    "presence probe on $.items[0].q. The oracle replays the identical "
+    "strings with DuckDB json_extract. VARIANT is the schema-on-read "
+    "answer when the shape is NOT known up front (from_json needs the "
+    "schema; variant defers it to extraction time) — the trade is a "
+    "binary-encoded value per row instead of shredded columns. Scale: "
+    "narrow parse + extract, one small agg shuffle on tag.",
+)
+def variant_json_stats(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "items": [{"q": '),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit('}, {"q": '),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('}], "tag": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    v = orders.select(F.parse_json(js).alias("v"))
+    fields = v.select(
+        F.try_variant_get("v", "$.tag", "string").alias("tag"),
+        F.try_variant_get("v", "$.id", "bigint").alias("id"),
+        F.try_variant_get("v", "$.items[1].q", "bigint").alias("q1"),
+        F.try_variant_get("v", "$.items[0].q", "bigint").alias("q0"),
+    )
+    return (
+        fields.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("id").alias("sum_id"),
+            F.sum("q1").alias("sum_q1"),
+            F.sum(F.when(F.col("q0").isNotNull(), 1).otherwise(0)).alias(
+                "q0_present"
+            ),
+        )
+        .orderBy("tag")
+    )
