@@ -844,3 +844,81 @@ def variant_json_stats(spark, sf_dir):
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "null_semantics_audit",
+    """
+    WITH src AS (
+      SELECT nullif(o_orderstatus, 'P') AS st,
+             nullif(o_orderkey % 3, 0) AS k3
+      FROM orders
+    ), dim(st, w) AS (
+      SELECT * FROM (VALUES ('F', 10), ('O', 20), (NULL, 30)) v(st, w)
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(st) FROM src) AS BIGINT) AS n_st_nonnull,
+      CAST((SELECT COUNT(DISTINCT st) FROM src) AS BIGINT) AS n_st_distinct,
+      CAST((SELECT COUNT(*) FROM (SELECT k3 FROM src GROUP BY k3) g)
+           AS BIGINT) AS n_k3_groups,
+      CAST((SELECT COUNT(*) FROM src s JOIN dim d ON s.st = d.st)
+           AS BIGINT) AS eq_join_matches,
+      CAST((SELECT COUNT(*) FROM src s JOIN dim d
+            ON s.st IS NOT DISTINCT FROM d.st) AS BIGINT)
+        AS nullsafe_join_matches
+    """,
+    "Null-semantics audit — the SQL edge cases that silently differ "
+    "between engines if either strays from the standard, gated as exact "
+    "counts over deterministically injected NULLs (nullif on status "
+    "'P' and on o_orderkey % 3 = 0): COUNT(*) vs COUNT(col), "
+    "COUNT(DISTINCT) ignoring NULLs, GROUP BY keeping the NULL group, "
+    "equi-join DROPPING null keys, and the null-safe join (Spark "
+    "eqNullSafe <=> / SQL IS NOT DISTINCT FROM) matching them — the "
+    "join flavor a dedup-on-nullable-key pipeline must use. Scale: all "
+    "1-row aggregates over narrow maps; the joins broadcast a 3-row "
+    "dim.",
+)
+def null_semantics_audit(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    st = F.when(F.col("o_orderstatus") == "P", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    k3 = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(
+        F.col("o_orderkey") % 3
+    )
+    src = orders.select(st.alias("st"), k3.alias("k3"))
+    dim = spark.createDataFrame(
+        [("F", 10), ("O", 20), (None, 30)], "st string, w int"
+    )
+    a = src.agg(
+        F.count("*").alias("n_rows"),
+        F.count("st").alias("n_st_nonnull"),
+        F.countDistinct("st").alias("n_st_distinct"),
+    )
+    g = (
+        src.select("k3")
+        .distinct()
+        .agg(F.count("*").alias("n_k3_groups"))
+    )
+    j1 = (
+        src.join(F.broadcast(dim), src["st"] == dim["st"])
+        .agg(F.count("*").alias("eq_join_matches"))
+    )
+    j2 = (
+        src.join(F.broadcast(dim), src["st"].eqNullSafe(dim["st"]))
+        .agg(F.count("*").alias("nullsafe_join_matches"))
+    )
+    return (
+        a.crossJoin(g)
+        .crossJoin(j1)
+        .crossJoin(j2)
+        .select(
+            "n_rows",
+            "n_st_nonnull",
+            "n_st_distinct",
+            "n_k3_groups",
+            "eq_join_matches",
+            "nullsafe_join_matches",
+        )
+    )

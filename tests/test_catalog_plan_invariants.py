@@ -19,6 +19,7 @@ BNLJ_WHITELIST = {
     "salted_join_hot_customer",  # salt-id replication of the small side
     "expectations_report",  # 1-row rule aggregates stitched together
     "benchmark_contamination",  # three 1-row aggregates stitched to one row
+    "null_semantics_audit",  # four 1-row aggregates stitched to one row
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

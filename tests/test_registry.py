@@ -109,4 +109,4 @@ def test_gate_priority_orders_catalog():
     # driver verdict on its name)
     for name in ("pii_redaction_stats", "star_join_customers_by_region",
                  "range_join_balance_bands"):
-        assert 50 <= ordered.index(name) < 55, name
+        assert 50 <= ordered.index(name) < 58, name
