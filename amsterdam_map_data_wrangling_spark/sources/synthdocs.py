@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LANGS = ("en", "nl", "de", "fr", "xx")
 WORDS_PER_DOC = 8
@@ -66,8 +71,51 @@ class SynthDocsReader(DataSourceReader):
             )
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader (Spark 4
+    ``SimpleDataSourceStreamReader`` — the no-partition-planning
+    streaming flavor of the Python DataSource API): offsets are plain
+    id watermarks ``{"id": n_emitted}``, each micro-batch emits the next
+    ``stream_batch`` ids with the SAME pure-(seed, doc_id) row content
+    as the batch reader, and ``readBetweenOffsets`` replays any offset
+    range deterministically — which is exactly the exactly-once recovery
+    contract: a restarted query re-reads a committed-but-unprocessed
+    range and gets byte-identical rows. An exhausted source returns an
+    empty iterator with an unchanged offset (the stream idles)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.batch = int(options.get("stream_batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the simple-stream prefetcher pickles
+        # the returned batch for replay, and generators don't pickle
+        return [
+            (
+                doc_id,
+                LANGS[doc_id % len(LANGS)],
+                synth_text(self.seed, doc_id),
+            )
+            for doc_id in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = int(start["id"])
+        hi = min(lo + self.batch, self.n)
+        return self._rows(lo, hi), {"id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["id"]), int(end["id"]))
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("n", ...).load()``."""
+    """``spark.read.format("synthdocs").option("n", ...).load()`` and
+    ``spark.readStream.format("synthdocs")...`` (micro-batched id
+    ranges, deterministic replay)."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +126,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

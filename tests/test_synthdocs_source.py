@@ -43,3 +43,40 @@ def test_source_composes_with_catalog_operators(spark):
     per_lang = df.groupBy("lang").agg(F.count("*").alias("n")).collect()
     assert {r.lang for r in per_lang} == set(synthdocs.LANGS)
     assert sum(r.n for r in per_lang) == 500
+
+
+def test_stream_reader_drains_to_batch_equality(spark):
+    """The SimpleDataSourceStreamReader twin must emit EXACTLY the batch
+    reader's rows across micro-batches (same pure-(seed, doc_id)
+    content, id-watermark offsets), proving the deterministic-replay
+    contract the exactly-once recovery path relies on."""
+    import time
+    import uuid
+
+    from amsterdam_map_data_wrangling_spark.sources.synthdocs import register
+
+    register(spark)
+    opts = {"n": "900", "seed": "7", "stream_batch": "200"}
+    batch = spark.read.format("synthdocs").options(**opts).load()
+    expected = sorted(map(tuple, batch.collect()))
+    sink = f"synthstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthdocs")
+        .options(**opts)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = spark.sql(f"SELECT * FROM {sink}").collect()
+            if len(got) >= 900:
+                break
+            time.sleep(0.5)
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {sink}").collect()))
+    finally:
+        q.stop()
+    assert got == expected
