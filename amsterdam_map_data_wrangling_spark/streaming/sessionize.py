@@ -1,0 +1,110 @@
+"""Streaming gap-sessionization via ``applyInPandasWithState``: the
+stateful twin of ``plans/queries.py:gap_sessionization`` (lag+cumsum
+batch idiom).
+
+Per-user state is TWO integers — the last event's microsecond timestamp
+and the session count so far — nothing else: no event buffer, no session
+list, so state is linear in users and RocksDB-spillable at a billion
+keys. Within a batch the handler sorts the user's rows by (ts, event_id)
+(the same total order the batch twin's windows pin) and counts
+gap > 30 min breaks vectorized; across batches the carried last_us makes
+the first row of the next batch compare against the true previous event.
+The stream equals the batch answer whenever each user's events arrive in
+event-time order across micro-batches (file replay in tests; per-key
+Kafka ordering in production) — for disordered sources, bound the
+disorder with a watermark upstream.
+
+Citing the reference's streaming north star (SURVEY §2.8): this is the
+operator class the reference cannot express at all — its engine is a
+single-pass batch script.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+GAP_US = 1_800_000_000  # 30 min, matches the batch twin
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _update_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterable["pd.DataFrame"],
+    state: GroupState,
+) -> Iterable["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    last_us, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        s = pdf.sort_values(["us", "event_id"])["us"].to_numpy(
+            dtype=np.int64
+        )
+        # vectorized break count: gap to the in-batch predecessor, with
+        # the carried last_us standing in for the first row's predecessor
+        prev = np.empty_like(s)
+        prev[1:] = s[:-1]
+        if last_us is None:
+            breaks = int(np.count_nonzero((s[1:] - s[:-1]) > GAP_US)) + 1
+        else:
+            prev[0] = last_us
+            breaks = int(np.count_nonzero((s - prev) > GAP_US))
+        n_sessions += breaks
+        n_events += len(s)
+        last_us = int(s[-1])
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def streaming_gap_sessions(events: DataFrame) -> DataFrame:
+    """Per-user session counts as a streaming query (update mode): one
+    row per user per micro-batch with the running totals. ``events``
+    needs (user_id, ts, event_id); time is converted to exact integer
+    microseconds JVM-side so the handler never touches timestamps."""
+    from pyspark.sql import functions as F
+
+    prepped = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

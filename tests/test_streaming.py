@@ -529,3 +529,101 @@ def test_funnel_handler_gates_stages_across_batches():
     assert run(st3, [("view", "2024-01-01 00:01", 0),
                      ("purchase", "2024-01-01 00:02", 1),
                      ("click", "2024-01-01 00:03", 2)]) == (1, 1, 0)
+
+
+def test_streaming_gap_sessions_match_batch_sessionization(spark):
+    """applyInPandasWithState gap-sessionizer: after draining the
+    stream, each user's (n_sessions, n_events) must equal the batch
+    lag+cumsum sessionization (gap_sessionization's per-user relation).
+    Counts only grow, so the per-user max across emissions is the final
+    state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+        streaming_gap_sessions,
+    )
+    from amsterdam_map_data_wrangling_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stream = streaming_gap_sessions(read_events_stream(spark, SF_ORACLE))
+    assert stream.isStreaming
+    (
+        stream.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.user_id: (r.ns, r.ne)
+        for r in spark.table("t_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("ns"), F.max("n_events").alias("ne")
+        )
+        .collect()
+    }
+    events = load_tables(spark, SF_ORACLE, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    want = {
+        r.user_id: (r.ns, r.ne)
+        for r in flagged.groupBy("user_id")
+        .agg(F.sum("is_new").alias("ns"), F.count("*").alias("ne"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_handler_carries_state_across_batches():
+    """Direct handler check of the CROSS-batch path (the file drain above
+    runs in one batch): the carried last_us must make the next batch's
+    first event compare against the true previous event, with intra-batch
+    disorder sorted away."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+        _update_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    MIN = 60_000_000
+    # batch 1, deliberately out of order: events at 10min and 0min
+    b1 = pd.DataFrame({"us": [10 * MIN, 0], "event_id": [2, 1]})
+    out1 = list(_update_sessions((7,), [b1], st))[0]
+    assert (
+        out1.loc[0, "n_sessions"],
+        out1.loc[0, "n_events"],
+    ) == (1, 2)
+    # batch 2: 20min continues the session (gap 10min); 2h opens a new one
+    b2 = pd.DataFrame({"us": [120 * MIN, 20 * MIN], "event_id": [4, 3]})
+    out2 = list(_update_sessions((7,), [b2], st))[0]
+    assert (
+        out2.loc[0, "n_sessions"],
+        out2.loc[0, "n_events"],
+    ) == (2, 4)
+    assert st.get == (120 * MIN, 2, 4)
