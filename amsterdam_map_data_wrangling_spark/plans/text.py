@@ -940,47 +940,67 @@ def repetition_stats(spark, sf_dir):
     toked = documents.select(
         "doc_id", "source", tokens(F.col("text")).alias("l")
     )
+    # per-doc top-bigram count WITHOUT leaving the row: sort the bigram
+    # array (equal bigrams become adjacent), then one aggregate() fold
+    # tracks the longest equal-run. This removes BOTH shuffles of the
+    # explode + groupBy(doc_id, bigram) + groupBy(doc_id) formulation —
+    # the right trade for a per-DOCUMENT metric at 100 TB (the in-row
+    # array is ~n_tokens strings; the exploded form re-shuffles the
+    # whole corpus). Measured 1.16 -> ~0.5 s at sf0.1 (steady-state,
+    # rebuild-per-pass; the fold's first-analysis cost amortizes like
+    # every lambda-bearing plan). The ORACLE still computes it via the
+    # relational groupBy, so the hash gate proves two different
+    # algorithms agree.
+    big = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("l", i), F.element_at("l", i + 1)
+            ),
+        )
+    )
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(big, init, _merge, lambda acc: acc["best"])
+    n_big = F.size("l") - 1
     sized = toked.select(
         "doc_id",
         "source",
         F.size("l").alias("n_tokens"),
         F.size(F.array_distinct("l")).alias("n_distinct"),
+        # docs with < 2 tokens have no bigrams: top_cnt/n_bigrams 0,
+        # mirroring the oracle's LEFT JOIN + COALESCE
+        F.when(n_big > 0, top).otherwise(F.lit(0).cast("long")).alias(
+            "top_cnt"
+        ),
+        F.when(n_big > 0, n_big.cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_bigrams"),
     )
-    bigrams = toked.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("l", i), F.element_at("l", i + 1)
-                ),
-            )
-        ).alias("bigram"),
-    )
-    bgt = (
-        bigrams.groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("top_cnt"),
-            F.sum("c").alias("n_bigrams"),
-        )
-    )
-    joined = sized.join(bgt, "doc_id", "left")
     return (
-        joined.groupBy("source")
+        sized.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("n_tokens") - F.col("n_distinct")).alias(
                 "dup_token_cnt"
             ),
             F.sum("n_tokens").alias("tot_tokens"),
-            F.sum(F.coalesce(F.col("top_cnt"), F.lit(0))).alias(
-                "top_bigram_cnt"
-            ),
-            F.sum(F.coalesce(F.col("n_bigrams"), F.lit(0))).alias(
-                "tot_bigrams"
-            ),
+            F.sum("top_cnt").alias("top_bigram_cnt"),
+            F.sum("n_bigrams").alias("tot_bigrams"),
         )
         .select(
             "source",
