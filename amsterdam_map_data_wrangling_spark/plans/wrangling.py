@@ -922,3 +922,66 @@ def null_semantics_audit(spark, sf_dir):
             "nullsafe_join_matches",
         )
     )
+
+
+@query(
+    "xml_roundtrip_stats",
+    """
+    WITH kv AS (
+      SELECT c_custkey, 'segment' AS key, c_mktsegment AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nation' AS key, CAST(c_nationkey AS VARCHAR)
+      FROM customer
+    )
+    SELECT key, value,
+           CAST(COUNT(*) AS BIGINT) AS num,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+    FROM kv GROUP BY key, value ORDER BY key, value
+    """,
+    "XML ingest surface (Spark 4 from_xml) — a direct nod to the "
+    "reference's OSM-XML domain: OSM-node-shaped XML strings "
+    "(attributes + repeated <tag k v/> children) are synthesized "
+    "deterministically from customer rows, parsed back with from_xml "
+    "(attribute `_`-prefix schema, nested array<struct>), the tag "
+    "array exploded, and (k, v) groups counted with a SUM of parsed "
+    "node ids as the parse witness. The oracle computes the expected "
+    "result from the SOURCE columns directly — so a from_xml "
+    "attribute-mapping, array-collection, or type-coercion bug flips "
+    "the hash. XML carries only integers and catalog strings (never "
+    "a formatted double, whose repr differs across engines). Scale: "
+    "narrow synth + parse + explode (x2), one small agg shuffle.",
+)
+def xml_roundtrip_stats(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit('<node id="'),
+        F.col("c_custkey").cast("string"),
+        F.lit('" ver="'),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit('"><tag k="segment" v="'),
+        F.col("c_mktsegment"),
+        F.lit('"/><tag k="nation" v="'),
+        F.col("c_nationkey").cast("string"),
+        F.lit('"/></node>'),
+    )
+    schema = (
+        "_id BIGINT, _ver BIGINT, tag ARRAY<STRUCT<_k: STRING, _v: STRING>>"
+    )
+    parsed = customer.select(F.from_xml(xml, schema).alias("n"))
+    exploded = parsed.select(
+        F.col("n._id").alias("c_custkey"), F.explode("n.tag").alias("t")
+    )
+    return (
+        exploded.select(
+            F.col("t._k").alias("key"),
+            F.col("t._v").alias("value"),
+            "c_custkey",
+        )
+        .groupBy("key", "value")
+        .agg(
+            F.count("*").alias("num"),
+            F.sum("c_custkey").alias("sum_id"),
+        )
+        .orderBy("key", "value")
+    )
