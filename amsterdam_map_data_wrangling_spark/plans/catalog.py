@@ -150,16 +150,17 @@ _GATE_PRIORITY: list[str] = [
     "dup_span_coverage",
     "dedup_edit_refine",
     "map_ops_surface",
-    # gap_sessionization, variant_json_stats, null_semantics_audit and
-    # xml_roundtrip_stats are the 24th-27th never-gated queries against
-    # a window already holding 50 forced slots (27 r04-green + 23 new):
-    # they park at 51-54 under the bounded new-query overflow allowance
-    # (tests/test_gate_freshness.py) and take their first verdicts at
-    # r07.
+    # gap_sessionization .. nation_volume_shipping are the 24th-28th
+    # never-gated queries against a window already holding 50 forced
+    # slots (27 r04-green + 23 new): they park at 51-55 under the
+    # bounded new-query overflow allowance (tests/test_gate_freshness.py,
+    # now at its 5-query limit — catalog growth pauses here this round)
+    # and take their first verdicts at r07.
     "gap_sessionization",
     "variant_json_stats",
     "null_semantics_audit",
     "xml_roundtrip_stats",
+    "nation_volume_shipping",
     # (d) the window is now exactly full: 27 r04-green + 23 never-gated
     #     new queries = 50 forced slots. The oracle-changed trio
     #     (pii_redaction_stats literal-0 residual; star_join /

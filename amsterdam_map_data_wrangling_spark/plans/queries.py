@@ -1351,3 +1351,76 @@ def gap_sessionization(spark, sf_dir):
             6,
         ).alias("avg_session_events"),
     )
+
+
+@query(
+    "nation_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS volume_microcents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+      AND n1.n_nationkey != n2.n_nationkey
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape (volume shipping between nation pairs) — the OTHER "
+    "deep-join topology next to local_supplier_volume's Q5: here the "
+    "two nation dims bind DIFFERENT sides (supplier's vs customer's "
+    "nation) with an inequality between them, so the correlation "
+    "predicate crosses the two fact-dim arms instead of closing a "
+    "cycle. Revenue gated in exact integer MICROCENTS: price and "
+    "(1 - discount) are both 2-decimal quantities, so cents(price) * "
+    "centi-units(1-disc) is an exact 64-bit product and the SUM is "
+    "order-free (the float form price*(1-disc) would depend on "
+    "accumulation order). Scale: lineitem-orders and orders-customer "
+    "shuffle on their keys (the two honest fact joins), supplier + "
+    "both nation copies broadcast; AQE coalesces the residue. The "
+    "nationkey < 5 dim filters prune build sides BEFORE the join "
+    "(pushdown visible in the scan).",
+)
+def nation_volume_shipping(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            volume.alias("v"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("v").alias("volume_microcents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
