@@ -284,3 +284,13 @@ def test_gap_sessionization_single_wide_exchange(spark):
     add a singleton exchange."""
     plan = _plan(spark, "gap_sessionization")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q7_shape_broadcasts_dims_and_shuffles_facts(spark):
+    """nation_volume_shipping: supplier + both nation copies must
+    broadcast; only the two fact joins (lineitem-orders,
+    orders-customer) may shuffle."""
+    plan = _plan(spark, "nation_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
