@@ -87,6 +87,16 @@ def _load_all() -> None:
 #: back and re-enters in a later round. Names listed here must exist in the
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
+#:
+#: Capacity math (round 6, registry 105 > 2x50): only 100 verdict slots
+#: exist per 2 rounds, so the strict <=2-round policy saturates. The
+#: sustainable tight schedule, enforced by tests/test_gate_freshness.py:
+#: changed-code and new queries always front-load; a bounded tail of at
+#: most (N - 100) UNCHANGED queries may age to 3 rounds (never beyond,
+#: must hold a verdict from two artifacts back, parked immediately past
+#: slot 50). r07 recipe: front = the 5 overflow queries + the oracle-
+#: changed trio + dedup_clusters/ann_ivf/ann_ivf_probe2 + the oldest
+#: r05-green tail; at most 5 r05-green queries spill to r08.
 _GATE_PRIORITY: list[str] = [
     # ---- round 6 rotation ----
     # (a) the 27 queries absent from CORRECTNESS_r05.json (all r04-green

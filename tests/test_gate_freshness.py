@@ -1,13 +1,25 @@
-"""Verdict-freshness invariant, made executable (round-4 verdict #7).
+"""Verdict-freshness invariant, made executable (round-4 verdict #7;
+generalized for registry > 100 at round 6).
 
 The driver's correctness artifact records only the FIRST 50 registry
 entries per round (`plans/catalog.py:_GATE_PRIORITY` — the 50-slot
-rotation). The standing policy is: every registered query must have a
-driver verdict at most 2 rounds old. Equivalently, at the moment the next
-artifact is produced, (this round's front-50) ∪ (the latest existing
-artifact's keys) must cover the whole registry. This test asserts exactly
-that, so an under-covering rotation goes red in pytest instead of relying
-on judge vigilance.
+rotation). The standing policy:
+
+1. With a registry of N ≤ 2×50 queries, every query must have a driver
+   verdict at most 2 rounds old — i.e. (this round's front-50) ∪ (the
+   latest artifact) covers the registry.
+2. Registry growth past 2×50 makes (1) mathematically infeasible at
+   steady state (there are only 100 verdict slots per 2 rounds). The
+   sustainable tight policy: a BOUNDED tail of max(0, N − 100)
+   unchanged-code queries may age to 3 rounds — never beyond — and must
+   be covered by the artifact two rounds back and parked immediately
+   past the window so they re-gate next round.
+3. Brand-new queries (present in NO artifact) have no verdict to age;
+   when the window is genuinely full they may overflow, bounded, parked
+   immediately past the window so their FIRST verdict lands next round.
+
+This test asserts exactly that, so an under-covering rotation goes red
+in pytest instead of relying on judge vigilance.
 """
 
 from __future__ import annotations
@@ -19,66 +31,75 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 ARTIFACT_SLOTS = 50
 
+#: never-gated queries allowed to wait one round for their first verdict
+#: (policy point 3) — small, so a new query is never far from evidence
+NEW_QUERY_OVERFLOW_ALLOWANCE = 5
 
-def _latest_artifact() -> tuple[str, set[str]]:
+
+def _artifacts() -> list[tuple[str, set[str]]]:
     arts = sorted(
         REPO.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
     )
     assert arts, "no CORRECTNESS_r*.json artifact in repo root"
-    latest = arts[-1]
-    return latest.name, set(json.loads(latest.read_text()).keys())
+    return [(p.name, set(json.loads(p.read_text()).keys())) for p in arts]
 
 
-#: Registry growth can exceed the window: when (stale + never-gated) >
-#: ARTIFACT_SLOTS, some BRAND-NEW queries must wait one round for their
-#: first verdict. That is not staleness (they have no verdict to age),
-#: but it must stay bounded and they must be FIRST in line next round.
-NEW_QUERY_OVERFLOW_ALLOWANCE = 5
-
-
-def test_front_slots_plus_latest_artifact_cover_registry():
+def test_front_slots_plus_recent_artifacts_cover_registry():
     # the driver records the first ARTIFACT_SLOTS of the ORDERED catalog
     # (catalog.queries() → _ordered()), not raw registration order
     from amsterdam_map_data_wrangling_spark.plans.catalog import queries
 
-    name, latest = _latest_artifact()
-    ever_gated: set[str] = set()
-    for art in Path(REPO).glob("CORRECTNESS_r*.json"):
-        ever_gated |= set(json.loads(art.read_text()).keys())
+    arts = _artifacts()
+    latest_name, latest = arts[-1]
+    previous = arts[-2][1] if len(arts) >= 2 else set()
+    ever_gated = set().union(*(keys for _, keys in arts))
+
     ordered = list(queries())
     front = ordered[:ARTIFACT_SLOTS]
     uncovered = set(ordered) - set(front) - latest
-    # stale = had a verdict once, and it is now about to exceed 2 rounds:
-    # these are the real hazard and are never excused
+
+    # ---- policy point 2: stale tail, tightly bounded ----------------
     stale = {q for q in uncovered if q in ever_gated}
-    assert not stale, (
-        f"queries whose driver verdict will exceed 2 rounds (not in the "
-        f"current front-{ARTIFACT_SLOTS} and absent from {name}): "
-        f"{sorted(stale)} — move them forward in _GATE_PRIORITY"
+    allowed_stale = max(0, len(ordered) - 2 * ARTIFACT_SLOTS)
+    assert len(stale) <= allowed_stale, (
+        f"{len(stale)} queries' verdicts would exceed 2 rounds (not in "
+        f"the current front-{ARTIFACT_SLOTS} and absent from "
+        f"{latest_name}) but the registry size only sustains "
+        f"{allowed_stale}: {sorted(stale)} — move them forward in "
+        f"_GATE_PRIORITY"
     )
-    # never-gated overflow: only allowed when the window is genuinely
-    # full, bounded, and parked immediately after the window so their
-    # first verdict lands next round
+    # 3 rounds is the hard ceiling: every stale query must hold a verdict
+    # from the artifact two rounds back
+    beyond = stale - previous
+    assert not beyond, (
+        f"queries with no driver verdict within 3 rounds: {sorted(beyond)}"
+    )
+
+    # ---- policy point 3: never-gated overflow -----------------------
     overflow = uncovered - ever_gated
-    if overflow:
-        assert len(overflow) <= NEW_QUERY_OVERFLOW_ALLOWANCE, (
-            f"too many never-gated queries outside the window: "
-            f"{sorted(overflow)}"
-        )
+    assert len(overflow) <= NEW_QUERY_OVERFLOW_ALLOWANCE, (
+        f"too many never-gated queries outside the window: "
+        f"{sorted(overflow)}"
+    )
+
+    if stale or overflow:
         # every window slot must itself be forced (absent from the
-        # latest artifact): an overflow while a covered query holds a
+        # latest artifact): an excused query while a covered one holds a
         # slot would be an avoidable gap
         free = [q for q in front if q in latest]
         assert not free, (
-            f"never-gated overflow {sorted(overflow)} while window slots "
-            f"hold already-covered queries {free}"
+            f"excused queries {sorted(stale | overflow)} while window "
+            f"slots hold already-covered queries {free}"
         )
-        for q in overflow:
+        # excused queries park immediately past the window — first in
+        # line for the next rotation
+        excused = stale | overflow
+        for q in excused:
             pos = ordered.index(q)
-            assert ARTIFACT_SLOTS <= pos < ARTIFACT_SLOTS + len(overflow) + 3, (
-                f"never-gated {q} parked at {pos}, not immediately after "
-                f"the window"
+            assert ARTIFACT_SLOTS <= pos < ARTIFACT_SLOTS + len(excused) + 5, (
+                f"excused {q} parked at {pos}, not immediately after the "
+                f"window"
             )
 
 
