@@ -1,0 +1,138 @@
+"""Sparse lexical similarity: TF-IDF-weighted cosine over the token
+vocabulary — the OTHER similarity family next to the dense-embedding
+paths in :mod:`operators.similarity` (brute/LSH/IVF). Near-dup detection
+on text often wants BOTH: MinHash/Jaccard catches near-identical
+boilerplate, sparse cosine catches topical/partial overlap that shingle
+methods miss.
+
+Shape (never all-pairs): one tf aggregation per (doc, term-hash), one df
+aggregation per term (with a df-cap dropping stop-terms — the blocking
+knob, same role as the shingle df-cap in ngram_jaccard_pairs), a
+self-join ON THE TERM KEY to accumulate pairwise dots, then one division
+by the precomputed norms. Three shuffles, all on sound high-cardinality
+keys; term strings never move (md5-hashed to longs, the portable
+anchor). At 100 TB the df-cap bounds per-term fan-out exactly like a
+stop-shingle bound, and real deployments set it from the df histogram.
+
+Queued for catalog registration at r07 (the round-6 gate window is at
+its documented overflow limit); until then verified by
+tests/test_sparse.py against an independent pure-Python/numpy reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tfidf_weights(
+    df: DataFrame, id_col: str, text_col: str, df_cap: int = 50
+) -> DataFrame:
+    """(id, term hash ``t``, weight ``w``) with w = tf · idf,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed; exact-integer inputs so both
+    engines/references compute identical doubles), stop-terms with
+    df > df_cap dropped."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    # document frequency per term + corpus size as a 1-row broadcast
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        tf.join(dfreq.filter(F.col("df") <= df_cap), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "t",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    + 1.0
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with TF-IDF cosine ≥ threshold:
+    (id_a, id_b, cosine). Pairs are generated ONLY through shared
+    surviving terms (term-key self-join) — disjoint-vocabulary docs are
+    never considered."""
+    w = tfidf_weights(df, id_col, text_col, df_cap=df_cap)
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def sparse_cosine_topk_per_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Top-k most-similar partners per document (row_number over the
+    symmetric pair relation; ties broken by partner id for a total
+    order)."""
+    pairs = sparse_cosine_pairs(
+        df, id_col, text_col, threshold=0.0, df_cap=df_cap
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("partner"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("partner"),
+            "cosine",
+        )
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("cosine"), "partner")
+    return (
+        sym.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("id", "partner", "cosine", "rnk")
+    )

@@ -1,0 +1,102 @@
+"""Sparse TF-IDF cosine operators vs an independent pure-Python
+reference (hashlib + math — no Spark expressions shared), on the
+sf0.001 documents plus planted near-duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.sparse import (
+    sparse_cosine_pairs,
+    sparse_cosine_topk_per_doc,
+)
+from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+from .conftest import SF_SMALL
+
+
+def _ref_weights(texts: dict[int, str], df_cap: int):
+    def th(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    tf: dict[int, dict[int, int]] = {}
+    for i, txt in texts.items():
+        d: dict[int, int] = {}
+        for tok in txt.strip().split():
+            d[th(tok)] = d.get(th(tok), 0) + 1
+        tf[i] = d
+    dfreq: dict[int, int] = {}
+    for d in tf.values():
+        for t in d:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n = len(texts)
+    return {
+        i: {
+            t: c * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0)
+            for t, c in d.items()
+            if dfreq[t] <= df_cap
+        }
+        for i, d in tf.items()
+    }
+
+
+def _ref_pairs(weights, threshold):
+    ids = sorted(weights)
+    norms = {
+        i: math.sqrt(sum(w * w for w in weights[i].values())) for i in ids
+    }
+    out = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = weights[a].keys() & weights[b].keys()
+            if not shared or norms[a] == 0 or norms[b] == 0:
+                continue
+            dot = sum(weights[a][t] * weights[b][t] for t in shared)
+            cos = dot / (norms[a] * norms[b])
+            if cos >= threshold:
+                out[(a, b)] = cos
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    base = docs.limit(60).select("doc_id", "text")
+    # planted topical near-dups: drop the first token (high overlap)
+    near = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return base.unionByName(near)
+
+
+def test_sparse_cosine_pairs_match_pure_python_reference(spark, corpus):
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    want = _ref_pairs(_ref_weights(texts, df_cap=50), threshold=0.3)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(
+            corpus, "doc_id", "text", threshold=0.3, df_cap=50
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # every planted near-dup pair must be found with high cosine
+    planted = [k for k in want if k[1] - k[0] == 5_000_000]
+    assert planted and all(want[k] > 0.8 for k in planted)
+
+
+def test_sparse_topk_ranks_planted_partner_first(spark, corpus):
+    top = sparse_cosine_topk_per_doc(
+        corpus, "doc_id", "text", k=1, df_cap=50
+    ).collect()
+    best = {r["id"]: r["partner"] for r in top}
+    for r in top:
+        if r["id"] >= 5_000_000:
+            assert best[r["id"]] == r["id"] - 5_000_000
