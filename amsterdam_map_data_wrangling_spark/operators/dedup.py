@@ -508,3 +508,58 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage method,
+    Hernández & Stolfo 1995): sort the corpus by a normalized blocking
+    key, then pair every record with its next ``window - 1`` neighbors
+    in sort order. Returns (id_a, id_b, rank_gap) with id_a's key-order
+    position strictly before id_b's.
+
+    Complements the shingle/LSH families: SN catches near-dups whose
+    PREFIX agrees (names, addresses, normalized titles) even when token
+    sets diverge, at exactly ``(window-1) * N`` candidate pairs — a
+    linear, tunable budget, vs the data-dependent bucket fan-out of
+    hash blocking. Multi-pass SN (different keys per pass) unions calls.
+
+    Scale: one global sort (range exchange — the honest cost of the
+    method; Spark's range partitioner samples boundaries so the sort is
+    balanced), then a rank equi-join against ``window - 1`` exploded
+    offsets — shuffles on the integer rank, never a cross join. The
+    rank join is skew-free by construction (ranks are unique).
+
+    Queued for catalog registration at r07 (round-6 gate overflow is at
+    its limit); until then pytest-verified against a sorted-order
+    reference (tests/test_sparse.py's sibling in test_dedup.py)."""
+    from pyspark.sql import Window as W
+
+    ranked = df.select(
+        F.col(id_col).alias("id"), key.alias("k")
+    ).withColumn(
+        "r",
+        F.row_number().over(W.orderBy("k", "id")),
+    )
+    offs = ranked.select(
+        "id",
+        "r",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("off"),
+    ).select("id", (F.col("r") + F.col("off")).alias("r2"), "r")
+    right = ranked.select(
+        F.col("id").alias("id_b"), F.col("r").alias("r2")
+    )
+    return (
+        offs.join(right, "r2")
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            (F.col("r2") - F.col("r")).alias("rank_gap"),
+        )
+    )

@@ -318,3 +318,57 @@ def test_connected_components_warns_when_budget_exhausted(spark):
         rows = done.collect()
         assert not any("convergence certificate" in str(x.message) for x in w)
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_sorted_neighborhood_pairs_match_sorted_reference(spark):
+    """SN blocking: candidate set must be exactly each record paired
+    with its next window-1 neighbors in (key, id) sort order, and a
+    planted prefix-mangled near-dup (token sets diverge, prefix agrees)
+    must land in-window with its original — the case hash blocking can
+    miss."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    from .conftest import SF_SMALL
+
+    docs = (
+        load_tables(spark, SF_SMALL, ["documents"])["documents"]
+        .limit(40)
+        .select("doc_id", "text")
+    )
+    # planted: same 12-char prefix, tail replaced (shingles/token sets
+    # diverge almost completely)
+    planted = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 12), F.lit(" zz qq ww ee rr tt yy")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 12)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            corpus, "doc_id", key, window=4
+        ).collect()
+    }
+    rows = corpus.select(
+        "doc_id", key.alias("k")
+    ).collect()
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["k"], r["doc_id"]))]
+    want = {
+        (order[i], order[i + off])
+        for i in range(len(order))
+        for off in (1, 2, 3)
+        if i + off < len(order)
+    }
+    assert got == want
+    # every planted doc must be paired with its original
+    originals = {r["doc_id"] for r in rows if r["doc_id"] < 7_000_000}
+    for d in sorted(originals):
+        if d % 11 == 0:
+            assert (d, d + 7_000_000) in got or (d + 7_000_000, d) in got
