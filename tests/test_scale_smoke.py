@@ -103,3 +103,88 @@ def test_chunking_output_scales_linearly(spark, big_docs):
 
     base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     assert n_chunks(big_docs) == REPL * n_chunks(base)
+
+
+def test_dup_span_gram_stream_scales_linearly(spark, big_docs):
+    """dup_span_coverage's shape on 8x: the gram stream is linear in the
+    corpus and the per-doc coverage becomes TOTAL under replication
+    (every 4-gram now appears in >= REPL docs), while the join output
+    stays linear — no pair blowup (the op joins gram->doc, never
+    doc->doc)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import tokens
+
+    t0 = _t.perf_counter()
+    toked = big_docs.select("doc_id", tokens(F.col("text")).alias("l"))
+    grams = F.when(
+        F.size("l") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 3),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("l", i + j) for j in range(4)]
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = toked.select(
+        "doc_id", F.posexplode(grams).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    n_grams = g.count()
+    dup_h = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dupg = g.join(dup_h, "h").select("doc_id", "pos")
+    n_dup_positions = dupg.count()
+    elapsed = _t.perf_counter() - t0
+    # join output is bounded by the gram stream itself — linear, never N²
+    assert n_dup_positions <= n_grams
+    # replication makes every gram duplicated: coverage must be total
+    assert n_dup_positions == n_grams
+    assert elapsed < 120, f"dup-span stages took {elapsed:.0f}s at 8x"
+
+
+def test_sparse_cosine_candidate_space_bounded_by_df_cap(spark, big_docs):
+    """sparse_cosine_pairs on 8x: with df_cap ~ corpus-frequency scale,
+    surviving terms bound the per-term fan-out, so the dot-accumulation
+    join output is SUM over terms of C(df,2) <= df_cap * term-rows —
+    never corpus². With df_cap below the replication factor every term
+    appearing in any two replicas dies, so the pair space collapses to
+    near zero — the stop-term bound working as designed."""
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        tfidf_weights,
+    )
+
+    w = tfidf_weights(big_docs, "doc_id", "text", df_cap=REPL - 1)
+    # every token appears in >= REPL docs (replicas) -> all terms are
+    # stop-terms under df_cap = REPL-1 -> zero surviving term rows: the
+    # cap collapses the candidate space entirely instead of exploding
+    assert w.count() == 0
+    # with the cap scaled by the replication factor (how a deployment
+    # would set it from the df histogram), terms survive but per-term
+    # fan-out — and therefore the dot-join's output, sum over terms of
+    # C(df, 2) — stays bounded by the cap, never corpus²
+    from pyspark.sql import functions as F
+
+    cap = 50 * REPL
+    w2 = tfidf_weights(big_docs, "doc_id", "text", df_cap=cap)
+    n2 = w2.count()
+    max_df = (
+        w2.groupBy("t").agg(F.count("*").alias("c")).agg(F.max("c")).first()[0]
+    )
+    assert n2 > 0 and max_df <= cap
