@@ -1,0 +1,59 @@
+"""Feature-engineering operators: outlier handling for numeric columns
+feeding model training.
+
+``winsorize`` clips a numeric column at its [lower, upper] percentiles —
+the standard robust-scaling prep step. Two cut-point modes:
+
+- exact (default here, and oracle-able against DuckDB ``quantile_cont``
+  — the same cross-engine equivalence ``value_percentiles_by_type``
+  already gates): ``percentile(col, p)`` — a full-accuracy aggregate;
+  one pass + a tiny 1-row broadcast.
+- approximate (the 100 TB path): ``approx_percentile`` with a bounded
+  relative error — mergeable sketch partials, no full sort anywhere.
+
+Either way the clamp itself is a narrow ``least(greatest(...))`` map and
+the cut points travel as a broadcast 1-row relation — the whole operator
+adds ONE small aggregate to the pipeline, no shuffle of the data column.
+
+Queued for catalog registration at r07 (round-6 gate overflow at its
+limit); verified by tests/test_features.py against numpy percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Return ``df`` with ``col`` clipped to its [lower, upper]
+    percentile range (new column ``<col>_w``) plus a ``clip_flag``
+    (-1 clipped low / 0 untouched / 1 clipped high)."""
+    if approx:
+        cuts = df.agg(
+            F.approx_percentile(col, F.lit(lower), F.lit(accuracy)).alias("lo"),
+            F.approx_percentile(col, F.lit(upper), F.lit(accuracy)).alias("hi"),
+        )
+    else:
+        cuts = df.agg(
+            F.percentile(col, F.lit(lower)).alias("lo"),
+            F.percentile(col, F.lit(upper)).alias("hi"),
+        )
+    c = F.col(col)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(f"{col}_w", F.least(F.greatest(c, F.col("lo")), F.col("hi")))
+        .withColumn(
+            "clip_flag",
+            F.when(c < F.col("lo"), F.lit(-1))
+            .when(c > F.col("hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
