@@ -57,3 +57,58 @@ def winsorize(
             .otherwise(F.lit(0)),
         )
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model with add-one smoothing — the CCNet/KenLM-style
+    statistical-LM quality signal (perplexity filtering): documents of
+    rare/garbled vocabulary score low, boilerplate scores high. Returns
+    (id, n_tokens, mean_logprob).
+
+    Model and scoring in one pipeline, no driver round-trip: token
+    counts aggregate once (hashed terms — strings never shuffle), the
+    vocabulary-sized model relation joins back to the token stream on
+    the term hash, and the per-doc mean is one aggregation. ln on exact
+    integer ratios, so both any oracle and a pure-Python reference
+    compute identical doubles per token (the SUM is float-accumulation-
+    order sensitive — gate rounded, as the tfidf family does).
+
+    Scale: two shuffles (term-count agg; per-doc score agg) plus one
+    term-key join whose build side is the vocabulary (broadcastable when
+    the vocab is; here left to the planner/AQE). The 100 TB variant
+    trains on a sample and scores the full corpus — same plan, smaller
+    model side. Queued for catalog registration at r07."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("t"),
+    )
+    model = toks.groupBy("t").agg(F.count("*").alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("n_vocab"),
+    )
+    scored = (
+        toks.join(model, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("n_vocab")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("lp").alias("mean_logprob"),
+    )

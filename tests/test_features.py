@@ -43,3 +43,55 @@ def test_winsorize_approx_agrees_within_sketch_error(spark):
     n = orders.count()
     # sketch cut points land within a small rank error of the exact ones
     assert abs(ne - na) < 0.01 * n
+
+
+def test_unigram_logprob_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        unigram_logprob_scores,
+    )
+
+    docs = (
+        load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+        .limit(80)
+        .select("doc_id", "text")
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def th(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    counts: dict[int, int] = {}
+    for txt in texts.values():
+        for tok in txt.strip().split():
+            counts[th(tok)] = counts.get(th(tok), 0) + 1
+    n_total, n_vocab = sum(counts.values()), len(counts)
+    want = {}
+    for i, txt in texts.items():
+        lps = [
+            math.log((counts[th(tok)] + 1) / (n_total + n_vocab))
+            for tok in txt.strip().split()
+        ]
+        want[i] = (len(lps), sum(lps) / len(lps))
+    got = {
+        r["id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob_scores(docs, "doc_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-10)
+    # quality signal sanity: a garbled doc scores below every real doc
+    garbled = docs.limit(0).unionByName(
+        spark.createDataFrame(
+            [(999_999, "zzqx wvyk qqpl mmnr zzqx")], "doc_id long, text string"
+        )
+    )
+    both = docs.unionByName(garbled)
+    scores = {
+        r["id"]: r["mean_logprob"]
+        for r in unigram_logprob_scores(both, "doc_id", "text").collect()
+    }
+    assert scores[999_999] < min(v for k, v in scores.items() if k != 999_999)
