@@ -627,3 +627,65 @@ def test_session_handler_carries_state_across_batches():
         out2.loc[0, "n_events"],
     ) == (2, 4)
     assert st.get == (120 * MIN, 2, 4)
+
+
+def test_session_handler_batch_split_invariance_property():
+    """Hypothesis: for ANY event-time sequence and ANY split into
+    event-time-ordered micro-batches, the handler's final state equals
+    the single-pass sessionization — the property that makes the
+    streaming twin trustworthy regardless of micro-batch boundaries."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+        GAP_US,
+        _update_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=0, max_value=4 * GAP_US), min_size=1, max_size=25
+        ),
+        splits=st.sets(st.integers(min_value=1, max_value=24)),
+    )
+    def run(gaps, splits):
+        times = [0]
+        for g in gaps[1:]:
+            times.append(times[-1] + g)
+        # reference: single pass
+        ref_sessions = 1 + sum(
+            1 for a, b in zip(times, times[1:]) if b - a > GAP_US
+        )
+        # handler: split into ordered batches at the given boundaries
+        bounds = sorted(x for x in splits if x < len(times))
+        chunks, lo = [], 0
+        for b in bounds:
+            if b > lo:
+                chunks.append(times[lo:b])
+                lo = b
+        chunks.append(times[lo:])
+        st_ = FakeState()
+        for chunk in chunks:
+            pdf = pd.DataFrame(
+                {"us": chunk, "event_id": list(range(len(chunk)))}
+            )
+            out = list(_update_sessions((1,), [pdf], st_))[0]
+        assert out.loc[0, "n_events"] == len(times)
+        assert out.loc[0, "n_sessions"] == ref_sessions
+
+    run()
