@@ -108,3 +108,92 @@ def streaming_gap_sessions(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+
+def _make_session_processor_class():
+    """Build the StatefulProcessor subclass lazily — importing
+    ``stateful_processor`` pulls streaming-proto modules that want
+    protobuf in some distributions, so the import must not run at module
+    load (same gating as streaming/stateful.py)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _GapSessions(StatefulProcessor):
+        """tws twin of :func:`_update_sessions`: identical session
+        algebra, state held in a typed ValueState instead of the legacy
+        GroupState tuple."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            last_us, n_sessions, n_events = (
+                self._s.get() if self._s.exists() else (None, 0, 0)
+            )
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                s = pdf.sort_values(["us", "event_id"])["us"].to_numpy(
+                    dtype=np.int64
+                )
+                if last_us is None:
+                    breaks = (
+                        int(np.count_nonzero((s[1:] - s[:-1]) > GAP_US)) + 1
+                    )
+                else:
+                    prev = np.empty_like(s)
+                    prev[1:] = s[:-1]
+                    prev[0] = last_us
+                    breaks = int(np.count_nonzero((s - prev) > GAP_US))
+                n_sessions += breaks
+                n_events += len(s)
+                last_us = int(s[-1])
+            self._s.update((last_us, n_sessions, n_events))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _GapSessions
+
+
+def GapSessionsProcessor():
+    """Instantiate the transformWithState sessionizer."""
+    return _make_session_processor_class()()
+
+
+def streaming_gap_sessions_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas flavor of
+    :func:`streaming_gap_sessions` — same per-user totals through the
+    Spark 4 stateful API (typed ValueState, timer-capable handle).
+    Environment notes as streaming/stateful.py: needs the RocksDB state
+    store provider and ``google.protobuf`` at runtime."""
+    from pyspark.sql import functions as F
+
+    prepped = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        GapSessionsProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -689,3 +689,52 @@ def test_session_handler_batch_split_invariance_property():
         assert out.loc[0, "n_sessions"] == ref_sessions
 
     run()
+
+
+def test_tws_session_processor_logic_matches_legacy_handler():
+    """The transformWithState sessionizer must implement the exact
+    session algebra of the legacy applyInPandasWithState handler —
+    verified at the processor level (the e2e drain needs protobuf,
+    env-gated like the running-stats tws twin)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    try:
+        from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+            GapSessionsProcessor,
+        )
+
+        proc = GapSessionsProcessor()
+    except ImportError:
+        _pytest.skip("stateful_processor import needs protobuf here")
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.vs = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.vs
+
+    h = FakeHandle()
+    proc.init(h)
+    MIN = 60_000_000
+    b1 = pd.DataFrame({"us": [10 * MIN, 0], "event_id": [2, 1]})
+    out1 = list(proc.handleInputRows((5,), [b1], None))[0]
+    assert (out1.loc[0, "n_sessions"], out1.loc[0, "n_events"]) == (1, 2)
+    b2 = pd.DataFrame({"us": [120 * MIN, 20 * MIN], "event_id": [4, 3]})
+    out2 = list(proc.handleInputRows((5,), [b2], None))[0]
+    assert (out2.loc[0, "n_sessions"], out2.loc[0, "n_events"]) == (2, 4)
+    assert h.vs.get() == (120 * MIN, 2, 4)
