@@ -112,3 +112,43 @@ def unigram_logprob_scores(
         F.count("*").alias("n_tokens"),
         F.avg("lp").alias("mean_logprob"),
     )
+
+
+def robust_zscores(
+    df: DataFrame, col: str, by: str | None = None
+) -> DataFrame:
+    """Median/MAD robust z-scores (the outlier-resistant standardization:
+    (x - median) / (1.4826 · MAD), consistent with σ under normality) —
+    optionally per group ``by``. Returns the input plus ``<col>_rz``.
+
+    Two aggregation passes by construction (MAD needs the median first),
+    each a tiny per-group relation joined back broadcast; the data
+    column itself never shuffles (``by=None`` degenerates to two 1-row
+    broadcasts). Degenerate MAD = 0 (over half the group identical)
+    yields NULL scores rather than ±inf — the honest answer.
+
+    Queued for catalog registration at r07; verified against
+    numpy/scipy-convention reference in tests/test_features.py."""
+    gcols = [by] if by else []
+    x = F.col(col)
+    if by:
+        med = df.groupBy(by).agg(F.percentile(col, F.lit(0.5)).alias("_med"))
+        with_med = df.join(F.broadcast(med), by)
+    else:
+        med = df.agg(F.percentile(col, F.lit(0.5)).alias("_med"))
+        with_med = df.crossJoin(F.broadcast(med))
+    if by:
+        mad = with_med.groupBy(by).agg(
+            F.percentile(F.abs(x - F.col("_med")), F.lit(0.5)).alias("_mad")
+        )
+        full = with_med.join(F.broadcast(mad), by)
+    else:
+        mad = with_med.agg(
+            F.percentile(F.abs(x - F.col("_med")), F.lit(0.5)).alias("_mad")
+        )
+        full = with_med.crossJoin(F.broadcast(mad))
+    rz = F.when(
+        F.col("_mad") > 0,
+        (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+    )
+    return full.withColumn(f"{col}_rz", rz).drop("_med", "_mad")

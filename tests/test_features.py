@@ -95,3 +95,43 @@ def test_unigram_logprob_matches_pure_python(spark):
         for r in unigram_logprob_scores(both, "doc_id", "text").collect()
     }
     assert scores[999_999] < min(v for k, v in scores.items() if k != 999_999)
+
+
+def test_robust_zscores_match_numpy_median_mad(spark):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        robust_zscores,
+    )
+
+    orders = load_tables(spark, SF_ORACLE, ["orders"])["orders"]
+    out = robust_zscores(orders, "o_totalprice", by="o_orderpriority")
+    rows = out.select(
+        "o_orderpriority", "o_totalprice", "o_totalprice_rz"
+    ).collect()
+    by_grp: dict[str, list[float]] = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    import numpy as np
+
+    stats = {}
+    for g, vals in by_grp.items():
+        a = np.array(vals)
+        med = np.percentile(a, 50, method="linear")
+        mad = np.percentile(np.abs(a - med), 50, method="linear")
+        stats[g] = (med, mad)
+    for r in rows:
+        med, mad = stats[r["o_orderpriority"]]
+        want = (r["o_totalprice"] - med) / (1.4826 * mad)
+        assert r["o_totalprice_rz"] == pytest.approx(want, rel=1e-12)
+
+
+def test_robust_zscores_degenerate_mad_yields_null(spark):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        robust_zscores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 5.0 if i < 8 else 100.0) for i in range(10)], "id int, v double"
+    )
+    rows = robust_zscores(df, "v").collect()
+    # median 5, MAD 0 -> every score NULL, never inf
+    assert all(r["v_rz"] is None for r in rows)
