@@ -152,3 +152,48 @@ def robust_zscores(
         (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
     )
     return full.withColumn(f"{col}_rz", rz).drop("_med", "_mad")
+
+
+def hash_rank_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "spark-graft",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, selected by ranking each
+    group on the portable md5 hash of (seed, id) — a deterministic,
+    retry-stable uniform-without-replacement sample (rand() is per-task
+    nondeterministic under retries; a hash rank is a pure function of
+    the row). Complements the other two samplers: systematic
+    (stratified_sample_counts) gives every-nth, mixture sampling gives
+    per-source RATES; this gives an exact per-group COUNT — the "k
+    examples per class" eval-set builder.
+
+    Scale: one shuffle on the group key for the window rank. For heavy
+    groups the window sorts within each group; if that bites, swap the
+    rank for a threshold pre-filter (keep hash < ~k/|group| · 2^52,
+    then rank the survivors) — same result, bounded sort input.
+
+    Queued for catalog registration at r07 (row_number oracle)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("samp"), F.lit(seed), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    win = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rnk", F.row_number().over(win))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
