@@ -526,7 +526,7 @@ def dedup_simhash_bands(spark, sf_dir):
       SELECT doc_id AS id, text FROM docs
       UNION ALL
       SELECT doc_id + 2000000 AS id,
-             regexp_replace(text, '^\S+\s+', '') AS text
+             regexp_replace(text, '^[^ ]+[ ]+', '') AS text
       FROM docs WHERE doc_id % 7 = 0
     ), toks AS (
       SELECT id, string_split_regex(trim(text), '\s+') AS l FROM corpus
@@ -569,7 +569,9 @@ def dedup_simhash_bands(spark, sf_dir):
     "on the first 500 chars, keeping pairs within an edit budget. The "
     "corpus carries injected near-duplicates (every 7th doc re-keyed "
     "with its first token dropped), so true edit distances are small, "
-    "data-dependent integers. DIALECT NOTE: Spark's levenshtein counts "
+    "data-dependent integers (the prefix-drop regex uses the literal "
+    "space class [^ ]+[ ]+ — dialect-free where Java and RE2 disagree "
+    "on whitespace). DIALECT NOTE: Spark's levenshtein counts "
     "codepoints, DuckDB's counts BYTES — identical only on ASCII, so "
     "both sides pre-filter to ASCII docs (a no-op on this corpus, a "
     "guard against testdata drift). The 500-char truncation is the "
@@ -586,7 +588,7 @@ def dedup_edit_refine(spark, sf_dir):
     ).select("doc_id", "text")
     mut = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        F.regexp_replace("text", r"^[^ ]+[ ]+", "").alias("text"),
     )
     # one lazy checkpoint: the corpus feeds candidate generation AND both
     # text-side joins — without the cut each consumer re-reads the scan
