@@ -58,6 +58,25 @@ def _update_sessions(
     import numpy as np
     import pandas as pd
 
+    # state expiry (the 100 TB state-bounding lever): under
+    # ProcessingTimeTimeout a user idle past the configured horizon gets
+    # a final emission and the state row is DROPPED — per-user state is
+    # 2 ints, but a billion abandoned keys still add up; expiry keeps
+    # live state proportional to ACTIVE users, not ever-seen users.
+    if getattr(state, "hasTimedOut", False):
+        last_us, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+        return
+
     last_us, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
@@ -80,6 +99,13 @@ def _update_sessions(
         n_events += len(s)
         last_us = int(s[-1])
     state.update((last_us, n_sessions, n_events))
+    if getattr(state, "getCurrentProcessingTimeMs", None) is not None:
+        try:
+            # refresh the idle horizon on every batch with data; only
+            # meaningful when the query runs with ProcessingTimeTimeout
+            state.setTimeoutDuration(GAP_US // 1000)
+        except Exception:
+            pass  # NoTimeout mode: setting a duration is an error
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -89,11 +115,16 @@ def _update_sessions(
     )
 
 
-def streaming_gap_sessions(events: DataFrame) -> DataFrame:
+def streaming_gap_sessions(
+    events: DataFrame, expire_idle: bool = False
+) -> DataFrame:
     """Per-user session counts as a streaming query (update mode): one
     row per user per micro-batch with the running totals. ``events``
     needs (user_id, ts, event_id); time is converted to exact integer
-    microseconds JVM-side so the handler never touches timestamps."""
+    microseconds JVM-side so the handler never touches timestamps.
+    ``expire_idle=True`` turns on processing-time state expiry: users
+    idle past the session gap emit a final row and their state drops
+    (live state stays proportional to active users)."""
     from pyspark.sql import functions as F
 
     prepped = events.select(
@@ -106,7 +137,11 @@ def streaming_gap_sessions(events: DataFrame) -> DataFrame:
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if expire_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -738,3 +738,45 @@ def test_tws_session_processor_logic_matches_legacy_handler():
     out2 = list(proc.handleInputRows((5,), [b2], None))[0]
     assert (out2.loc[0, "n_sessions"], out2.loc[0, "n_events"]) == (2, 4)
     assert h.vs.get() == (120 * MIN, 2, 4)
+
+
+def test_session_handler_timeout_path_emits_final_and_drops_state():
+    """State-expiry path: a timed-out invocation (empty rows,
+    hasTimedOut=True) must emit the final per-user totals and REMOVE
+    the state row — the bounding that keeps live state proportional to
+    active users."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+        _update_sessions,
+    )
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+            self.hasTimedOut = False
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None and not self.removed
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState((1_000_000, 3, 17))
+    st.hasTimedOut = True
+    out = list(_update_sessions((9,), iter([]), st))
+    assert len(out) == 1
+    assert (
+        out[0].loc[0, "n_sessions"],
+        out[0].loc[0, "n_events"],
+    ) == (3, 17)
+    assert st.removed
