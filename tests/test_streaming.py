@@ -780,3 +780,83 @@ def test_session_handler_timeout_path_emits_final_and_drops_state():
         out[0].loc[0, "n_events"],
     ) == (3, 17)
     assert st.removed
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """Kill-and-resume: a streaming aggregation stopped mid-source and
+    RESTARTED from its checkpoint must end at exactly the batch answer —
+    no dropped and no double-counted files. This is the recovery
+    contract every production streaming job leans on; availableNow +
+    maxFilesPerTrigger=1 makes the file source deliver one file per
+    micro-batch deterministically."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # 4 single-file slices of deterministic rows
+    base = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 + 1).alias("v"),
+    )
+    for i in range(4):
+        base.filter((F.col("id") % 4) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def start(query_name):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = start("t_ckpt_a")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["batchId"] >= 1:
+                break
+            time.sleep(0.2)
+        assert q1.lastProgress and q1.lastProgress["batchId"] >= 1
+    finally:
+        q1.stop()  # killed mid-source: >= 2 of the file-batches processed
+
+    # resume from the SAME checkpoint; availableNow drains the remainder
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .writeStream.format("memory")
+        .queryName("t_ckpt_b")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["k"]: (r["n"], r["sv"])
+        for r in spark.table("t_ckpt_b").collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["sv"])
+        for r in base.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == want
