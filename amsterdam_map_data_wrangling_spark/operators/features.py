@@ -197,3 +197,58 @@ def hash_rank_sample_per_group(
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "spark-graft",
+) -> DataFrame:
+    """Weighted sampling without replacement, exactly min(k, |group|)
+    rows per group — the A-ES scheme (Efraimidis & Spirakis 2006): each
+    row draws u ~ U(0, 1] from the portable hash and is ranked by
+    ln(u) / w (equivalent to the classic u^(1/w) key, monotone and
+    overflow-free in log space); the top-k keys are a weighted sample
+    without replacement. Deterministic and retry-stable like
+    :func:`hash_rank_sample_per_group` (its uniform little sibling);
+    rows with weight <= 0 are excluded, matching the scheme's domain.
+
+    Scale: one shuffle on the group key for the window rank — identical
+    shape to the uniform sampler. Queued for catalog registration at
+    r07 (ln/division are IEEE-identical cross-engine on the exact-int
+    hash inputs; gate with rounded keys like the tfidf family)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("wsamp"),
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4503599627370496.0)  # (h+1)/2^52 in (0, 1]
+    key = F.log(u) / F.col(weight_col)
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("_wkey"), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .withColumn("_rnk", F.row_number().over(win))
+        .filter(F.col("_rnk") <= k)
+        .drop("_wkey", "_rnk")
+    )

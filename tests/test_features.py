@@ -173,3 +173,52 @@ def test_hash_rank_sample_exact_k_deterministic(spark):
     s3 = hash_rank_sample_per_group(docs, "source", "doc_id", k=5, seed="other")
     got3 = sorted((r["source"], r["doc_id"]) for r in s3.collect())
     assert got3 != got1
+
+
+def test_weighted_sample_matches_pure_python_aes_keys(spark):
+    import hashlib
+    import math
+
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "source", "doc_id", "n_chars", k=4
+        ).collect()
+    )
+
+    def key(did, w):
+        h = int(
+            hashlib.md5(f"wsamp|spark-graft|{did}".encode()).hexdigest()[:13],
+            16,
+        )
+        u = (h + 1) / 4503599627370496.0
+        return math.log(u) / w
+
+    rows = docs.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        if r["n_chars"] > 0:
+            by_src.setdefault(r["source"], []).append(r)
+    want = sorted(
+        (s, r["doc_id"])
+        for s, rs in by_src.items()
+        for r in sorted(
+            rs, key=lambda r: (-key(r["doc_id"], r["n_chars"]), r["doc_id"])
+        )[:4]
+    )
+    assert got == want
+    # determinism across invocations
+    again = sorted(
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "source", "doc_id", "n_chars", k=4
+        ).collect()
+    )
+    assert again == got
