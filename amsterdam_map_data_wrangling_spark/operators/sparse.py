@@ -136,3 +136,80 @@ def sparse_cosine_topk_per_doc(
         .filter(F.col("rnk") <= k)
         .select("id", "partner", "cosine", "rnk")
     )
+
+
+def bloom_blocks(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Per-group token Bloom filter as RELATIONAL DATA: one row per
+    (group, block) with a 64-bit block of the bitmap, built with plain
+    aggregates (``bit_or`` of ``1 << bit``) — no UDF, no driver state.
+    Mergeable by construction: union of groups = ``bit_or`` of their
+    block rows; a corpus-wide filter is one more groupBy. ``n_hashes``
+    positions per token come from disjoint slices of the portable md5.
+
+    The fourth sketch family (HLL = cardinality, quantiles, count-min =
+    frequency, Bloom = MEMBERSHIP/overlap): at 100 TB the per-group
+    bitmap rows are KiB-scale regardless of corpus size, and overlap
+    questions (shared-vocabulary between sources/shards) become a
+    block-equi-join + ``bit_count`` instead of a token-level join.
+    Queued for catalog registration at r07."""
+    n_blocks = m_bits // 64
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    )
+    hx = F.md5(F.col("t"))
+    positions = F.array(
+        *[
+            F.conv(F.substring(hx, 1 + 8 * i, 8), 16, 10).cast("long")
+            % m_bits
+            for i in range(n_hashes)
+        ]
+    )
+    bits = toks.select("g", F.explode(positions).alias("pos")).select(
+        "g",
+        (F.col("pos") / 64).cast("int").alias("block"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "bitval"
+        ),
+    )
+    return (
+        bits.groupBy("g", "block")
+        .agg(F.bit_or("bitval").alias("bits"))
+        .withColumn("m_bits", F.lit(m_bits))
+        .withColumn("n_blocks", F.lit(n_blocks))
+    )
+
+
+def bloom_pairwise_overlap(blocks: DataFrame) -> DataFrame:
+    """Pairwise Bloom statistics between groups from a
+    :func:`bloom_blocks` relation: (g_a, g_b, bits_a, bits_b,
+    inter_bits) where inter_bits = popcount of the blockwise AND — the
+    raw ingredients of the standard Bloom intersection estimate. One
+    equi-join on the block index (never on tokens), then a per-pair
+    aggregate of ``bit_count``."""
+    a = blocks.select(
+        F.col("g").alias("g_a"), "block", F.col("bits").alias("ba")
+    )
+    b = blocks.select(
+        F.col("g").alias("g_b"), "block", F.col("bits").alias("bb")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.sum(F.bit_count("ba")).alias("bits_a_in_shared_blocks"),
+            F.sum(F.bit_count("bb")).alias("bits_b_in_shared_blocks"),
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))).alias(
+                "inter_bits"
+            ),
+        )
+    )

@@ -100,3 +100,66 @@ def test_sparse_topk_ranks_planted_partner_first(spark, corpus):
     for r in top:
         if r["id"] >= 5_000_000:
             assert best[r["id"]] == r["id"] - 5_000_000
+
+
+def test_bloom_blocks_match_pure_python_and_overlap_is_sound(spark):
+    """Relational Bloom: block values must equal a pure-Python build on
+    the same md5 positions, and pairwise AND-popcounts must be exact for
+    the shared bitmaps (Bloom estimates sit on top of these exact
+    ingredients)."""
+    import hashlib
+
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        bloom_blocks,
+        bloom_pairwise_overlap,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    from .conftest import SF_SMALL
+
+    docs = (
+        load_tables(spark, SF_SMALL, ["documents"])["documents"]
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("source", "text")
+    )
+    M, H = 4096, 3
+    blocks = bloom_blocks(docs, "source", "text", m_bits=M, n_hashes=H)
+    got = {
+        (r["g"], r["block"]): r["bits"] for r in blocks.collect()
+    }
+
+    ref: dict[tuple[str, int], int] = {}
+    for r in docs.collect():
+        for tok in set(r["text"].strip().split()):
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(H):
+                pos = int(hx[8 * i : 8 * i + 8], 16) % M
+                k = (r["source"], pos // 64)
+                # Python ints are unbounded; fold into signed int64 like
+                # Spark's long
+                v = 1 << (pos % 64)
+                if v >= 2**63:
+                    v -= 2**64
+                ref[k] = ref.get(k, 0) | v
+    assert got == ref
+
+    ov = {
+        (r["g_a"], r["g_b"]): r["inter_bits"]
+        for r in bloom_pairwise_overlap(blocks).collect()
+    }
+    import collections
+
+    by_g: dict[str, dict[int, int]] = collections.defaultdict(dict)
+    for (g, blk), v in ref.items():
+        by_g[g][blk] = v
+
+    def pop(x):
+        return bin(x & (2**64 - 1)).count("1")
+
+    for (ga, gb), inter in ov.items():
+        want = sum(
+            pop(by_g[ga].get(blk, 0) & by_g[gb].get(blk, 0))
+            for blk in set(by_g[ga]) & set(by_g[gb])
+        )
+        assert inter == want
+    assert ov, "source vocabularies overlap, so pairs must exist"
