@@ -1,3 +1,9 @@
 """Scale-path operators the built-in DataFrame surface doesn't ship:
-deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
-search (brute-force cosine, sign-LSH ANN), multimodal binary plumbing."""
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+sorted-neighborhood blocking, edit-distance refine, connected
+components), similarity search (brute-force cosine, sign-LSH /
+random-hyperplane / IVF ANN, sparse TF-IDF cosine, relational Bloom
+set-sketches), feature prep (winsorization, robust z-scores, unigram-LM
+quality scoring, deterministic uniform/weighted per-group sampling),
+skew handling (salted join/agg), range joins, partition-pruned upsert,
+and multimodal binary plumbing with real header-level decodes."""
