@@ -132,3 +132,35 @@ def test_avro_roundtrip_if_available(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_variant_and_xml_malformed_input_contracts(spark):
+    """Ingestion robustness for the round-6 semi-structured surfaces:
+    try_parse_json returns NULL on malformed input (the streaming-safe
+    form) while parse_json raises; from_xml yields a null/partial struct
+    rather than failing the task — the contracts a 100 TB ingest relies
+    on when a bad record appears mid-partition."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "{not json"), (3, None)], "id int, js string"
+    )
+    ok = df.select(
+        "id", F.try_parse_json("js").alias("v")
+    ).select("id", F.try_variant_get("v", "$.a", "int").alias("a"))
+    got = {r["id"]: r["a"] for r in ok.collect()}
+    assert got == {1: 1, 2: None, 3: None}
+    with pytest.raises(Exception):
+        df.select(F.parse_json("js")).collect()
+
+    xdf = spark.createDataFrame(
+        [(1, '<node id="7"/>'), (2, "<node id="), (3, "plain text")],
+        "id int, x string",
+    )
+    parsed = xdf.select(
+        "id", F.from_xml("x", "_id BIGINT").alias("n")
+    ).select("id", F.col("n._id").alias("nid"))
+    got_x = {r["id"]: r["nid"] for r in parsed.collect()}
+    assert got_x[1] == 7 and got_x[2] is None and got_x[3] is None
