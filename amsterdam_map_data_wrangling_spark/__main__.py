@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="after shaping, run the reference's README SQL workload",
     )
+    p.add_argument(
+        "--partition-tags",
+        action="store_true",
+        help="write the *_tags tables partitioned by the type namespace "
+        "(partition pruning for type-filtered queries; parquet only)",
+    )
     args = p.parse_args(argv)
 
     from amsterdam_map_data_wrangling_spark.pipeline import run_pipeline
@@ -39,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="amdw-cli")
     spark.sparkContext.setLogLevel("WARN")
-    tables = run_pipeline(spark, args.input, args.outdir, fmt=args.fmt)
+    tables = run_pipeline(
+        spark,
+        args.input,
+        args.outdir,
+        fmt=args.fmt,
+        partition_tags_by_type=args.partition_tags and args.fmt == "parquet",
+    )
     for name, df in sorted(tables.items()):
         print(f"wrote {name}: {df.count()} rows ({args.fmt}) -> {args.outdir}")
     if args.workload:
