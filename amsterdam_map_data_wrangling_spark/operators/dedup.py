@@ -563,3 +563,58 @@ def sorted_neighborhood_pairs(
             (F.col("r2") - F.col("r")).alias("rank_gap"),
         )
     )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Transitivity audit of a pair relation (id_a, id_b): one row with
+    n_edges, n_open_triads (paths of length 2), n_triangles, and the
+    global clustering coefficient 3·triangles / triads. On a NEAR-DUP
+    pair graph this is the standard QA metric for threshold effects:
+    similarity is not transitive, so A~B~C without A~C (low clustering)
+    warns that connected-components clustering will chain dissimilar
+    docs together.
+
+    Classic two-join triangle counting with canonical edge orientation
+    (a < b everywhere), so each triangle is counted exactly once as
+    a < b < c: wedges from edges (a,b)⋈(b,c), closed by an equi-join
+    against the edge set on (a,c). Scale: two equi-joins on node keys —
+    the standard distributed shape; production adds degree-based
+    orientation so high-degree hubs don't dominate the wedge join.
+    Queued for catalog registration at r07."""
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    e = e.localCheckpoint(eager=False)  # feeds three plan legs
+    # wedges a < b < c: (a,b) ⋈ (b,c)
+    w1 = e.select(F.col("a").alias("a"), F.col("b").alias("m"))
+    w2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "m").select("a", "m", "c")
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    # open triads (unordered paths of length 2) per center node:
+    # C(deg, 2) summed over nodes
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    triads = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_triads")
+    )
+    counts = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    ).crossJoin(triads)
+    return counts.select(
+        "n_edges",
+        "n_triads",
+        "n_triangles",
+        F.when(
+            F.col("n_triads") > 0,
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_triads").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

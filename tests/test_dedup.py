@@ -372,3 +372,57 @@ def test_sorted_neighborhood_pairs_match_sorted_reference(spark):
     for d in sorted(originals):
         if d % 11 == 0:
             assert (d, d + 7_000_000) in got or (d + 7_000_000, d) in got
+
+
+def test_triangle_stats_match_pure_python_on_random_graphs(spark):
+    """Triangle counting vs a brute-force reference on seeded random
+    graphs, plus the near-dup QA reading on the real pair set (the
+    planted duplicate groups are cliques, so clustering must be high)."""
+    import itertools
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        triangle_stats,
+    )
+
+    def ref(edges):
+        es = {tuple(sorted(e)) for e in edges}
+        nodes = {n for e in es for n in e}
+        adj = {n: set() for n in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(nodes), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        triads = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        return len(es), triads, tri
+
+    for seed in [3, 77]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < 40:
+            a, b = rng.sample(range(30), 2)
+            edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+        row = triangle_stats(df).collect()[0]
+        ne, nt, ntri = ref(edges)
+        assert (row["n_edges"], row["n_triads"], row["n_triangles"]) == (
+            ne,
+            nt,
+            ntri,
+        ), seed
+
+    docs = _docs(spark)
+    copies1 = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 10_000)
+    copies2 = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 20_000)
+    corpus = docs.unionByName(copies1).unionByName(copies2)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", w=5, threshold=0.5)
+    row = triangle_stats(pairs.select("id_a", "id_b")).collect()[0]
+    # six 3-cliques planted -> at least 6 triangles, clustering well
+    # above an open-triad-dominated graph
+    assert row["n_triangles"] >= 6
+    assert row["clustering"] > 0.3
