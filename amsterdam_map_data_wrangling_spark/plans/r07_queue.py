@@ -108,3 +108,197 @@ QUEUE = {
     "sparse_cosine_pairs": (sparse_cosine_build, SPARSE_COSINE_ORACLE),
     "winsorize_price_stats": (winsorize_build, WINSORIZE_ORACLE),
 }
+
+
+UNIFORM_SAMPLE_ORACLE = """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('samp|spark-graft|'
+                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rnk <= 5
+"""
+
+
+def uniform_sample_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        hash_rank_sample_per_group,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return hash_rank_sample_per_group(
+        documents, "source", "doc_id", k=5
+    ).select("source", "doc_id")
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT source, doc_id,
+             ln((('0x' || substr(md5('wsamp|spark-graft|'
+                 || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                / 4503599627370496.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT source, doc_id FROM ranked WHERE rnk <= 4
+"""
+
+
+def weighted_sample_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        weighted_sample_per_group,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        documents, "source", "doc_id", "n_chars", k=4
+    ).select("source", "doc_id")
+
+
+SORTED_NEIGHBORHOOD_ORACLE = r"""
+    WITH ranked AS (
+      SELECT doc_id AS id,
+             substr(lower(trim(text)), 1, 12) AS k,
+             row_number() OVER (
+               ORDER BY substr(lower(trim(text)), 1, 12), doc_id) AS r
+      FROM documents
+    ), offs AS (
+      SELECT id, r, r + o.off AS r2, o.off
+      FROM ranked, (SELECT unnest([1, 2, 3]) AS off) o
+    )
+    SELECT offs.id AS id_a, ranked.id AS id_b,
+           CAST(offs.off AS BIGINT) AS rank_gap
+    FROM offs JOIN ranked ON ranked.r = offs.r2
+"""
+
+
+def sorted_neighborhood_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 12)
+    return sorted_neighborhood_pairs(documents, "doc_id", key, window=4).select(
+        "id_a", "id_b", F.col("rank_gap").cast("bigint").alias("rank_gap")
+    )
+
+
+TRIANGLE_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                  || ' ' || l[i+4] AS shingle
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), wedges AS (
+      SELECT w1.a, w1.b AS m, w2.b AS c
+      FROM e w1 JOIN e w2 ON w1.b = w2.a
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges JOIN e ON e.a = wedges.a AND e.b = wedges.c
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY n
+    ), triads AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_triads FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           (SELECT n_triads FROM triads) AS n_triads,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+           CASE WHEN (SELECT n_triads FROM triads) > 0
+                THEN round(3.0 * (SELECT n_triangles FROM tri)
+                     / CAST((SELECT n_triads FROM triads) AS DOUBLE), 6)
+                ELSE 0.0 END AS clustering
+"""
+
+
+def triangle_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        triangle_stats,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
+    )
+    return triangle_stats(pairs.select("id_a", "id_b"))
+
+
+UNIGRAM_LM_ORACLE = r"""
+    WITH th AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(unnest(
+               string_split_regex(trim(text), '\s+'))), 1, 15))::BIGINT AS t
+      FROM documents
+    ), model AS (
+      SELECT t, COUNT(*) AS c FROM th GROUP BY t
+    ), totals AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM model
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(ln(CAST(c + 1 AS DOUBLE)
+                 / CAST(n_total + n_vocab AS DOUBLE))), 6) AS mean_lp_r
+    FROM th JOIN model USING (t) CROSS JOIN totals
+    GROUP BY id
+"""
+
+
+def unigram_lm_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        unigram_logprob_scores,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(documents, "doc_id", "text").select(
+        "id",
+        "n_tokens",
+        F.round("mean_logprob", 6).alias("mean_lp_r"),
+    )
+
+
+QUEUE.update(
+    {
+        "uniform_sample_per_group": (uniform_sample_build, UNIFORM_SAMPLE_ORACLE),
+        "weighted_sample_per_group": (weighted_sample_build, WEIGHTED_SAMPLE_ORACLE),
+        "sorted_neighborhood_window": (
+            sorted_neighborhood_build,
+            SORTED_NEIGHBORHOOD_ORACLE,
+        ),
+        "near_dup_transitivity": (triangle_build, TRIANGLE_ORACLE),
+        "unigram_lm_scores": (unigram_lm_build, UNIGRAM_LM_ORACLE),
+    }
+)
