@@ -302,3 +302,54 @@ QUEUE.update(
         "unigram_lm_scores": (unigram_lm_build, UNIGRAM_LM_ORACLE),
     }
 )
+
+
+#: DuckDB dialect note: ``1::BIGINT << 63`` raises Out of Range (Spark
+#: wraps into the sign bit), so bit 63 is spelled as the literal
+#: INT64_MIN on the oracle side.
+BLOOM_OVERLAP_ORACLE = r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+               AS t
+      FROM documents
+    ), pos AS (
+      SELECT g, unnest([
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT % 4096,
+               ('0x' || substr(md5(t), 17, 8))::BIGINT % 4096
+             ]) AS p
+      FROM toks
+    ), blocks AS (
+      SELECT g, p // 64 AS block,
+             bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(p % 64 AS INT)) END)
+               AS bits
+      FROM pos GROUP BY g, p // 64
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(SUM(bit_count(a.bits)) AS BIGINT)
+             AS bits_a_in_shared_blocks,
+           CAST(SUM(bit_count(b.bits)) AS BIGINT)
+             AS bits_b_in_shared_blocks,
+           CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS inter_bits
+    FROM blocks a JOIN blocks b ON a.block = b.block AND a.g < b.g
+    GROUP BY a.g, b.g
+"""
+
+
+def bloom_overlap_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        bloom_blocks,
+        bloom_pairwise_overlap,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    blocks = bloom_blocks(
+        documents, "source", "text", m_bits=4096, n_hashes=3
+    )
+    return bloom_pairwise_overlap(blocks)
+
+
+QUEUE["bloom_vocab_overlap"] = (bloom_overlap_build, BLOOM_OVERLAP_ORACLE)
