@@ -353,3 +353,67 @@ def bloom_overlap_build(spark, sf_dir):
 
 
 QUEUE["bloom_vocab_overlap"] = (bloom_overlap_build, BLOOM_OVERLAP_ORACLE)
+
+
+ROBUST_Z_ORACLE = """
+    WITH med AS (
+      SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY g
+    ), mad AS (
+      SELECT o.o_orderpriority AS g,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m ON o.o_orderpriority = m.g
+      GROUP BY o.o_orderpriority
+    )
+    SELECT m.g, round(m.med, 4) AS med_r, round(d.mad, 4) AS mad_r,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_orderpriority = m.g
+                   AND abs((o.o_totalprice - m.med) / (1.4826 * d.mad)) > 2)
+                AS BIGINT) AS n_outliers
+    FROM med m JOIN mad d ON m.g = d.g
+    ORDER BY m.g
+"""
+
+
+def robust_z_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        robust_zscores,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    g = F.col("o_orderpriority").alias("g")
+    med = orders.groupBy(g).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        orders.join(
+            F.broadcast(med), orders["o_orderpriority"] == med["g"]
+        )
+        .groupBy(F.col("o_orderpriority").alias("g2"))
+        .agg(
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    rz = robust_zscores(orders, "o_totalprice", by="o_orderpriority")
+    outliers = rz.groupBy(F.col("o_orderpriority").alias("g3")).agg(
+        F.sum(
+            F.when(F.abs(F.col("o_totalprice_rz")) > 2, 1).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return (
+        med.join(mad, med["g"] == mad["g2"])
+        .join(outliers, med["g"] == outliers["g3"])
+        .select(
+            "g",
+            F.round("med", 4).alias("med_r"),
+            F.round("mad", 4).alias("mad_r"),
+            "n_outliers",
+        )
+        .orderBy("g")
+    )
+
+
+QUEUE["robust_z_by_priority"] = (robust_z_build, ROBUST_Z_ORACLE)
