@@ -417,3 +417,50 @@ def robust_z_build(spark, sf_dir):
 
 
 QUEUE["robust_z_by_priority"] = (robust_z_build, ROBUST_Z_ORACLE)
+
+
+#: built by rewrapping SPARSE_COSINE_ORACLE's CTE chain as a subquery —
+#: one source of truth for the weight/dot algebra; the queue test pins
+#: the composed SQL end-to-end on both SFs.
+SPARSE_TOPK_ORACLE = (
+    SPARSE_COSINE_ORACLE.replace(
+        "SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine_r",
+        "SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine",
+    ).replace("WHERE dot / (na.nrm * nb.nrm) >= 0.3", "")
+    .replace("WITH toks AS (", "WITH pairs_base AS (WITH toks AS (")
+    + """
+    ), sym AS (
+      SELECT id_a AS id, id_b AS partner, cosine FROM pairs_base
+      UNION ALL
+      SELECT id_b AS id, id_a AS partner, cosine FROM pairs_base
+    ), ranked AS (
+      SELECT id, partner, cosine,
+             row_number() OVER (
+               PARTITION BY id ORDER BY cosine DESC, partner) AS rnk
+      FROM sym
+    )
+    SELECT id, partner, round(cosine, 4) AS cosine_r,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+)
+
+
+def sparse_topk_build(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        sparse_cosine_topk_per_doc,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return sparse_cosine_topk_per_doc(
+        documents.select("doc_id", "text"), "doc_id", "text", k=3, df_cap=50
+    ).select(
+        "id",
+        "partner",
+        F.round("cosine", 4).alias("cosine_r"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+QUEUE["sparse_cosine_topk"] = (sparse_topk_build, SPARSE_TOPK_ORACLE)
