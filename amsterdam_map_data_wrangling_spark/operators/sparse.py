@@ -213,3 +213,62 @@ def bloom_pairwise_overlap(blocks: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Remove training documents sharing an exact word n-gram with a
+    benchmark set — the REMOVAL stage on top of the detection query
+    (plans/text.py:benchmark_contamination): returns ``docs`` minus the
+    contaminated rows via a LEFT ANTI join on the gram hash match.
+
+    ``bench`` needs the same (id, text) columns; its grams build with
+    the identical portable md5 anchor, so detection and removal can
+    never disagree. Scale: bench grams broadcast (the eval suites are
+    small by nature), corpus grams stream map-side; the anti join keeps
+    only never-matching doc ids — one distinct-doc shuffle, no corpus
+    text ever moves for the decision. Queued for r07 (count-based
+    literal gates like pii's residual-0 contract: emitted-clean count +
+    a literal 0 residual overlap)."""
+
+    def grams(df):
+        toked = df.select(
+            F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("l")
+        )
+        g = F.when(
+            F.size("l") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                *[F.element_at("l", i + j) for j in range(n)],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return toked.select("id", F.explode(F.array_distinct(g)).alias("h"))
+
+    bench_grams = grams(bench).select("h").distinct()
+    contaminated = (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "h")
+        .select("id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated, docs[id_col] == contaminated["id"], "left_anti"
+    )

@@ -163,3 +163,41 @@ def test_bloom_blocks_match_pure_python_and_overlap_is_sound(spark):
         )
         assert inter == want
     assert ov, "source vocabularies overlap, so pairs must exist"
+
+
+def test_decontaminate_removes_exactly_the_overlapping_docs(spark):
+    """Removal must agree with detection: docs sharing a 5-gram with the
+    benchmark disappear, everything else survives untouched — including
+    a planted doc that shares 4-grams but no 5-gram."""
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        decontaminate,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    from .conftest import SF_SMALL
+
+    docs = (
+        load_tables(spark, SF_SMALL, ["documents"])["documents"]
+        .limit(30)
+        .select("doc_id", "text")
+    )
+    # bench: two real docs (their sources contaminate themselves) plus a
+    # synthetic probe
+    bench = docs.limit(2).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    # planted: copies a 4-token window from a bench doc, breaks every
+    # 5-gram by inserting a token in the middle
+    first = docs.limit(1).select(F.col("text")).collect()[0]["text"]
+    toks = first.split()
+    near_miss = " ".join(toks[:2] + ["ZZBREAK"] + toks[2:4])
+    extra = spark.createDataFrame(
+        [(777_001, near_miss)], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(extra)
+    clean = decontaminate(corpus, bench, n=5)
+    kept = {r["doc_id"] for r in clean.collect()}
+    contaminated_ids = {r["doc_id"] for r in docs.limit(2).collect()}
+    assert contaminated_ids.isdisjoint(kept)
+    assert 777_001 in kept  # shares 4-grams only -> survives at n=5
+    assert len(kept) == 31 - 2
