@@ -88,105 +88,44 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 #:
-#: Capacity math (round 6, registry 105 > 2x50): only 100 verdict slots
+#: Capacity math (round 7, registry N > 2x50): only 100 verdict slots
 #: exist per 2 rounds, so the strict <=2-round policy saturates. The
 #: sustainable tight schedule, enforced by tests/test_gate_freshness.py:
 #: changed-code and new queries always front-load; a bounded tail of at
 #: most (N - 100) UNCHANGED queries may age to 3 rounds (never beyond,
 #: must hold a verdict from two artifacts back, parked immediately past
-#: slot 50). r07 recipe: front = the 5 overflow queries + the oracle-
-#: changed trio + dedup_clusters/ann_ivf/ann_ivf_probe2 + the oldest
-#: r05-green tail; at most 5 r05-green queries spill to r08.
+#: slot 50). Every new registration this round takes a front slot and
+#: displaces one r05-green query into the park — N grows by 1 each
+#: time, so the (N - 100) allowance grows in lockstep and the policy
+#: stays satisfiable by construction. r08 recipe: front = the parked
+#: r05-green tail (their verdicts turn 3 rounds old — hard ceiling) +
+#: any changed-code queries, then the oldest r06-green queries.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 6 rotation ----
-    # (a) the 27 queries absent from CORRECTNESS_r05.json (all r04-green
-    #     on unchanged code; verdicts 1 round old — VERDICT r5 #1 names
-    #     exactly this set): front of the artifact so no verdict goes
-    #     > 2 rounds stale. tests/test_gate_freshness.py asserts the
-    #     invariant mechanically against the latest artifact.
-    "tumbling_window_stats",
-    "count_global",
-    "distinct_users_union",
-    "custkeys_intersect",
-    "custkeys_except",
-    "topk_group_distinct",
-    "topk_group_count",
-    "topk_order_limit",
-    "like_filter_count",
-    "ilike_filter_count",
-    "scan_filter_project",
-    "pct_shares",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "event_gap_stats",
-    "asof_last_click_before_error",
-    "above_avg_orders_per_customer",
-    "segment_event_counts",
-    "text_stats",
-    "term_freq_topk",
-    "bigram_topk",
-    "lang_id_confusion",
-    "sliding_window_by_type",
-    "session_window_per_user",
-    "interval_join_click_error",
-    "json_props_stats",
-    "value_percentiles_by_type",
-    # (b) changed this round (r5 ADVICE: order-free integer gates replace
-    #     the half-cent-prone rounded avgs in range_join_balance_bands
-    #     and star_join_customers_by_region) — both displaced past slot
-    #     50 by never-gated new queries, pytest-verified at both SFs
-    #     this round, first in line for r07.
-    # (c) new this round
-    "audio_dims",
-    "video_dims",
-    "runtime_bloom_filter_join",
-    "funnel_conversion",
-    "key_skew_profile",
-    "zorder_layout_stats",
-    "dedup_keep_canonical",
-    "cms_heavy_hitters",
-    "equi_depth_histogram",
-    "expectations_report",
-    "python_datasource_stats",
-    "chunk_documents_udtf",
-    "interval_overlap_balances",
-    "local_supplier_volume",
-    "weekly_cohort_retention",
-    "nested_json_shred",
-    "repetition_stats",
-    "benchmark_contamination",
-    "mixture_proportional_sample",
-    "snapshot_table_diff",
-    "dup_span_coverage",
-    "dedup_edit_refine",
-    "map_ops_surface",
-    # gap_sessionization .. nation_volume_shipping are the 24th-28th
-    # never-gated queries against a window already holding 50 forced
-    # slots (27 r04-green + 23 new): they park at 51-55 under the
-    # bounded new-query overflow allowance (tests/test_gate_freshness.py,
-    # now at its 5-query limit — catalog growth pauses here this round)
-    # and take their first verdicts at r07.
+    # ---- round 7 rotation ----
+    # (a) first-ever driver verdicts for the 5 queries that overflowed
+    #     the round-6 window (pytest-oracle-green at both SFs since
+    #     registration, never in any CORRECTNESS artifact — VERDICT r6
+    #     deduction #1):
     "gap_sessionization",
     "variant_json_stats",
     "null_semantics_audit",
     "xml_roundtrip_stats",
     "nation_volume_shipping",
-    # (d) the window is now exactly full: 27 r04-green + 23 never-gated
-    #     new queries = 50 forced slots. The oracle-changed trio
-    #     (pii_redaction_stats literal-0 residual; star_join /
-    #     range_join integer-cents gates) and the behavior-preserving
-    #     internal changes (dedup_clusters hop budget + warning;
-    #     ann_ivf / ann_ivf_probe2 driver-side seed re-sort yielding the
-    #     identical seed set) sit first past the window — each is
-    #     re-verified by the sf0.01 + sf0.001 pytest oracle sweeps this
-    #     round (same compare as the driver's), keeps an r05 driver
-    #     verdict on its name, and rotates into r07's front.
+    # (b) the oracle-changed trio (r5 ADVICE integer-cents / literal-0
+    #     gates landed in r6 but their fresh definitions never met the
+    #     driver — r6 ADVICE #2 names exactly this hazard) and the
+    #     behavior-preserving internal changes (dedup_clusters hop
+    #     budget; ann_ivf seed re-sort):
     "pii_redaction_stats",
     "star_join_customers_by_region",
     "range_join_balance_bands",
     "dedup_clusters",
     "ann_ivf",
     "ann_ivf_probe2",
+    # (c) new registrations this round front-load here (each displaces
+    #     one r05-green name from the front into the park below)
+    # (d) the r05-green tail, oldest-registered first; the front holds
+    #     as many as fit after (a)-(c):
     "multimodal_dims",
     "multimodal_features",
     "dedup_minhash_pairs",
@@ -198,30 +137,49 @@ _GATE_PRIORITY: list[str] = [
     "ann_rand_lsh",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
-    # (the sixteen below dropped past slot 50 as the round-6 additions
-    # and the star_join convention fix landed; all sixteen are r05-green
-    # on unchanged code, so their verdicts stay ≤ 2 rounds old)
     "token_budget_pack",
     "token_budget_pack_sharded",
     "quality_filter_pipeline",
     "sketch_users_by_type",
     "sketch_value_quantiles",
     "salted_join_hot_customer",
-    # rotated out this round (27, ALL r05-green on unchanged code — their
-    # verdicts are 1 round old; they form the front of the r7 rotation,
-    # together with the twelve just above):
-    # normalize_phone_lengths, normalize_postcode_formats,
-    # split_tag_keys_agg, table_stats, eav_pivot_wide, eav_unpivot_topk,
-    # ordered_position_per_group, topn_per_group,
-    # running_revenue_per_customer, rollup_revenue, cube_revenue,
-    # bag_set_ops, join_revenue_by_priority, dedup_exact_groups,
-    # dedup_minhash_portable, dedup_simhash_portable, chunk_documents,
-    # doc_rolling_fingerprint, quality_scores, quality_components,
-    # stratified_sample_counts, frame_sample_stats, embedding_norm_zscores,
-    # embedding_label_stats, window_function_zoo, pricing_summary,
-    # salted_user_event_stats. (star_join_customers_by_region moved into
-    # section (b) when its gate switched to exact cents.)
+    "dedup_exact_groups",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "frame_sample_stats",
+    "pricing_summary",
+    "join_revenue_by_priority",
+    "ordered_position_per_group",
+    "topn_per_group",
+    "running_revenue_per_customer",
+    "rollup_revenue",
+    "eav_pivot_wide",
+    "window_function_zoo",
+    "bag_set_ops",
+    "cube_revenue",
+    "embedding_label_stats",
+    "embedding_norm_zscores",
+    "doc_rolling_fingerprint",
+    "stratified_sample_counts",
+    "quality_scores",
+    "quality_components",
+    "chunk_documents",
+    "normalize_phone_lengths",
+    # ---- window boundary (slot 50) ----
+    # (e) the parked r05-green tail: UNCHANGED code, r05 verdicts age to
+    #     3 rounds under the bounded (N - 100) allowance, first in line
+    #     for r08's front. Growth note: each new registration above
+    #     moves the last front name here, keeping front == 50.
+    "normalize_postcode_formats",
+    "split_tag_keys_agg",
+    "eav_unpivot_topk",
+    "table_stats",
+    "salted_user_event_stats",
+    # (f) the 50 r06-green queries are deliberately unlisted — they
+    #     append in registration order behind the park, each holding a
+    #     verdict exactly 1 round old.
 ]
+
 
 
 def _ordered() -> dict[str, QuerySpec]:
