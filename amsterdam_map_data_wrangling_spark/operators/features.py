@@ -35,7 +35,10 @@ def winsorize(
 ) -> DataFrame:
     """Return ``df`` with ``col`` clipped to its [lower, upper]
     percentile range (new column ``<col>_w``) plus a ``clip_flag``
-    (-1 clipped low / 0 untouched / 1 clipped high)."""
+    (-1 clipped low / 0 untouched / 1 clipped high). NULL inputs stay
+    NULL in both new columns (r6 ADVICE: ``least``/``greatest`` skip
+    NULLs, so an unguarded clamp would fabricate a lo-valued
+    observation from a NULL)."""
     if approx:
         cuts = df.agg(
             F.approx_percentile(col, F.lit(lower), F.lit(accuracy)).alias("lo"),
@@ -49,10 +52,17 @@ def winsorize(
     c = F.col(col)
     return (
         df.crossJoin(F.broadcast(cuts))
-        .withColumn(f"{col}_w", F.least(F.greatest(c, F.col("lo")), F.col("hi")))
+        .withColumn(
+            f"{col}_w",
+            F.when(
+                c.isNotNull(),
+                F.least(F.greatest(c, F.col("lo")), F.col("hi")),
+            ),
+        )
         .withColumn(
             "clip_flag",
-            F.when(c < F.col("lo"), F.lit(-1))
+            F.when(c.isNull(), F.lit(None).cast("int"))
+            .when(c < F.col("lo"), F.lit(-1))
             .when(c > F.col("hi"), F.lit(1))
             .otherwise(F.lit(0)),
         )

@@ -80,19 +80,25 @@ def _update_sessions(
     last_us, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        s = pdf.sort_values(["us", "event_id"])["us"].to_numpy(
+    # Concatenate the group's ENTIRE micro-batch before sorting: Arrow
+    # delivers a group's rows as multiple chunks in arbitrary shuffle
+    # order, so a per-chunk sort would count gap breaks against the
+    # wrong predecessor whenever a user's rows span chunks out of time
+    # order (r6 ADVICE) — one concat + one sort restores the (ts,
+    # event_id) total order the batch twin's windows pin.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        full = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        s = full.sort_values(["us", "event_id"])["us"].to_numpy(
             dtype=np.int64
         )
         # vectorized break count: gap to the in-batch predecessor, with
         # the carried last_us standing in for the first row's predecessor
-        prev = np.empty_like(s)
-        prev[1:] = s[:-1]
         if last_us is None:
             breaks = int(np.count_nonzero((s[1:] - s[:-1]) > GAP_US)) + 1
         else:
+            prev = np.empty_like(s)
+            prev[1:] = s[:-1]
             prev[0] = last_us
             breaks = int(np.count_nonzero((s - prev) > GAP_US))
         n_sessions += breaks
@@ -175,10 +181,12 @@ def _make_session_processor_class():
             last_us, n_sessions, n_events = (
                 self._s.get() if self._s.exists() else (None, 0, 0)
             )
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                s = pdf.sort_values(["us", "event_id"])["us"].to_numpy(
+            # concat-then-sort across ALL Arrow chunks, as in
+            # _update_sessions (r6 ADVICE: chunk order is arbitrary)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                full = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                s = full.sort_values(["us", "event_id"])["us"].to_numpy(
                     dtype=np.int64
                 )
                 if last_us is None:

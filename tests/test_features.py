@@ -222,3 +222,23 @@ def test_weighted_sample_matches_pure_python_aes_keys(spark):
         ).collect()
     )
     assert again == got
+
+
+def test_winsorize_propagates_nulls(spark):
+    """r6 ADVICE regression: least/greatest skip NULLs, so an unguarded
+    clamp turns a NULL input into a fabricated lo-valued observation
+    with clip_flag 0. NULLs must stay NULL in BOTH new columns."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 50.0), (4, 100.0), (5, 70.0)],
+        "id int, x double",
+    )
+    from amsterdam_map_data_wrangling_spark.operators.features import winsorize
+
+    out = {
+        r["id"]: (r["x_w"], r["clip_flag"])
+        for r in winsorize(df, "x", 0.25, 0.75).collect()
+    }
+    assert out[2] == (None, None)
+    # non-null rows still clamp normally
+    assert out[1][1] == -1 and out[4][1] == 1
+    assert all(v[0] is not None for k, v in out.items() if k != 2)

@@ -629,6 +629,48 @@ def test_session_handler_carries_state_across_batches():
     assert st.get == (120 * MIN, 2, 4)
 
 
+def test_session_handler_chunk_order_invariance():
+    """r6 ADVICE regression: applyInPandasWithState delivers a group's
+    micro-batch rows as MULTIPLE Arrow chunks in arbitrary shuffle
+    order. The handler must concat-then-sort across chunks — a
+    per-chunk sort would count the 2h-gap event as the session OPENER
+    and the t=0 event as a continuation, yielding 1 session instead of
+    the correct 2."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.sessionize import (
+        _update_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    MIN = 60_000_000
+    # one micro-batch, two chunks, LATER event in the EARLIER chunk
+    chunks = [
+        pd.DataFrame({"us": [120 * MIN], "event_id": [2]}),
+        pd.DataFrame({"us": [0], "event_id": [1]}),
+    ]
+    st = FakeState()
+    out = list(_update_sessions((1,), chunks, st))[0]
+    assert (
+        out.loc[0, "n_sessions"],
+        out.loc[0, "n_events"],
+    ) == (2, 2)
+    # carried state must reflect the true LAST event, not the last chunk
+    assert st.get == (120 * MIN, 2, 2)
+
+
 def test_session_handler_batch_split_invariance_property():
     """Hypothesis: for ANY event-time sequence and ANY split into
     event-time-ordered micro-batches, the handler's final state equals
