@@ -58,11 +58,18 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Placeholder for the real media decode (PIL/libav/etc. are not in
-    this environment). Raises so nothing silently pretends to decode."""
+    """Placeholder for COMPRESSED-codec media decode (PIL/libav/etc. are
+    not in this environment). Raises so nothing silently pretends to
+    decode. Scope note: uncompressed formats are decoded for real —
+    header walks for PNG/JPEG/WAV/MP4 (:func:`extract_image_dims` /
+    :func:`extract_audio_fmt` / :func:`extract_video_meta`) and FULL
+    PCM sample decode for WAV (:func:`extract_audio_levels`); only
+    codec-encoded pixel/sample data lands here."""
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; wire a real decoder here (payload → pixels/samples)"
+        "compressed-codec decode requires image/audio libraries not "
+        "present in this container; wire a real decoder here "
+        "(payload → pixels/samples). Uncompressed WAV PCM decodes for "
+        "real in extract_audio_levels."
     )
 
 
@@ -547,3 +554,169 @@ def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
         "frame_ts",
         F.substring(fake_frame, 1, 16).alias("frame_sha16"),
     )
+
+
+def synthesize_pcm_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Fabricate (media_id, payload) rows whose payloads are complete
+    RIFF/WAVE files with REAL PCM sample data — the content twin of
+    :func:`synthesize_wav_payloads` (which carries a fixed 4-byte data
+    stub): the variable-length LIST/INFO chunk still sits before
+    ``fmt `` (a fixed-offset reader misparses), and the ``data`` chunk
+    now holds n_frames × channels interleaved samples whose values are
+    deterministic in (id, frame, channel):
+
+    - channels = 1 + id % 2; bits = 8 + 8·((id ÷ 2) % 2) (8 or 16);
+      n_frames = 3 + id % 3; ICMT comment length = 2 + 2·(id % 4)
+    - 8-bit PCM (unsigned): byte = (id·31 + f·17 + ch·7) % 256,
+      amplitude = byte − 128 (the WAV 8-bit convention)
+    - 16-bit PCM (signed little-endian): u = (id·131 + f·1031 +
+      ch·211) % 65536, amplitude = u − 65536 if u ≥ 32768 else u
+
+    Built entirely JVM-side (hex concat → ``unhex``; the sample stream
+    via ``transform(sequence(...))`` with the frame/channel index split
+    i → (i ÷ c, i % c)), so an oracle can re-derive the amplitudes from
+    the closed-form arithmetic without touching bytes."""
+    df = df.select(F.col(id_col).cast("long").alias("media_id"))
+    mid = F.col("media_id")
+    clen = (F.lit(2) + (mid % 4) * 2).cast("int")
+    channels = (F.lit(1) + mid % 2).cast("int")
+    bits = (F.lit(8) + (F.floor(mid / 2) % 2) * 8).cast("int")
+    rate = (F.lit(8000) + (mid % 8) * 1000).cast("int")
+    n_frames = (F.lit(3) + mid % 3).cast("int")
+    block_align = (channels * bits / 8).cast("int")
+    data_len = (n_frames * block_align).cast("int")
+
+    idx = F.sequence(F.lit(0), (n_frames * channels - 1).cast("int"))
+
+    def amp8(i):
+        # unsigned byte hex for sample index i (frame = i÷c, ch = i%c)
+        f_, ch_ = F.floor(i / channels), i % channels
+        return F.lpad(
+            F.hex(((mid * 31 + f_ * 17 + ch_ * 7) % 256).cast("long")), 2, "0"
+        )
+
+    def amp16(i):
+        # little-endian signed 16-bit hex
+        f_, ch_ = F.floor(i / channels), i % channels
+        u = ((mid * 131 + f_ * 1031 + ch_ * 211) % 65536).cast("long")
+        hx = F.lpad(F.hex(u), 4, "0")
+        return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+    data_hex = F.when(
+        bits == 8, F.array_join(F.transform(idx, amp8), "")
+    ).otherwise(F.array_join(F.transform(idx, amp16), ""))
+
+    wav_hex = F.concat(
+        F.lit(_RIFF_HEX),
+        _le_hex(F.lit(56) + clen + data_len, 4),
+        F.lit(_WAVE_HEX + _LIST_HEX),
+        _le_hex(F.lit(12) + clen, 4),
+        F.lit(_INFO_HEX + _ICMT_HEX),
+        _le_hex(clen, 4),
+        F.expr("repeat('58', CAST(2 + (media_id % 4) * 2 AS INT))"),
+        F.lit(_FMT_HEX),
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),  # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * block_align, 4),
+        _le_hex(block_align, 2),
+        _le_hex(bits, 2),
+        F.lit(_DATA_HEX),
+        _le_hex(data_len, 4),
+        data_hex,
+    )
+    return df.select("media_id", F.unhex(wav_hex).alias("payload"))
+
+
+def _parse_wav_pcm_levels(b: bytes) -> list[tuple[int, int, int, int]]:
+    """FULL WAV content decode, no codec dependency: RIFF chunk walk to
+    ``fmt `` (channels, bits) and ``data``, then per-channel amplitude
+    statistics over the de-interleaved PCM samples. Returns one tuple
+    (channel, n_frames, sum_amp, peak_abs) per channel — exact integer
+    arithmetic end to end. 8-bit PCM is unsigned with a 128 bias (the
+    WAV convention); 16-bit is signed little-endian. Unsupported widths
+    or malformed files return []."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return []
+    pos, n = 12, len(b)
+    channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and clen >= 16:
+            d = b[pos + 8 : pos + 8 + clen]
+            channels = int.from_bytes(d[2:4], "little")
+            bits = int.from_bytes(d[14:16], "little")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if not channels or bits not in (8, 16) or data is None:
+        return []
+    if bits == 8:
+        amps = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        amps = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+    n_frames = len(amps) // channels
+    amps = amps[: n_frames * channels].reshape(n_frames, channels)
+    return [
+        (
+            ch,
+            n_frames,
+            int(amps[:, ch].sum()),
+            int(np.abs(amps[:, ch]).max()) if n_frames else 0,
+        )
+        for ch in range(channels)
+    ]
+
+
+LEVELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def extract_audio_levels(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL WAV sample decode over binary payloads
+    (``mapInPandas`` + :func:`_parse_wav_pcm_levels`) — the first real
+    media CONTENT decode in the multimodal family (r6 VERDICT #4):
+    bytes → de-interleaved PCM amplitudes → per-channel statistics,
+    one output row per (asset, channel). ``decode_stub``'s scope
+    shrinks to compressed codecs only. Scale: identical plumbing to
+    the header walks — payload bytes never leave the scanning
+    executor; the fan-out is ≤ channels rows of 5 integers each."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, frames, sums, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for ch, nf, s, p in _parse_wav_pcm_levels(payload):
+                    ids.append(mid)
+                    chans.append(ch)
+                    frames.append(nf)
+                    sums.append(s)
+                    peaks.append(p)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="int64"),
+                    "sum_amp": pd.array(sums, dtype="int64"),
+                    "peak_abs": pd.array(peaks, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, LEVELS_SCHEMA)

@@ -14,9 +14,10 @@ keys; term strings never move (md5-hashed to longs, the portable
 anchor). At 100 TB the df-cap bounds per-term fan-out exactly like a
 stop-shingle bound, and real deployments set it from the df histogram.
 
-Queued for catalog registration at r07 (the round-6 gate window is at
-its documented overflow limit); until then verified by
-tests/test_sparse.py against an independent pure-Python/numpy reference.
+Registered in the catalog at round 7 (plans/sparse.py:
+``sparse_cosine_pairs``/``sparse_cosine_topk``/``bloom_vocab_overlap``/
+``decontaminate_stats``); also verified by tests/test_sparse.py against
+an independent pure-Python/numpy reference.
 """
 
 from __future__ import annotations
@@ -157,7 +158,16 @@ def bloom_blocks(
     bitmap rows are KiB-scale regardless of corpus size, and overlap
     questions (shared-vocabulary between sources/shards) become a
     block-equi-join + ``bit_count`` instead of a token-level join.
-    Queued for catalog registration at r07."""
+    Registered as ``bloom_vocab_overlap`` (with
+    :func:`bloom_pairwise_overlap`)."""
+    if not 1 <= n_hashes <= 4:
+        # md5 hex is 32 chars; position i uses the 8-char slice at
+        # offset 8·i, so a 5th hash would slice past the digest and
+        # conv() NULLs would silently weaken the filter (r6 ADVICE).
+        raise ValueError(
+            f"n_hashes must be in [1, 4] (md5 yields four disjoint "
+            f"32-bit slices), got {n_hashes}"
+        )
     n_blocks = m_bits // 64
     toks = df.select(
         F.col(group_col).alias("g"),
@@ -215,6 +225,43 @@ def bloom_pairwise_overlap(blocks: DataFrame) -> DataFrame:
     )
 
 
+def gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, h) rows: one per DISTINCT word n-gram per document, hashed
+    to a 64-bit long via the portable md5 anchor — the shared shingle
+    relation under detection (plans/text.py:benchmark_contamination),
+    removal (:func:`decontaminate`), and the residual-0 gate. Grams
+    build inline in the generator select (the measured fusion rule —
+    see PLANS.md 'Generator fusion'); docs shorter than ``n`` tokens
+    emit no rows."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("l"),
+    )
+    g = F.when(
+        F.size("l") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - (n - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("l", i + j) for j in range(n)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toked.select("id", F.explode(F.array_distinct(g)).alias("h"))
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -232,39 +279,13 @@ def decontaminate(
     never disagree. Scale: bench grams broadcast (the eval suites are
     small by nature), corpus grams stream map-side; the anti join keeps
     only never-matching doc ids — one distinct-doc shuffle, no corpus
-    text ever moves for the decision. Queued for r07 (count-based
-    literal gates like pii's residual-0 contract: emitted-clean count +
-    a literal 0 residual overlap)."""
+    text ever moves for the decision. Gated as ``decontaminate_stats``
+    (count gates + a literal-0 residual overlap, the pii residual-0
+    contract)."""
 
-    def grams(df):
-        toked = df.select(
-            F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("l")
-        )
-        g = F.when(
-            F.size("l") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - (n - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                " ",
-                                *[F.element_at("l", i + j) for j in range(n)],
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        return toked.select("id", F.explode(F.array_distinct(g)).alias("h"))
-
-    bench_grams = grams(bench).select("h").distinct()
+    bench_grams = gram_hashes(bench, id_col, text_col, n).select("h").distinct()
     contaminated = (
-        grams(docs)
+        gram_hashes(docs, id_col, text_col, n)
         .join(F.broadcast(bench_grams), "h")
         .select("id")
         .distinct()

@@ -2,10 +2,12 @@
 
 from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
     dedup,
+    features,
     multimodal,
     queries,
     similarity,
     sketches,
+    sparse,
     text,
     windows,
     wrangling,

@@ -69,10 +69,12 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
         dedup,
+        features,
         multimodal,
         queries,
         similarity,
         sketches,
+        sparse,
         text,
         windows,
         wrangling,
@@ -122,8 +124,23 @@ _GATE_PRIORITY: list[str] = [
     "dedup_clusters",
     "ann_ivf",
     "ann_ivf_probe2",
-    # (c) new registrations this round front-load here (each displaces
-    #     one r05-green name from the front into the park below)
+    # (c) new registrations this round (each displaced one r05-green
+    #     name from the front into the park below): the graduated r07
+    #     queue (plans/features.py, plans/sparse.py, the two new
+    #     plans/dedup.py gates), the decontamination-removal gate, and
+    #     the PCM content-decode gate
+    "sparse_cosine_pairs",
+    "sparse_cosine_topk",
+    "bloom_vocab_overlap",
+    "decontaminate_stats",
+    "winsorize_price_stats",
+    "robust_z_by_priority",
+    "unigram_lm_scores",
+    "uniform_sample_per_group",
+    "weighted_sample_per_group",
+    "sorted_neighborhood_window",
+    "near_dup_transitivity",
+    "audio_levels",
     # (d) the r05-green tail, oldest-registered first; the front holds
     #     as many as fit after (a)-(c):
     "multimodal_dims",
@@ -153,6 +170,11 @@ _GATE_PRIORITY: list[str] = [
     "topn_per_group",
     "running_revenue_per_customer",
     "rollup_revenue",
+    # ---- window boundary (slot 50) ----
+    # (e) the parked r05-green tail: UNCHANGED code, r05 verdicts age to
+    #     3 rounds under the bounded (N - 100) allowance, first in line
+    #     for r08's front. Growth note: each new registration above
+    #     moves the last front name here, keeping front == 50.
     "eav_pivot_wide",
     "window_function_zoo",
     "bag_set_ops",
@@ -165,11 +187,6 @@ _GATE_PRIORITY: list[str] = [
     "quality_components",
     "chunk_documents",
     "normalize_phone_lengths",
-    # ---- window boundary (slot 50) ----
-    # (e) the parked r05-green tail: UNCHANGED code, r05 verdicts age to
-    #     3 rounds under the bounded (N - 100) allowance, first in line
-    #     for r08's front. Growth note: each new registration above
-    #     moves the last front name here, keeping front == 50.
     "normalize_postcode_formats",
     "split_tag_keys_agg",
     "eav_unpivot_topk",

@@ -605,12 +605,21 @@ def dedup_edit_refine(spark, sf_dir):
     dist = F.levenshtein(
         F.substring("text_a", 1, 500), F.substring("text_b", 1, 500)
     )
-    # the candidate relation is the bounded minority after blocking (and
-    # stays so at ANY corpus size — that is what blocking is for), so
-    # BOTH text joins broadcast the small side and stream the corpus
-    # map-side: two exchanges removed, measured ~0.6 s at sf0.1
+    # NO broadcast hints on the text joins (r6 VERDICT: the candidate
+    # relation is blocked out of quadratic growth but still scales
+    # LINEARLY with the corpus — ≤ C(50,2) pairs per distinct shingle —
+    # and a forced hint would pin candidates+texts into executor memory
+    # at any size). Same stance as ngram_jaccard_pairs: let AQE convert
+    # from the runtime sizes. Observed at sf0.1 (executedPlan after
+    # collect): every join in the query still runs as BroadcastHashJoin
+    # (0 SMJ / 0 SHJ) — AQE broadcasts the measured-small candidate leg
+    # on its own; the hints only removed the scale guardrail. Residual
+    # local cost is the AQE shuffle-stage materialization before the
+    # runtime conversion (sub-second at sf0.1, bounded by the blocked
+    # candidate count), which is the price of not wiring an
+    # unconditional broadcast into a corpus-proportional relation.
     return (
-        F.broadcast(F.broadcast(cand).join(ta, "id_a"))
+        cand.join(ta, "id_a")
         .join(tb, "id_b")
         .filter(dist <= 64)
         .select(
@@ -620,3 +629,110 @@ def dedup_edit_refine(spark, sf_dir):
             F.round("jaccard", 4).alias("jaccard_r"),
         )
     )
+
+
+@query(
+    "sorted_neighborhood_window",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id AS id,
+             substr(lower(trim(text)), 1, 12) AS k,
+             row_number() OVER (
+               ORDER BY substr(lower(trim(text)), 1, 12), doc_id) AS r
+      FROM documents
+    ), offs AS (
+      SELECT id, r, r + o.off AS r2, o.off
+      FROM ranked, (SELECT unnest([1, 2, 3]) AS off) o
+    )
+    SELECT offs.id AS id_a, ranked.id AS id_b,
+           CAST(offs.off AS BIGINT) AS rank_gap
+    FROM offs JOIN ranked ON ranked.r = offs.r2
+    """,
+    "Sorted-neighborhood blocking — the classic record-linkage "
+    "alternative to hash blocking: global sort on a sort key (first 12 "
+    "normalized chars), then candidate pairs are exactly the rows "
+    "within a rank window of each other (window 4 → offsets 1..3). "
+    "Candidate count is LINEAR in the corpus by construction (≤ w−1 "
+    "per row) — no df-cap tuning, no quadratic escape hatch. Scale: "
+    "one global sort (range-partitioned, the same machinery as any "
+    "ORDER BY) + a narrow rank equi-join; the window knob trades "
+    "recall for exactly-linear cost.",
+)
+def sorted_neighborhood_window(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 12)
+    return sorted_neighborhood_pairs(documents, "doc_id", key, window=4).select(
+        "id_a", "id_b", F.col("rank_gap").cast("bigint").alias("rank_gap")
+    )
+
+
+@query(
+    "near_dup_transitivity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                  || ' ' || l[i+4] AS shingle
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), wedges AS (
+      SELECT w1.a, w1.b AS m, w2.b AS c
+      FROM e w1 JOIN e w2 ON w1.b = w2.a
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges JOIN e ON e.a = wedges.a AND e.b = wedges.c
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY n
+    ), triads AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_triads FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           (SELECT n_triads FROM triads) AS n_triads,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+           CASE WHEN (SELECT n_triads FROM triads) > 0
+                THEN round(3.0 * (SELECT n_triangles FROM tri)
+                     / CAST((SELECT n_triads FROM triads) AS DOUBLE), 6)
+                ELSE 0.0 END AS clustering
+    """,
+    "Transitivity audit of the near-dup similarity graph — the sanity "
+    "check before trusting connected-component clustering: edges from "
+    "the exact 5-gram Jaccard blocking (threshold 0.3), then triangle "
+    "count via canonical-orientation wedge joins (a<b edges only, so "
+    "each triangle counts once) against open-triad count; the global "
+    "clustering coefficient says how cluster-like the graph is (low → "
+    "CC chains unrelated docs through weak links). Scale: wedge join "
+    "fan-out is Σ deg², bounded by the same df-cap blocking that "
+    "bounds the edge count; no all-pairs anywhere.",
+)
+def near_dup_transitivity(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        triangle_stats,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
+    )
+    return triangle_stats(pairs.select("id_a", "id_b"))

@@ -1,0 +1,242 @@
+"""Feature-engineering gates: winsorization, robust z-scores, the
+unigram-LM quality score, and the two exact-k samplers — the
+numeric/sampling half of the LLM-pipeline operator families (the text
+half lives in plans/text.py). Registered at round 7 from the validated
+r07 queue (hash-green at both SFs since round 6).
+
+Float-gate conventions as the rest of the catalog (plans/catalog.py
+module docstring): winsorized sums gated in exact integer cents,
+medians/MADs and LM means gated rounded, samplers gated exactly (pure
+integer/hash algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.features import (
+    hash_rank_sample_per_group,
+    robust_zscores,
+    unigram_logprob_scores,
+    weighted_sample_per_group,
+    winsorize,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+
+@query(
+    "winsorize_price_stats",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS clipped_lo,
+           CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS clipped_hi,
+           CAST(SUM(CAST(round(least(greatest(o_totalprice, lo), hi) * 100)
+                    AS BIGINT)) AS BIGINT) AS winsorized_cents
+    FROM orders CROSS JOIN cuts
+    """,
+    "Winsorization — the robust-scaling prep step for numeric features "
+    "feeding model training: clip a column at its [5th, 95th] "
+    "percentiles and count the clipped tails. Cut points are an exact "
+    "percentile aggregate (Spark percentile == DuckDB quantile_cont, "
+    "the equivalence value_percentiles_by_type already gates) carried "
+    "as a broadcast 1-row relation; the clamp is a narrow "
+    "least(greatest(...)) map — the whole operator adds one tiny "
+    "aggregate, no shuffle of the data column. The 100 TB variant swaps "
+    "in approx_percentile (mergeable sketch, no full sort) via the "
+    "operator's approx flag. Totals gated in exact integer cents; NULL "
+    "inputs propagate as NULL rather than clamping to the lower cut "
+    "(r6 ADVICE guard, exercised by tests/test_features.py).",
+)
+def winsorize_price_stats(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = winsorize(orders, "o_totalprice", 0.05, 0.95)
+    return w.agg(
+        F.sum(F.when(F.col("clip_flag") == -1, 1).otherwise(0)).alias(
+            "clipped_lo"
+        ),
+        F.sum(F.when(F.col("clip_flag") == 1, 1).otherwise(0)).alias(
+            "clipped_hi"
+        ),
+        F.sum(
+            F.round(F.col("o_totalprice_w") * 100).cast("bigint")
+        ).alias("winsorized_cents"),
+    )
+
+
+@query(
+    "robust_z_by_priority",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY g
+    ), mad AS (
+      SELECT o.o_orderpriority AS g,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m ON o.o_orderpriority = m.g
+      GROUP BY o.o_orderpriority
+    )
+    SELECT m.g, round(m.med, 4) AS med_r, round(d.mad, 4) AS mad_r,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_orderpriority = m.g AND d.mad > 0
+                   AND abs((o.o_totalprice - m.med) / (1.4826 * d.mad)) > 2)
+                AS BIGINT) AS n_outliers
+    FROM med m JOIN mad d ON m.g = d.g
+    ORDER BY m.g
+    """,
+    "Median/MAD robust z-scores per group — the outlier-resistant "
+    "standardization ((x - median) / (1.4826 * MAD)): per-priority "
+    "medians, MADs, and the count of |z| > 2 outliers. Two aggregation "
+    "passes by construction (MAD needs the median first), each a tiny "
+    "per-group relation joined back broadcast; the data column never "
+    "shuffles. Degenerate MAD = 0 groups yield NULL scores (not ±inf) "
+    "and count zero outliers — the oracle mirrors the guard with "
+    "d.mad > 0 in the outlier predicate (r6 ADVICE: an unguarded "
+    "oracle would count every row of a zero-MAD group).",
+)
+def robust_z_by_priority(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    g = F.col("o_orderpriority").alias("g")
+    med = orders.groupBy(g).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        orders.join(F.broadcast(med), orders["o_orderpriority"] == med["g"])
+        .groupBy(F.col("o_orderpriority").alias("g2"))
+        .agg(
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    rz = robust_zscores(orders, "o_totalprice", by="o_orderpriority")
+    outliers = rz.groupBy(F.col("o_orderpriority").alias("g3")).agg(
+        F.sum(
+            F.when(F.abs(F.col("o_totalprice_rz")) > 2, 1).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return (
+        med.join(mad, med["g"] == mad["g2"])
+        .join(outliers, med["g"] == outliers["g3"])
+        .select(
+            "g",
+            F.round("med", 4).alias("med_r"),
+            F.round("mad", 4).alias("mad_r"),
+            "n_outliers",
+        )
+        .orderBy("g")
+    )
+
+
+@query(
+    "unigram_lm_scores",
+    r"""
+    WITH th AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(unnest(
+               string_split_regex(trim(text), '\s+'))), 1, 15))::BIGINT AS t
+      FROM documents
+    ), model AS (
+      SELECT t, COUNT(*) AS c FROM th GROUP BY t
+    ), totals AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM model
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(ln(CAST(c + 1 AS DOUBLE)
+                 / CAST(n_total + n_vocab AS DOUBLE))), 6) AS mean_lp_r
+    FROM th JOIN model USING (t) CROSS JOIN totals
+    GROUP BY id
+    """,
+    "Per-document mean unigram log-probability under the corpus's own "
+    "add-one-smoothed unigram model — the CCNet/KenLM-style statistical-"
+    "LM quality signal (perplexity filtering): rare/garbled vocabulary "
+    "scores low, boilerplate scores high. Model and scoring in one "
+    "pipeline, no driver round-trip: token counts aggregate once "
+    "(md5-hashed terms — strings never shuffle), the vocabulary-sized "
+    "model joins back on the term hash (broadcastable when the vocab "
+    "is; left to AQE), one per-doc aggregation. At 100 TB: train on a "
+    "sample, score the full corpus — same plan, smaller model side. "
+    "ln on exact integer ratios → identical doubles per token; the "
+    "float MEAN gated rounded to 6, per the tfidf family convention.",
+)
+def unigram_lm_scores(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(documents, "doc_id", "text").select(
+        "id",
+        "n_tokens",
+        F.round("mean_logprob", 6).alias("mean_lp_r"),
+    )
+
+
+@query(
+    "uniform_sample_per_group",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('samp|spark-graft|'
+                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rnk <= 5
+    """,
+    "Exact-k uniform sample per group — the 'k examples per class' "
+    "eval-set builder: rank each group on the portable md5 hash of "
+    "(seed, id) and keep the first 5. Deterministic and retry-stable "
+    "(rand() is per-task nondeterministic under retries; a hash rank "
+    "is a pure function of the row), so the gate is EXACT — both "
+    "engines derive the identical sample. Scale: one shuffle on the "
+    "group key for the window rank; heavy groups can pre-filter on a "
+    "hash threshold before ranking (operator docstring). Completes the "
+    "sampler family: systematic (stratified_sample_counts), rate-based "
+    "(mixture_proportional_sample), exact-count (here).",
+)
+def uniform_sample_per_group(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return hash_rank_sample_per_group(
+        documents, "source", "doc_id", k=5
+    ).select("source", "doc_id")
+
+
+@query(
+    "weighted_sample_per_group",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id,
+             ln((('0x' || substr(md5('wsamp|spark-graft|'
+                 || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                / 4503599627370496.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT source, doc_id FROM ranked WHERE rnk <= 4
+    """,
+    "Weighted sampling without replacement, exactly min(k, |group|) "
+    "rows per group — the A-ES scheme (Efraimidis & Spirakis 2006): "
+    "u ~ U(0,1] from the portable hash, rank by ln(u)/w (the classic "
+    "u^(1/w) key in overflow-free log space), keep the top 4 per "
+    "source weighted by document length. Deterministic and retry-"
+    "stable like its uniform sibling; ln/division are IEEE-identical "
+    "cross-engine on the exact-integer hash inputs, so the SELECTED "
+    "IDS are gated exactly (the float key never reaches the output). "
+    "Scale: one shuffle on the group key for the window rank.",
+)
+def weighted_sample_per_group_gate(spark, sf_dir):
+    # function named *_gate to avoid shadowing the imported operator
+    (documents,) = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        documents, "source", "doc_id", "n_chars", k=4
+    ).select("source", "doc_id")

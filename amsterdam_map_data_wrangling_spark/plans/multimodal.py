@@ -318,3 +318,61 @@ def frame_sample_stats(spark, sf_dir):
             F.min("frame_sha16").alias("sig16"),
         )
     )
+
+
+@query(
+    "audio_levels",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS c,
+             8 + 8 * ((doc_id // 2) % 2) AS bits,
+             3 + doc_id % 3 AS nf
+      FROM documents
+    ), s AS (
+      SELECT media_id, ch.ch AS channel,
+             CASE WHEN bits = 8
+                  THEN ((media_id * 31 + f.f * 17 + ch.ch * 7) % 256) - 128
+                  ELSE CASE WHEN (media_id * 131 + f.f * 1031
+                                  + ch.ch * 211) % 65536 >= 32768
+                            THEN (media_id * 131 + f.f * 1031
+                                  + ch.ch * 211) % 65536 - 65536
+                            ELSE (media_id * 131 + f.f * 1031
+                                  + ch.ch * 211) % 65536 END
+             END AS amp
+      FROM m, unnest(range(0, nf)) AS f(f), unnest(range(0, c)) AS ch(ch)
+    )
+    SELECT media_id,
+           CAST(channel AS INTEGER) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(amp) AS BIGINT) AS sum_amp,
+           CAST(MAX(abs(amp)) AS BIGINT) AS peak_abs
+    FROM s GROUP BY media_id, channel
+    """,
+    "FULL WAV sample decode, gated end-to-end — the first real media "
+    "CONTENT decode (r6 VERDICT #4; the header walks stop at metadata): "
+    "payloads are complete RIFF/WAVE files with interleaved PCM sample "
+    "data (8-bit unsigned or 16-bit signed LE, 1-2 channels, sample "
+    "values deterministic in (id, frame, channel); the variable-length "
+    "LIST chunk still precedes fmt so a fixed-offset reader misparses), "
+    "and the mapInPandas kernel does the actual decode: RIFF chunk walk "
+    "→ numpy frombuffer → de-interleave → per-channel n_frames / "
+    "sum_amp / peak_abs, ALL exact integers. The DuckDB oracle derives "
+    "the same statistics from the closed-form sample arithmetic WITHOUT "
+    "touching bytes — a fully independent route, so a synthesis bug, a "
+    "chunk-walk bug, a sign/bias bug (the 8-bit 128 bias, 16-bit two's "
+    "complement), or a de-interleave bug all mismatch. decode_stub's "
+    "scope shrinks to compressed codecs only. Scale: map-only; payload "
+    "bytes never leave the scanning executor; output is ≤ 2 rows of 5 "
+    "integers per asset.",
+)
+def audio_levels(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_audio_levels,
+        synthesize_pcm_wav_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return extract_audio_levels(
+        synthesize_pcm_wav_payloads(documents, "doc_id")
+    )

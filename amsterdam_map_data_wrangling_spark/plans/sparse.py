@@ -1,0 +1,263 @@
+r"""Sparse-similarity and set-sketch gates: TF-IDF cosine (pairs and
+per-doc top-k), Bloom vocabulary overlap, and benchmark decontamination
+(the REMOVAL stage on top of the detection gate in plans/text.py).
+Registered at round 7 from the validated r07 queue.
+
+Float-gate conventions: cosines rounded to 4 (the tfidf family's
+convention); Bloom and decontamination outputs are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.operators.sparse import (
+    bloom_blocks,
+    bloom_pairwise_overlap,
+    decontaminate,
+    gram_hashes,
+    sparse_cosine_pairs,
+    sparse_cosine_topk_per_doc,
+)
+from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
+
+_SPARSE_COSINE_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS t FROM toks
+    ), tf AS (
+      SELECT id, t, COUNT(*) AS tf FROM th GROUP BY id, t
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+      SELECT id, tf.t,
+             CAST(tf AS DOUBLE) * (ln(CAST(n_docs + 1 AS DOUBLE)
+               / CAST(df + 1 AS DOUBLE)) + 1.0) AS w
+      FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN nd
+      WHERE df <= 50
+    ), norms AS (
+      SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id
+    ), dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine_r
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.3
+"""
+
+
+@query(
+    "sparse_cosine_pairs",
+    _SPARSE_COSINE_ORACLE,
+    "TF-IDF-weighted sparse cosine pairs (threshold 0.3, df-cap 50) — "
+    "the lexical similarity family next to MinHash/Jaccard (near-"
+    "identical boilerplate) and dense embeddings (semantic): topical/"
+    "partial overlap that shingle methods miss. Never all-pairs: pairs "
+    "exist ONLY through shared surviving terms (term-key self-join "
+    "after the df-cap drops stop-terms), three shuffles on sound "
+    "high-cardinality keys, term strings never move (md5-hashed to "
+    "longs). At 100 TB the df-cap bounds per-term fan-out exactly like "
+    "the stop-shingle bound in ngram_jaccard_pairs.",
+)
+def sparse_cosine_pairs_gate(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        documents.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.3,
+        df_cap=50,
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+#: the top-k oracle rewraps the pair oracle's CTE chain as a subquery —
+#: one source of truth for the weight/dot algebra.
+_SPARSE_TOPK_ORACLE = (
+    _SPARSE_COSINE_ORACLE.replace(
+        "SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine_r",
+        "SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine",
+    ).replace("WHERE dot / (na.nrm * nb.nrm) >= 0.3", "")
+    .replace("WITH toks AS (", "WITH pairs_base AS (WITH toks AS (")
+    + """
+    ), sym AS (
+      SELECT id_a AS id, id_b AS partner, cosine FROM pairs_base
+      UNION ALL
+      SELECT id_b AS id, id_a AS partner, cosine FROM pairs_base
+    ), ranked AS (
+      SELECT id, partner, cosine,
+             row_number() OVER (
+               PARTITION BY id ORDER BY cosine DESC, partner) AS rnk
+      FROM sym
+    )
+    SELECT id, partner, round(cosine, 4) AS cosine_r,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+)
+
+
+@query(
+    "sparse_cosine_topk",
+    _SPARSE_TOPK_ORACLE,
+    "Per-document top-3 most-similar partners by TF-IDF cosine — the "
+    "k-nearest-lexical-neighbors view of sparse_cosine_pairs "
+    "(symmetrized pair relation, row_number per doc, ties broken by "
+    "partner id for a total order). Same never-all-pairs shape plus "
+    "one window shuffle on the doc id. The oracle is built by "
+    "rewrapping the pair oracle's CTE chain, so the weight/dot algebra "
+    "has one source of truth on the DuckDB side too.",
+)
+def sparse_cosine_topk_gate(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return sparse_cosine_topk_per_doc(
+        documents.select("doc_id", "text"), "doc_id", "text", k=3, df_cap=50
+    ).select(
+        "id",
+        "partner",
+        F.round("cosine", 4).alias("cosine_r"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "bloom_vocab_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+               AS t
+      FROM documents
+    ), pos AS (
+      SELECT g, unnest([
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT % 4096,
+               ('0x' || substr(md5(t), 17, 8))::BIGINT % 4096
+             ]) AS p
+      FROM toks
+    ), blocks AS (
+      SELECT g, p // 64 AS block,
+             bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(p % 64 AS INT)) END)
+               AS bits
+      FROM pos GROUP BY g, p // 64
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(SUM(bit_count(a.bits)) AS BIGINT)
+             AS bits_a_in_shared_blocks,
+           CAST(SUM(bit_count(b.bits)) AS BIGINT)
+             AS bits_b_in_shared_blocks,
+           CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS inter_bits
+    FROM blocks a JOIN blocks b ON a.block = b.block AND a.g < b.g
+    GROUP BY a.g, b.g
+    """,
+    "Bloom set-sketch vocabulary overlap between sources — the fourth "
+    "sketch family (HLL = cardinality, quantiles, count-min = "
+    "frequency, Bloom = MEMBERSHIP/overlap) as pure relational data: "
+    "per-(group, 64-bit block) bitmap rows built with bit_or "
+    "aggregates (no UDF, no driver state; 3 hash positions per token "
+    "from disjoint md5 slices), pairwise overlap via one equi-join on "
+    "the BLOCK INDEX (never on tokens) + bit_count sums. Mergeable by "
+    "construction: union of groups = bit_or of their block rows. At "
+    "100 TB the per-group bitmaps are KiB-scale regardless of corpus "
+    "size. DuckDB dialect note: 1::BIGINT << 63 raises Out of Range "
+    "there (Spark wraps), so bit 63 is the literal INT64_MIN in the "
+    "oracle.",
+)
+def bloom_vocab_overlap_gate(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    blocks = bloom_blocks(
+        documents, "source", "text", m_bits=4096, n_hashes=3
+    )
+    return bloom_pairwise_overlap(blocks)
+
+
+@query(
+    "decontaminate_stats",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+               || ' ' || l[i+3] || ' ' || l[i+4]), 1, 15))::BIGINT AS h
+      FROM toked, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), bench AS (
+      SELECT DISTINCT h FROM sh WHERE doc_id % 13 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 13 != 0 AND h IN (SELECT h FROM bench)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 != 0)
+                AS BIGINT) AS corpus_docs,
+           CAST((SELECT COUNT(*) FROM contaminated) AS BIGINT)
+             AS removed_docs,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 != 0)
+                - (SELECT COUNT(*) FROM contaminated) AS BIGINT)
+             AS clean_docs,
+           CAST(0 AS BIGINT) AS residual_overlap_docs
+    """,
+    "Benchmark DECONTAMINATION — the removal stage on top of the "
+    "detection gate (benchmark_contamination): LEFT ANTI join drops "
+    "every training document sharing an exact 5-gram with the "
+    "benchmark split (doc_id % 13 == 0 stands in for the eval suites), "
+    "then the detection pass RE-RUNS on the cleaned corpus and its "
+    "count is gated against a LITERAL 0 in the oracle (the "
+    "pii_redaction_stats residual-0 contract) — incomplete removal "
+    "flips the hash, it cannot hide in a recomputed value. Scale: "
+    "bench grams broadcast (eval suites are small by nature), corpus "
+    "grams stream map-side, the anti join keeps never-matching ids — "
+    "one distinct-doc shuffle, corpus text never moves for the "
+    "decision.",
+)
+def decontaminate_stats(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 13 == 0
+    bench = documents.filter(is_bench).select("doc_id", "text")
+    # lazy checkpoints: corpus feeds removal + census; clean feeds its
+    # census AND the residual re-detection — without the cuts each
+    # consumer re-tokenizes and re-hashes the corpus
+    corpus = (
+        documents.filter(~is_bench)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    clean = (
+        decontaminate(corpus, bench, "doc_id", "text", n=5)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    # residual: re-run DETECTION on the CLEANED corpus as part of the
+    # returned plan (no driver-side count) — 0 by construction, and any
+    # removal bug becomes a nonzero count against the oracle's literal 0
+    bench_grams = (
+        gram_hashes(bench, "doc_id", "text", n=5).select("h").distinct()
+    )
+    residual = (
+        gram_hashes(clean, "doc_id", "text", n=5)
+        .join(F.broadcast(bench_grams), "h")
+        .agg(F.countDistinct("id").alias("residual_overlap_docs"))
+    )
+    counts = (
+        corpus.agg(F.count("*").alias("corpus_docs"))
+        .crossJoin(clean.agg(F.count("*").alias("clean_docs")))
+        .crossJoin(residual)
+    )
+    return counts.select(
+        F.col("corpus_docs").cast("bigint").alias("corpus_docs"),
+        (F.col("corpus_docs") - F.col("clean_docs"))
+        .cast("bigint")
+        .alias("removed_docs"),
+        F.col("clean_docs").cast("bigint").alias("clean_docs"),
+        F.col("residual_overlap_docs")
+        .cast("bigint")
+        .alias("residual_overlap_docs"),
+    )

@@ -20,6 +20,13 @@ BNLJ_WHITELIST = {
     "expectations_report",  # 1-row rule aggregates stitched together
     "benchmark_contamination",  # three 1-row aggregates stitched to one row
     "null_semantics_audit",  # four 1-row aggregates stitched to one row
+    # ---- r07 queue graduates (all broadcast 1-row scalar stitches) ----
+    "winsorize_price_stats",  # broadcast 1-row percentile cut points
+    "unigram_lm_scores",  # broadcast 1-row (n_total, n_vocab) model totals
+    "sparse_cosine_pairs",  # broadcast 1-row corpus size (tfidf idf term)
+    "sparse_cosine_topk",  # same tfidf 1-row corpus-size stitch
+    "near_dup_transitivity",  # three 1-row graph aggregates → one row
+    "decontaminate_stats",  # corpus/clean/residual 1-row counts → one row
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

@@ -403,3 +403,87 @@ def test_parse_image_dims_roundtrip_property():
         assert _parse_image_dims(jpeg) == ("jpeg", w, h)
 
     check()
+
+
+def test_pcm_levels_parser_decodes_hand_built_wav():
+    """Hand-assembled 16-bit stereo WAV with known samples — checks the
+    two's-complement sign handling, de-interleave, and per-channel
+    stats byte-for-byte, independent of the synthesizer."""
+    import struct
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_wav_pcm_levels,
+    )
+
+    # frames: (L, R) = (100, -200), (-32768, 32767), (0, 5)
+    samples = [100, -200, -32768, 32767, 0, 5]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = _parse_wav_pcm_levels(wav)
+    assert out == [
+        (0, 3, 100 - 32768 + 0, 32768),
+        (1, 3, -200 + 32767 + 5, 32767),
+    ]
+
+
+def test_pcm_levels_parser_rejects_foreign_and_unsupported():
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_wav_pcm_levels,
+    )
+
+    assert _parse_wav_pcm_levels(b"\x89PNG\r\n\x1a\nrest") == []
+    assert _parse_wav_pcm_levels(b"RIFF\x00\x00\x00\x00AVI ") == []
+    assert _parse_wav_pcm_levels(b"") == []
+    # 8-bit unsigned bias: bytes 128, 0, 255 → amplitudes 0, -128, 127
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([128, 0, 255])
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert _parse_wav_pcm_levels(wav) == [(0, 3, 0 - 128 + 127, 128)]
+
+
+def test_pcm_synthesizer_matches_pure_python_reference(spark):
+    """The synthesized payload, decoded by an INDEPENDENT pure-Python
+    walk (struct/int.from_bytes, no numpy), must reproduce the
+    closed-form sample arithmetic — pinning the synthesizer and the
+    Spark-side parser to the same contract the DuckDB oracle replays."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        synthesize_pcm_wav_payloads,
+    )
+
+    df = spark.range(0, 24).withColumnRenamed("id", "media_id")
+    rows = synthesize_pcm_wav_payloads(df, "media_id").collect()
+    for r in rows:
+        mid, b = r["media_id"], bytes(r["payload"])
+        c = 1 + mid % 2
+        bits = 8 + 8 * ((mid // 2) % 2)
+        nf = 3 + mid % 3
+        # independent walk: find the data chunk
+        pos = 12
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"data":
+                data = b[pos + 8 : pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)
+        assert data is not None and len(data) == nf * c * bits // 8
+        for f in range(nf):
+            for ch in range(c):
+                i = f * c + ch
+                if bits == 8:
+                    got = data[i] - 128
+                    want = (mid * 31 + f * 17 + ch * 7) % 256 - 128
+                else:
+                    got = int.from_bytes(
+                        data[2 * i : 2 * i + 2], "little", signed=True
+                    )
+                    u = (mid * 131 + f * 1031 + ch * 211) % 65536
+                    want = u - 65536 if u >= 32768 else u
+                assert got == want, (mid, f, ch)

@@ -69,44 +69,27 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-6 evidence policy: everything changed or added this round plus
-    # the whole r04 tail (the 27 queries absent from CORRECTNESS_r05.json)
-    # must sit inside the 50-slot gated window. (The general ≤2-round
-    # freshness invariant is asserted mechanically in
-    # tests/test_gate_freshness.py — this list pins only the current
-    # round's specific obligations.)
-    for name in ("audio_dims",  # new: WAV/RIFF header parse
-                 "video_dims",  # new: MP4/ISO-BMFF box walk
-                 "runtime_bloom_filter_join",  # new: runtime filter join
-                 "funnel_conversion", "key_skew_profile",  # new: events analytics
-                 "zorder_layout_stats", "dedup_keep_canonical",  # new: layout + dedup rollup
-                 "cms_heavy_hitters",  # new: count-min sketch
-                 "equi_depth_histogram", "expectations_report",  # new: stats + DQ
-                 "python_datasource_stats",  # new: Spark 4 Python DataSource
-                 "chunk_documents_udtf",  # new: Python UDTF surface
-                 "interval_overlap_balances",  # new: overlap range join
-                 "local_supplier_volume",  # new: 6-table Q5-shape join
-                 "weekly_cohort_retention",  # new: cohort analytics
-                 "nested_json_shred",  # new: semi-structured shredding
-                 "repetition_stats",  # new: Gopher repetition metrics
-                 "benchmark_contamination",  # new: train/eval n-gram overlap
-                 "mixture_proportional_sample",  # new: mixture downsampling
-                 "snapshot_table_diff",  # new: CDC reconciliation audit
-                 "dup_span_coverage",  # new: substring-dedup metric
-                 "dedup_edit_refine",  # new: levenshtein refine stage
-                 "map_ops_surface",  # new: map-typed column surface
-                 # the r04 tail (sample — the freshness test covers all 27)
-                 "count_global", "distinct_users_union", "topk_group_count",
-                 "scan_filter_project", "pct_shares", "text_stats",
-                 "event_gap_stats", "session_window_per_user",
-                 "json_props_stats", "value_percentiles_by_type",
-                 "above_avg_orders_per_customer", "lang_id_confusion"):
+    # round-7 evidence policy: the 5 never-driver-gated overflow queries,
+    # the oracle-changed trio + changed-internals trio (r6 VERDICT #1/
+    # ADVICE #2), and every r07 registration must sit inside the 50-slot
+    # gated window. (The general freshness invariant is asserted
+    # mechanically in tests/test_gate_freshness.py — this list pins only
+    # the current round's specific obligations.)
+    for name in (
+        # first-ever verdicts
+        "gap_sessionization", "variant_json_stats", "null_semantics_audit",
+        "xml_roundtrip_stats", "nation_volume_shipping",
+        # oracle-changed / changed-internals (fresh definitions re-gate)
+        "pii_redaction_stats", "star_join_customers_by_region",
+        "range_join_balance_bands", "dedup_clusters", "ann_ivf",
+        "ann_ivf_probe2",
+        # r07 registrations (the graduated queue + decontamination)
+        "sparse_cosine_pairs", "sparse_cosine_topk", "bloom_vocab_overlap",
+        "decontaminate_stats", "winsorize_price_stats",
+        "robust_z_by_priority", "unigram_lm_scores",
+        "uniform_sample_per_group", "weighted_sample_per_group",
+        "sorted_neighborhood_window", "near_dup_transitivity",
+        # r07 new operator: full PCM WAV content decode
+        "audio_levels",
+    ):
         assert ordered.index(name) < 50, name
-    # the oracle-changed trio was displaced past the window by the 23
-    # never-gated new queries (slots are zero-sum); they must sit
-    # IMMEDIATELY after it so they re-gate first at r07 (each is
-    # pytest-oracle-verified at both SFs this round and keeps an r05
-    # driver verdict on its name)
-    for name in ("pii_redaction_stats", "star_join_customers_by_region",
-                 "range_join_balance_bands"):
-        assert 50 <= ordered.index(name) < 58, name

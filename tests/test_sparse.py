@@ -201,3 +201,18 @@ def test_decontaminate_removes_exactly_the_overlapping_docs(spark):
     assert contaminated_ids.isdisjoint(kept)
     assert 777_001 in kept  # shares 4-grams only -> survives at n=5
     assert len(kept) == 31 - 2
+
+
+def test_bloom_blocks_rejects_oversized_n_hashes(spark):
+    """r6 ADVICE regression: md5 hex is 32 chars = four 8-char slices;
+    a 5th hash position would slice past the digest and conv() NULLs
+    would silently weaken the filter. The parameter is now validated."""
+    import pytest
+
+    from amsterdam_map_data_wrangling_spark.operators.sparse import bloom_blocks
+
+    df = spark.createDataFrame([(1, "a b c")], "g int, text string")
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_blocks(df, "g", "text", m_bits=4096, n_hashes=5)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_blocks(df, "g", "text", m_bits=4096, n_hashes=0)
