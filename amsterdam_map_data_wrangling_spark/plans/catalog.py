@@ -246,3 +246,24 @@ def catalog_markdown() -> str:
         first = first.replace("|", "\\|")
         lines.append(f"| {i} | `{name}` | {first} |")
     return "\n".join(lines) + "\n"
+
+
+def oracle_hash(sql: str) -> str:
+    """Whitespace-normalized sha256 prefix of an oracle SQL string — the
+    unit of the ORACLE_HASHES.json freshness ledger (r6 ADVICE #2:
+    record a hash of each query's oracle so the freshness test can
+    mechanically reject a stale verdict whose gate definition changed
+    after the verdict was earned). Whitespace-insensitive so pure
+    reformatting does not force a re-gate; any token change does."""
+    import hashlib
+
+    return hashlib.sha256(" ".join(sql.split()).encode()).hexdigest()[:16]
+
+
+def oracle_hashes_snapshot() -> dict[str, str]:
+    """Current {query: oracle_hash} for every oracle-gated query."""
+    return {
+        name: oracle_hash(spec.oracle)
+        for name, spec in _ordered().items()
+        if spec.oracle is not None
+    }

@@ -115,3 +115,54 @@ def test_gate_priority_is_exact_and_typo_free():
     assert list(ordered) == _GATE_PRIORITY + [
         n for n in ordered if n not in _GATE_PRIORITY
     ]
+
+
+def test_stale_verdicts_have_unchanged_oracles():
+    """r6 ADVICE #2, made mechanical: a query outside the current gate
+    window is relying on an OLD driver verdict — that verdict only
+    counts if the query's oracle definition is STILL the one it was
+    earned against. The per-round hash ledger (ORACLE_HASHES.json)
+    makes this checkable: for every registered query not in the
+    front-50, its current oracle hash must equal the hash recorded for
+    the round of its most recent verdict. (The round-6 failure mode —
+    the oracle-changed trio parked past the window while the stale-tail
+    allowance counted their r05 verdicts, earned under the OLD
+    definitions — now goes red here instead of needing judge
+    vigilance.)"""
+    import json as _json
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import (
+        oracle_hash,
+        queries,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES
+
+    arts = _artifacts()
+    ledger = _json.loads((REPO / "ORACLE_HASHES.json").read_text())
+    by_round = {
+        int(re.search(r"r(\d+)", name).group(1)): keys for name, keys in arts
+    }
+
+    ordered = list(queries())
+    front = set(ordered[:ARTIFACT_SLOTS])
+    violations = []
+    for q in ordered:
+        if q in front:
+            continue  # re-gating this round; old verdicts irrelevant
+        spec = QUERIES[q]
+        if spec.oracle is None:
+            continue
+        verdict_rounds = [r for r, keys in by_round.items() if q in keys]
+        if not verdict_rounds:
+            continue  # never-gated overflow, bounded elsewhere
+        v = max(verdict_rounds)
+        recorded = ledger.get(str(v), {}).get(q)
+        if recorded is None:
+            violations.append((q, v, "no ledger entry for verdict round"))
+        elif recorded != oracle_hash(spec.oracle):
+            violations.append((q, v, "oracle changed since verdict"))
+    assert not violations, (
+        f"stale verdicts held by queries whose oracle definition changed "
+        f"(or is unrecorded) since the verdict round — front-load them: "
+        f"{violations}"
+    )
