@@ -63,13 +63,14 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     decode. Scope note: uncompressed formats are decoded for real —
     header walks for PNG/JPEG/WAV/MP4 (:func:`extract_image_dims` /
     :func:`extract_audio_fmt` / :func:`extract_video_meta`) and FULL
-    PCM sample decode for WAV (:func:`extract_audio_levels`); only
+    PCM sample decode for WAV (:func:`extract_audio_levels`) plus full
+    24-bit BMP pixel decode (:func:`extract_image_pixels`); only
     codec-encoded pixel/sample data lands here."""
     raise NotImplementedError(
         "compressed-codec decode requires image/audio libraries not "
         "present in this container; wire a real decoder here "
-        "(payload → pixels/samples). Uncompressed WAV PCM decodes for "
-        "real in extract_audio_levels."
+        "(payload → pixels/samples). Uncompressed WAV PCM and BMP pixels "
+        "decode for real in extract_audio_levels / extract_image_pixels."
     )
 
 
@@ -720,3 +721,166 @@ def extract_audio_levels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, LEVELS_SCHEMA)
+
+
+def synthesize_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Fabricate (media_id, payload) rows whose payloads are complete
+    24-bit BMP files with REAL pixel data — the image-content twin of
+    :func:`synthesize_pcm_wav_payloads`: width = 2 + id % 3, height =
+    1 + id % 2, pixel (x, y) channels deterministic in (id, x, y):
+
+    - blue  = (id·7  + x·13 + y·29) % 256
+    - green = (id·11 + x·17 + y·31) % 256
+    - red   = (id·13 + x·19 + y·37) % 256   (y = VISUAL row, 0 = top)
+
+    Three honesty traps for a lazy parser: (a) id % 4 filler bytes
+    between the headers and the pixel array, so the BITMAPFILEHEADER's
+    data-offset field must actually be read; (b) rows are stored
+    BOTTOM-UP (positive height, per the format), so per-visual-row
+    statistics misattribute if the flip is skipped; (c) each stored row
+    pads to a 4-byte boundary (w=2 → 2 pad bytes, w=3 → 3, w=4 → 0), so
+    a flat stride-less read shears the columns. Built entirely JVM-side
+    (hex concat → ``unhex``) so an oracle can re-derive every channel
+    value from the closed-form arithmetic without touching bytes."""
+    df = df.select(F.col(id_col).cast("long").alias("media_id"))
+    mid = F.col("media_id")
+    w = (F.lit(2) + mid % 3).cast("int")
+    h = (F.lit(1) + mid % 2).cast("int")
+    gap = (mid % 4).cast("int")
+    row_size = (F.floor((w * 3 + 3) / 4) * 4).cast("int")
+    data_size = (row_size * h).cast("int")
+    offset = (F.lit(54) + gap).cast("int")
+    file_size = (offset + data_size).cast("int")
+
+    def chan(x, y, a, b, c):
+        return F.lpad(F.hex(((mid * a + x * b + y * c) % 256).cast("long")), 2, "0")
+
+    # stored rows bottom-up: stored index yy → visual y = h - 1 - yy
+    def row_hex(yy):
+        y = (h - 1 - yy).cast("long")
+        px = F.transform(
+            F.sequence(F.lit(0).cast("long"), (w - 1).cast("long")),
+            lambda x: F.concat(
+                chan(x, y, 7, 13, 29),   # B
+                chan(x, y, 11, 17, 31),  # G
+                chan(x, y, 13, 19, 37),  # R
+            ),
+        )
+        pad = F.expr(
+            "repeat('00', CAST((FLOOR((( 2 + media_id % 3) * 3 + 3) / 4) * 4"
+            " - (2 + media_id % 3) * 3) AS INT))"
+        )
+        return F.concat(F.array_join(px, ""), pad)
+
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), (h - 1).cast("long")), row_hex
+        ),
+        "",
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),                      # "BM"
+        _le_hex(file_size, 4),
+        F.lit("00000000"),                  # reserved
+        _le_hex(offset, 4),                 # pixel-array offset (54 + gap)
+        _le_hex(F.lit(40), 4),              # BITMAPINFOHEADER size
+        _le_hex(w, 4),
+        _le_hex(h, 4),                      # positive → bottom-up
+        _le_hex(F.lit(1), 2),               # planes
+        _le_hex(F.lit(24), 2),              # bpp
+        _le_hex(F.lit(0), 4),               # BI_RGB
+        _le_hex(data_size, 4),
+        F.lit("00000000" * 4),              # ppm x/y, colors, important
+        F.expr("repeat('EE', CAST(media_id % 4 AS INT))"),  # header gap
+        data_hex,
+    )
+    return df.select("media_id", F.unhex(bmp_hex).alias("payload"))
+
+
+def _parse_bmp_pixel_stats(b: bytes) -> list[tuple[int, int, int, int, int]]:
+    """FULL BMP content decode, no codec dependency: header walk (magic,
+    pixel-array offset, dimensions, 24 bpp check), bottom-up row
+    un-flip, 4-byte stride handling, then per-channel statistics over
+    the decoded pixels. Returns one tuple (channel, n_pixels, sum_val,
+    max_val, top_row_sum) per channel — channel 0/1/2 = B/G/R,
+    ``top_row_sum`` over the VISUAL top row (stored last), which goes
+    wrong if the flip or the stride is skipped. Unsupported bpp or
+    foreign magic → []."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 54 or b[:2] != b"BM":
+        return []
+    offset = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    if bpp != 24 or w <= 0 or h == 0:
+        return []
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if offset + stride * h > len(b):
+        return []
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]  # stored bottom-up → visual top-down
+    px = rows.astype(np.int64)
+    return [
+        (
+            ch,
+            w * h,
+            int(px[:, :, ch].sum()),
+            int(px[:, :, ch].max()),
+            int(px[0, :, ch].sum()),
+        )
+        for ch in range(3)
+    ]
+
+
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_val", T.LongType()),
+        T.StructField("max_val", T.LongType()),
+        T.StructField("top_row_sum", T.LongType()),
+    ]
+)
+
+
+def extract_image_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL BMP pixel decode over binary payloads
+    (``mapInPandas`` + :func:`_parse_bmp_pixel_stats`) — the image twin
+    of :func:`extract_audio_levels`: bytes → un-flipped, stride-aware
+    pixel array → per-channel exact-integer statistics, one row per
+    (asset, channel). Scale: map-only; payload bytes never leave the
+    scanning executor; output is 3 rows of 6 integers per asset."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, npx, sums, maxs, tops = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for ch, n, s, m, t in _parse_bmp_pixel_stats(payload):
+                    ids.append(mid)
+                    chans.append(ch)
+                    npx.append(n)
+                    sums.append(s)
+                    maxs.append(m)
+                    tops.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="Int32"),
+                    "n_pixels": pd.array(npx, dtype="int64"),
+                    "sum_val": pd.array(sums, dtype="int64"),
+                    "max_val": pd.array(maxs, dtype="int64"),
+                    "top_row_sum": pd.array(tops, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PIXELS_SCHEMA)

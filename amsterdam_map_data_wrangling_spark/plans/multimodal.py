@@ -376,3 +376,54 @@ def audio_levels(spark, sf_dir):
     return extract_audio_levels(
         synthesize_pcm_wav_payloads(documents, "doc_id")
     )
+
+
+@query(
+    "image_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 3 AS w,
+             1 + doc_id % 2 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, c.ch AS channel, y.y AS y,
+             CASE c.ch
+               WHEN 0 THEN (media_id * 7  + x.x * 13 + y.y * 29) % 256
+               WHEN 1 THEN (media_id * 11 + x.x * 17 + y.y * 31) % 256
+               ELSE        (media_id * 13 + x.x * 19 + y.y * 37) % 256
+             END AS v
+      FROM m, unnest(range(0, w)) AS x(x), unnest(range(0, h)) AS y(y),
+           unnest([0, 1, 2]) AS c(ch)
+    )
+    SELECT media_id,
+           CAST(channel AS INTEGER) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS top_row_sum
+    FROM px GROUP BY media_id, channel
+    """,
+    "FULL BMP pixel decode, gated end-to-end — the image-content twin "
+    "of audio_levels: payloads are complete 24-bit BMP files with real "
+    "pixel data (per-channel values deterministic in (id, x, y)), and "
+    "the mapInPandas kernel does the actual decode: header walk, "
+    "pixel-array OFFSET honored (id % 4 filler bytes sit between the "
+    "headers and the data, so the offset field must be read), 4-byte "
+    "row stride stripped, bottom-up storage un-flipped, then per-"
+    "channel n_pixels / sum / max / top-VISUAL-row sum, all exact "
+    "integers — the top-row statistic goes wrong if the flip or the "
+    "stride is skipped, sum/max alone would not catch either. The "
+    "DuckDB oracle derives the same numbers from the closed-form "
+    "arithmetic WITHOUT touching bytes (fully independent route). "
+    "Scale: map-only; payload bytes never leave the scanning executor.",
+)
+def image_pixel_stats(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_image_pixels,
+        synthesize_bmp_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return extract_image_pixels(synthesize_bmp_payloads(documents, "doc_id"))

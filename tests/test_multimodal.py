@@ -487,3 +487,75 @@ def test_pcm_synthesizer_matches_pure_python_reference(spark):
                     u = (mid * 131 + f * 1031 + ch * 211) % 65536
                     want = u - 65536 if u >= 32768 else u
                 assert got == want, (mid, f, ch)
+
+
+def test_bmp_parser_honors_offset_flip_and_stride():
+    """Hand-assembled 3x2 24-bit BMP with 2 gap bytes before the pixel
+    array, bottom-up rows, and 3-byte row padding — all three honesty
+    traps at once, verified against hand-computed per-channel stats."""
+    import struct
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_bmp_pixel_stats,
+    )
+
+    w, h, gap = 3, 2, 2
+    stride = (w * 3 + 3) // 4 * 4  # 12
+    # visual pixels[y][x] = (B, G, R)
+    visual = [
+        [(10, 20, 30), (11, 21, 31), (12, 22, 32)],   # top row
+        [(110, 120, 130), (111, 121, 131), (112, 122, 132)],
+    ]
+    rows = b""
+    for y in reversed(range(h)):  # stored bottom-up
+        r = b"".join(bytes(p) for p in visual[y])
+        rows += r + b"\x00" * (stride - len(r))
+    offset = 54 + gap
+    header = b"BM" + struct.pack("<IHHI", offset + len(rows), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    bmp = header + info + b"\xee" * gap + rows
+    out = {ch: rest for ch, *rest in _parse_bmp_pixel_stats(bmp)}
+    # channel 0 = B: all values, max, and the VISUAL top row 10+11+12
+    assert out[0] == [6, 10 + 11 + 12 + 110 + 111 + 112, 112, 33]
+    assert out[1] == [6, 20 + 21 + 22 + 120 + 121 + 122, 122, 63]
+    assert out[2] == [6, 30 + 31 + 32 + 130 + 131 + 132, 132, 93]
+
+
+def test_bmp_parser_rejects_foreign_and_unsupported():
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_bmp_pixel_stats,
+    )
+
+    assert _parse_bmp_pixel_stats(b"") == []
+    assert _parse_bmp_pixel_stats(b"PNG not bmp" + b"\x00" * 60) == []
+    # 8-bpp (palette) honestly unsupported, not silently misread
+    import struct
+
+    header = b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    assert _parse_bmp_pixel_stats(header + info + b"\x00" * 46) == []
+
+
+def test_bmp_synthesizer_round_trips_through_independent_decoder(spark):
+    """Synthesized payloads decoded by an independent pure-Python walk
+    must reproduce the closed-form channel arithmetic for every (x, y)
+    — pinning synthesizer and parser to the oracle's contract."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        synthesize_bmp_payloads,
+    )
+
+    df = spark.range(0, 24).withColumnRenamed("id", "media_id")
+    for r in synthesize_bmp_payloads(df, "media_id").collect():
+        mid, b = r["media_id"], bytes(r["payload"])
+        w, h = 2 + mid % 3, 1 + mid % 2
+        offset = int.from_bytes(b[10:14], "little")
+        assert offset == 54 + mid % 4
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(b) == offset + stride * h
+        for y in range(h):  # visual row y is stored at (h-1-y)
+            base = offset + (h - 1 - y) * stride
+            for x in range(w):
+                bgr = b[base + 3 * x : base + 3 * x + 3]
+                assert bgr[0] == (mid * 7 + x * 13 + y * 29) % 256
+                assert bgr[1] == (mid * 11 + x * 17 + y * 31) % 256
+                assert bgr[2] == (mid * 13 + x * 19 + y * 37) % 256

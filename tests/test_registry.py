@@ -89,7 +89,7 @@ def test_gate_priority_orders_catalog():
         "robust_z_by_priority", "unigram_lm_scores",
         "uniform_sample_per_group", "weighted_sample_per_group",
         "sorted_neighborhood_window", "near_dup_transitivity",
-        # r07 new operator: full PCM WAV content decode
-        "audio_levels",
+        # r07 new operators: full PCM WAV + BMP pixel content decodes
+        "audio_levels", "image_pixel_stats",
     ):
         assert ordered.index(name) < 50, name
