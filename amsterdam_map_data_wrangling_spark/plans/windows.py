@@ -151,3 +151,61 @@ def interval_join_click_error(spark, sf_dir):
     clicks = events.filter(F.col("event_type") == "click")
     errors = events.filter(F.col("event_type") == "error")
     return interval_join_core(clicks, errors)
+
+
+@query(
+    "resample_locf_daily",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             max(value) AS v_obs, COUNT(*) AS n_obs
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.v_obs, coalesce(o.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.bucket = o.bucket
+    )
+    SELECT user_id, bucket,
+           round(last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS v_locf_r,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           (v_obs IS NULL) AS is_gap
+    FROM j
+    """,
+    "Time-grid resampling with LOCF gap fill — the sequence-modeling "
+    "prep step: each user's sparse purchase stream lands on a daily "
+    "grid spanning their [first, last] active day, missing days carry "
+    "the last observed value forward and are flagged. Grid generation "
+    "is JVM-side explode(sequence(...)) — no Python in the fan-out; "
+    "the per-bucket representative is max(value), deterministic and "
+    "accumulation-order-free, so the carried double is bit-identical "
+    "cross-engine (rounded to 6 per the catalog convention anyway). "
+    "Scale: all shuffles are on the entity key; grid fan-out is "
+    "span/step per key; the carry-forward is one ordered window over "
+    "the grid, never over raw events.",
+)
+def resample_locf_daily(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = resample_locf(purchases, "user_id", "ts", "value", unit="day")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("v_locf", 6).alias("v_locf_r"),
+        "n_obs",
+        "is_gap",
+    )
