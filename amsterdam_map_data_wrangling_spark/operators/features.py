@@ -125,7 +125,7 @@ def unigram_logprob_scores(
 
 
 def robust_zscores(
-    df: DataFrame, col: str, by: str | None = None
+    df: DataFrame, col: str, by: str | None = None, keep_stats: bool = False
 ) -> DataFrame:
     """Median/MAD robust z-scores (the outlier-resistant standardization:
     (x - median) / (1.4826 · MAD), consistent with σ under normality) —
@@ -137,7 +137,12 @@ def robust_zscores(
     broadcasts). Degenerate MAD = 0 (over half the group identical)
     yields NULL scores rather than ±inf — the honest answer.
 
-    Queued for catalog registration at r07; verified against
+    ``keep_stats=True`` keeps the per-group statistics as ``<col>_med``
+    / ``<col>_mad`` columns so a caller reporting them does not re-run
+    the two percentile passes (the r07 bench found the gate paying for
+    FOUR percentile aggregations instead of two).
+
+    Registered as ``robust_z_by_priority``; verified against
     numpy/scipy-convention reference in tests/test_features.py."""
     gcols = [by] if by else []
     x = F.col(col)
@@ -161,7 +166,12 @@ def robust_zscores(
         F.col("_mad") > 0,
         (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
     )
-    return full.withColumn(f"{col}_rz", rz).drop("_med", "_mad")
+    out = full.withColumn(f"{col}_rz", rz)
+    if keep_stats:
+        return out.withColumnRenamed("_med", f"{col}_med").withColumnRenamed(
+            "_mad", f"{col}_mad"
+        )
+    return out.drop("_med", "_mad")
 
 
 def hash_rank_sample_per_group(

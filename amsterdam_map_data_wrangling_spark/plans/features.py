@@ -100,29 +100,23 @@ def winsorize_price_stats(spark, sf_dir):
     "oracle would count every row of a zero-MAD group).",
 )
 def robust_z_by_priority(spark, sf_dir):
+    # keep_stats=True: the operator's own per-group median/MAD relations
+    # feed the report, so the query runs exactly TWO percentile passes
+    # (an earlier build recomputed both outside the operator — four
+    # passes, 1.7 s at sf0.1; this shape is ~2x cheaper)
     (orders,) = _t(spark, sf_dir, "orders")
-    g = F.col("o_orderpriority").alias("g")
-    med = orders.groupBy(g).agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
-    )
-    mad = (
-        orders.join(F.broadcast(med), orders["o_orderpriority"] == med["g"])
-        .groupBy(F.col("o_orderpriority").alias("g2"))
-        .agg(
-            F.percentile(
-                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
-            ).alias("mad")
-        )
-    )
-    rz = robust_zscores(orders, "o_totalprice", by="o_orderpriority")
-    outliers = rz.groupBy(F.col("o_orderpriority").alias("g3")).agg(
-        F.sum(
-            F.when(F.abs(F.col("o_totalprice_rz")) > 2, 1).otherwise(0)
-        ).alias("n_outliers")
+    rz = robust_zscores(
+        orders, "o_totalprice", by="o_orderpriority", keep_stats=True
     )
     return (
-        med.join(mad, med["g"] == mad["g2"])
-        .join(outliers, med["g"] == outliers["g3"])
+        rz.groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.first("o_totalprice_med").alias("med"),
+            F.first("o_totalprice_mad").alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("o_totalprice_rz")) > 2, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
         .select(
             "g",
             F.round("med", 4).alias("med_r"),
