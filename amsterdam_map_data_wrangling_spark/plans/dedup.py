@@ -596,15 +596,18 @@ def dedup_edit_refine(spark, sf_dir):
     cand = ngram_jaccard_pairs(
         corpus, "doc_id", "text", w=5, threshold=0.5, df_cap=50
     )
+    # project the 500-char DP window BEFORE the joins: the text legs now
+    # move (id, ≤500 B) through AQE's shuffle stages instead of full
+    # documents — the payload bound that makes the hint-free plan cheap
     ta = corpus.select(
-        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 500).alias("text_a"),
     )
     tb = corpus.select(
-        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 500).alias("text_b"),
     )
-    dist = F.levenshtein(
-        F.substring("text_a", 1, 500), F.substring("text_b", 1, 500)
-    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
     # NO broadcast hints on the text joins (r6 VERDICT: the candidate
     # relation is blocked out of quadratic growth but still scales
     # LINEARLY with the corpus — ≤ C(50,2) pairs per distinct shingle —
