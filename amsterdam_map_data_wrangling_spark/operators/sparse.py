@@ -293,3 +293,87 @@ def decontaminate(
     return docs.join(
         contaminated, docs[id_col] == contaminated["id"], "left_anti"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus for a small fixed
+    query set — the search primitive on top of the same hashed-term
+    inverted index the TF-IDF family builds: per-(query, doc) score
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    with top-``k`` docs per query (ties broken by doc id). ``queries``
+    maps query_id → whitespace-separated terms; duplicate terms in one
+    query count once (standard bag-of-query-terms BM25 uses qtf — for
+    the analytics gate the set form keeps the oracle one DISTINCT).
+
+    Scale: the index side is (doc, term-hash, tf) + a broadcast
+    df/N/avgdl statistics relation; the query side is tiny by nature →
+    broadcast hash join against the tf stream, one aggregation per
+    (query, doc), one top-k window per query. Term STRINGS never
+    shuffle (md5 → long, the portable anchor); the corpus text is read
+    exactly once."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    stats = df.agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    ).crossJoin(toks.agg(F.count("*").alias("n_toks")))
+
+    qrows = [(qid, term) for qid, q in queries.items() for term in set(q.split())]
+    qdf = (
+        df.sparkSession.createDataFrame(qrows, "q_id long, term string")
+        .select(
+            "q_id",
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("t"),
+        )
+        .distinct()
+    )
+
+    avgdl = F.col("n_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+
+    scored = (
+        tf.join(F.broadcast(qdf), "t")
+        .join(dfreq, "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    win = Window.partitionBy("q_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "id", "score", "rnk")
+    )

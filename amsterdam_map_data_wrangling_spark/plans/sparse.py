@@ -261,3 +261,85 @@ def decontaminate_stats(spark, sf_dir):
         .cast("bigint")
         .alias("residual_overlap_docs"),
     )
+
+
+#: the fixed query set for the BM25 gate (query_id -> terms); tiny by
+#: nature, broadcast against the inverted index.
+_BM25_QUERIES = {
+    0: "spark window agg",
+    1: "customer query join",
+    2: "vector hash merge",
+}
+
+
+@query(
+    "bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(unnest(
+               string_split_regex(trim(text), '\s+'))), 1, 15))::BIGINT AS t
+      FROM documents
+    ), tf AS (
+      SELECT id, t, COUNT(*) AS tf FROM toks GROUP BY id, t
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), stats AS (
+      SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM toks) AS n_toks
+    ), q AS (
+      SELECT * FROM (VALUES
+        (0, 'spark'), (0, 'window'), (0, 'agg'),
+        (1, 'customer'), (1, 'query'), (1, 'join'),
+        (2, 'vector'), (2, 'hash'), (2, 'merge')) AS v(q_id, term)
+    ), qh AS (
+      SELECT DISTINCT q_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS t
+      FROM q
+    ), scored AS (
+      SELECT q_id, id,
+             SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * dl / (CAST(n_toks AS DOUBLE) / n_docs))))
+               AS score
+      FROM tf JOIN qh USING (t) JOIN dfreq USING (t) JOIN dl USING (id)
+      CROSS JOIN stats
+      GROUP BY q_id, id
+    ), ranked AS (
+      SELECT q_id, id, score,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, id) AS rnk
+      FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, id,
+           round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    "Okapi BM25 ranked retrieval — the search primitive over the same "
+    "hashed-term inverted index the TF-IDF family builds: three fixed "
+    "queries score every matching document with the standard "
+    "idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) formula (k1=1.2, "
+    "b=0.75) and return the top-10 per query (doc-id tie-break). All "
+    "formula inputs are exact integers (tf, df, dl, N, Σdl), so both "
+    "engines compute identical per-term doubles; only the ≤3-term SUM "
+    "is association-sensitive — gated rounded to 6 per the catalog "
+    "convention. Scale: the query relation broadcasts against the tf "
+    "stream (map-side), document text is read once, term strings never "
+    "shuffle, and the only wide operations are the tf/df aggregations "
+    "and one per-query top-k window.",
+)
+def bm25_search(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.sparse import bm25_topk
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        documents, "doc_id", "text", _BM25_QUERIES, k=10
+    ).select(
+        "q_id",
+        "id",
+        F.round("score", 6).alias("score_r"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

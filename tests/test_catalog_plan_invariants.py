@@ -27,6 +27,7 @@ BNLJ_WHITELIST = {
     "sparse_cosine_topk",  # same tfidf 1-row corpus-size stitch
     "near_dup_transitivity",  # three 1-row graph aggregates → one row
     "decontaminate_stats",  # corpus/clean/residual 1-row counts → one row
+    "bm25_search",  # broadcast 1-row (n_docs, n_toks) statistics stitch
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

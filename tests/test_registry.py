@@ -91,7 +91,7 @@ def test_gate_priority_orders_catalog():
         "sorted_neighborhood_window", "near_dup_transitivity",
         # r07 new operators: full PCM WAV + BMP pixel content decodes
         "audio_levels", "image_pixel_stats",
-        # r07 new operator: time-grid resample + LOCF gap fill
-        "resample_locf_daily",
+        # r07 new operators: time-grid resample + LOCF; BM25 search
+        "resample_locf_daily", "bm25_search",
     ):
         assert ordered.index(name) < 50, name

@@ -216,3 +216,55 @@ def test_bloom_blocks_rejects_oversized_n_hashes(spark):
         bloom_blocks(df, "g", "text", m_bits=4096, n_hashes=5)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_blocks(df, "g", "text", m_bits=4096, n_hashes=0)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """BM25 scores and ranking against an independent pure-Python
+    implementation over a tiny corpus with known statistics."""
+    import math
+
+    from amsterdam_map_data_wrangling_spark.operators.sparse import bm25_topk
+
+    corpus = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "apple cherry cherry dates",
+        4: "dates dates dates",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    queries = {0: "apple cherry", 1: "dates"}
+    got = {
+        (r["q_id"], r["id"]): (round(r["score"], 9), r["rnk"])
+        for r in bm25_topk(df, "doc_id", "text", queries, k=3).collect()
+    }
+
+    # independent reference
+    toks = {k: v.split() for k, v in corpus.items()}
+    n_docs, n_toks = len(toks), sum(len(t) for t in toks.values())
+    avgdl = n_toks / n_docs
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    k1, b = 1.2, 0.75
+
+    def score(q, doc):
+        s = 0.0
+        for term in set(q.split()):
+            tf = toks[doc].count(term)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[doc]) / avgdl))
+        return s
+
+    for qid, q in queries.items():
+        scored = sorted(
+            ((score(q, d), d) for d in corpus if score(q, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        assert len([k for k in got if k[0] == qid]) == len(scored)
+        for rnk, (s, d) in enumerate(scored, 1):
+            assert got[(qid, d)] == (round(s, 9), rnk), (qid, d)
