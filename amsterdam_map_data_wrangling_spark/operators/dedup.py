@@ -618,3 +618,70 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def pagerank(
+    pairs: DataFrame, damping: float = 0.85, iters: int = 3
+) -> DataFrame:
+    """Bounded-iteration PageRank over an undirected pair relation
+    (id_a, id_b) — the influence/centrality reading of the near-dup
+    graph (which documents sit at the center of duplication clusters),
+    and the second ITERATIVE algorithm family next to
+    :func:`connected_components`: power iteration with teleport,
+
+        r'(n) = (1 − d)/N + d · Σ_{m→n} r(m)/deg(m),
+
+    run for a FIXED ``iters`` rounds from the uniform start 1/N — the
+    bounded-hop stance CC takes, so cost is deterministic and the
+    result is exactly reproducible by an unrolled oracle (no
+    convergence test, no data-dependent loop count). Nodes are the
+    vertices incident to at least one edge; symmetrized edges make
+    every node's out-degree ≥ 1, so there is no dangling mass.
+
+    Scale per iteration: one join of the rank relation (|V| rows) to
+    the edge list on the source key + one aggregation on the target
+    key — both shuffle on vertex ids, the same shape as one CC hop.
+    Checkpoint policy, measured at sf0.1: the EDGE relation is lazily
+    checkpointed (it embeds the expensive blocking plan and every
+    iteration consumes it — without the cut the corpus re-blocks 4
+    times, 4.3→2.7 s); the per-round rank relations are NOT (at a
+    fixed 3 iterations the unrolled lineage is shallow, and per-round
+    checkpoints just add materialization jobs — the CC lesson applies
+    from ~10 hops up, not here). Callers running many iterations
+    should re-introduce a rank checkpoint every few rounds."""
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "src",
+        "deg",
+        (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("r"),
+        "n_nodes",
+    )
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(contribs, "src", "left")
+            .select(
+                "src",
+                "deg",
+                (
+                    (1.0 - damping) / F.col("n_nodes").cast("double")
+                    + damping * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+                "n_nodes",
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("id"), F.col("deg").cast("long").alias("deg"), "r"
+    )

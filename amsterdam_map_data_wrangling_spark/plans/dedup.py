@@ -739,3 +739,87 @@ def near_dup_transitivity(spark, sf_dir):
         documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
     )
     return triangle_stats(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "near_dup_pagerank",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                  || ' ' || l[i+4] AS shingle
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b AS src, a AS dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (
+      SELECT src, deg, 1.0 / n AS r FROM deg CROSS JOIN nn
+    ), c1 AS (
+      SELECT s.dst AS src, SUM(r.r / r.deg) AS mass
+      FROM sym s JOIN r0 r ON s.src = r.src GROUP BY s.dst
+    ), r1 AS (
+      SELECT d.src, d.deg,
+             (1.0 - 0.85) / n + 0.85 * coalesce(c1.mass, 0.0) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.src = d.src
+    ), c2 AS (
+      SELECT s.dst AS src, SUM(r.r / r.deg) AS mass
+      FROM sym s JOIN r1 r ON s.src = r.src GROUP BY s.dst
+    ), r2 AS (
+      SELECT d.src, d.deg,
+             (1.0 - 0.85) / n + 0.85 * coalesce(c2.mass, 0.0) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.src = d.src
+    ), c3 AS (
+      SELECT s.dst AS src, SUM(r.r / r.deg) AS mass
+      FROM sym s JOIN r2 r ON s.src = r.src GROUP BY s.dst
+    ), r3 AS (
+      SELECT d.src, d.deg,
+             (1.0 - 0.85) / n + 0.85 * coalesce(c3.mass, 0.0) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.src = d.src
+    )
+    SELECT src AS id, CAST(deg AS BIGINT) AS deg, round(r, 9) AS r_r
+    FROM r3
+    """,
+    "Bounded-iteration PageRank over the near-dup similarity graph — "
+    "which documents sit at the CENTER of duplication clusters (the "
+    "canonical-pick signal beyond min-id), and the second iterative "
+    "algorithm family next to connected components: 3 rounds of power "
+    "iteration with teleport from the uniform start, exactly unrolled "
+    "by the oracle (fixed hop budget = deterministic cost = exactly "
+    "reproducible — the CC stance). Float discipline: the teleport "
+    "term is written (1.0 − 0.85)/n on BOTH engines, because the "
+    "IEEE result of 1−0.85 differs from the literal 0.15 in the last "
+    "bit; per-edge contributions are identical doubles and only the "
+    "neighbor SUM is association-sensitive — gated rounded to 9. "
+    "Scale: each iteration is one vertex-key join + one aggregation "
+    "(a CC hop); ranks lazily checkpoint per round so lineage stays "
+    "one iteration deep.",
+)
+def near_dup_pagerank(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.dedup import pagerank
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
+    )
+    pr = pagerank(pairs.select("id_a", "id_b"), damping=0.85, iters=3)
+    return pr.select("id", "deg", F.round("r", 9).alias("r_r"))

@@ -28,6 +28,7 @@ BNLJ_WHITELIST = {
     "near_dup_transitivity",  # three 1-row graph aggregates → one row
     "decontaminate_stats",  # corpus/clean/residual 1-row counts → one row
     "bm25_search",  # broadcast 1-row (n_docs, n_toks) statistics stitch
+    "near_dup_pagerank",  # broadcast 1-row node-count teleport stitch
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

@@ -426,3 +426,33 @@ def test_triangle_stats_match_pure_python_on_random_graphs(spark):
     # above an open-triad-dominated graph
     assert row["n_triangles"] >= 6
     assert row["clustering"] > 0.3
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    """3-iteration PageRank on a hand-built graph vs an independent
+    pure-Python power iteration (same teleport algebra)."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    from amsterdam_map_data_wrangling_spark.operators.dedup import pagerank
+
+    got = {
+        r["id"]: (r["deg"], round(r["r"], 12))
+        for r in pagerank(df, damping=0.85, iters=3).collect()
+    }
+
+    sym = edges + [(b, a) for a, b in edges]
+    nodes = sorted({n for e in sym for n in e})
+    deg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+    n = float(len(nodes))
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        mass = {v: 0.0 for v in nodes}
+        for s, d in sym:
+            mass[d] += r[s] / deg[s]
+        r = {v: (1.0 - 0.85) / n + 0.85 * mass[v] for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == deg[v]
+        assert abs(got[v][1] - r[v]) < 1e-12, v
+    # ranks are a probability distribution (no dangling mass leak)
+    assert abs(sum(x[1] for x in got.values()) - 1.0) < 1e-9
