@@ -93,7 +93,7 @@ def test_gate_priority_orders_catalog():
         "audio_levels", "image_pixel_stats",
         # r07 new operators: time-grid resample + LOCF; BM25 search
         "resample_locf_daily", "bm25_search",
-        # r07 new operator: bounded power-iteration PageRank
-        "near_dup_pagerank",
+        # r07 new operators: bounded PageRank; SQ8-compressed ANN
+        "near_dup_pagerank", "ann_sq8_rerank",
     ):
         assert ordered.index(name) < 50, name

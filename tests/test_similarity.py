@@ -228,3 +228,33 @@ def test_ivf_driver_seed_resort_matches_spark_order(spark):
 
     py_order = sorted(range(50), key=py_key)[:20]
     assert spark_order == py_order
+
+
+def test_sq8_rerank_recall_vs_brute(spark):
+    """SQ8 candidate generation + exact rerank must recover most of the
+    true top-3 (the rerank pool is 4% of this corpus, so this is a real
+    recall property, not a tautology), and every returned sim must
+    equal the brute sim for that (query, neighbor) pair."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        cosine_topk,
+        sq8_rerank_topk,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_tables(spark, sf, ["embeddings"])["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in cosine_topk(emb, "vec_id", "embedding", qids, 3).collect()
+    }
+    sq8 = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in sq8_rerank_topk(
+            emb, "vec_id", "embedding", qids, k=3, rerank_pool=20
+        ).collect()
+    }
+    hits = set(brute) & set(sq8)
+    assert len(hits) >= 0.6 * len(brute), (len(hits), len(brute))
+    for key in hits:
+        assert sq8[key] == brute[key]  # rerank uses the exact same cosine
