@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "decontaminate_stats",  # corpus/clean/residual 1-row counts → one row
     "bm25_search",  # broadcast 1-row (n_docs, n_toks) statistics stitch
     "near_dup_pagerank",  # broadcast 1-row node-count teleport stitch
+    "ann_sq8_rerank",  # tiny broadcast query-code set vs corpus scoring
 }
 
 #: the deliberate row-Python surface gates; everything else must stay
