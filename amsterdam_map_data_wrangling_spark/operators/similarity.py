@@ -766,3 +766,219 @@ def sq8_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def _pq_train(smat, m: int, n_cells: int, iters: int):
+    """Per-subspace Lloyd over QUANTIZED int subvectors with engine-exact
+    arithmetic: initial centroids are the first ``n_cells`` sample rows
+    in seed order (cell id = 1-based seed rank); assignment is argmin of
+    the exact-integer squared L2 (ties → smallest cell id — numpy
+    argmin's first-minimum contract); the update REQUANTIZES the mean
+    (``floor(sum/count + 0.5)``) so centroids stay integers — the IEEE
+    division of exact-int-valued float64s is correctly rounded, so
+    DuckDB computing ``floor(SUM(x)/COUNT(*) + 0.5)`` gets the identical
+    centroid. Empty cells drop (both engines: they vanish from the
+    update aggregation). Returns per subspace an (ids, matrix) pair."""
+    import numpy as np
+
+    dim = smat.shape[1]
+    sub_d = dim // m
+    books = []
+    for s in range(m):
+        sub = smat[:, s * sub_d : (s + 1) * sub_d]
+        ids = list(range(1, min(n_cells, sub.shape[0]) + 1))
+        cmat = sub[: len(ids)].copy()
+        for _ in range(iters):
+            # d2(v, c) = |v|^2 - 2 v.c + |c|^2, exact int64
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * sub @ cmat.T
+                + (cmat * cmat).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)  # first minimum = smallest id
+            new_ids, new_rows = [], []
+            for ci in range(len(ids)):
+                members = sub[assign == ci]
+                if len(members):
+                    mean = members.sum(axis=0).astype(np.float64) / len(members)
+                    new_ids.append(ids[ci])
+                    new_rows.append(np.floor(mean + 0.5).astype(np.int64))
+            ids, cmat = new_ids, np.stack(new_rows)
+        books.append((ids, cmat))
+    return books
+
+
+def _pq_encode_kernel(books, m: int, sub_d: int):
+    """mapInPandas kernel: quantize each vector, emit one (vec_id, sub,
+    cell) row per subspace — the 8-bit-per-subspace PQ code in long
+    form. Arrow-batched; the codebooks ride the closure (m·n_cells·sub_d
+    ints — KiB)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vmat = _np_quant(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            )
+            out_id, out_sub, out_cell = [], [], []
+            for s in range(m):
+                ids, cmat = books[s]
+                sub = vmat[:, s * sub_d : (s + 1) * sub_d]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2 * sub @ cmat.T
+                    + (cmat * cmat).sum(axis=1)
+                )
+                best = np.argmin(d2, axis=1)
+                out_id.extend(int(x) for x in pdf["vec_id"])
+                out_sub.extend([s] * len(pdf))
+                out_cell.extend(int(ids[b]) for b in best)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.array(out_id, dtype="int64"),
+                    "sub": pd.array(out_sub, dtype="int64"),
+                    "cell": pd.array(out_cell, dtype="int64"),
+                }
+            )
+
+    return batches
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    m: int = 4,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    sample_n: int = 256,
+    rerank_pool: int = 20,
+    seed: str = "spark-graft",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance candidate
+    generation and exact rerank — the LEARNED compression path
+    completing the ANN family (brute → LSH buckets → IVF cells → SQ8
+    scalar codes → PQ codebooks): the 64-dim space splits into ``m``
+    subspaces, each with its own ``n_cells``-centroid codebook trained
+    by seeded Lloyd on a bounded hash-sample (the IVF sketch-and-solve
+    shape — driver numpy over ≤ ``sample_n`` rows, corpus-independent);
+    every corpus vector compresses to ``m`` cell ids (here 4 × 4 bits);
+    each query precomputes a distance TABLE (subspace × cell → exact
+    int d²), so candidate scoring is ``m`` table lookups + an integer
+    sum per vector (ADC, Jégou et al. 2011); the top-``rerank_pool``
+    candidates rerank with the true double cosine (round-4, vec_id
+    tie-break — the brute convention).
+
+    Engine-exactness end to end: components quantize to ints
+    (floor(x·S + 0.5)); Lloyd assignment compares exact-int d²;
+    centroid updates REQUANTIZE the mean (floor(sum/count + 0.5) — a
+    correctly-rounded IEEE division on exact-int doubles, identical on
+    any engine), so codebooks, codes, distance tables, and the ADC
+    POOL are all bit-identical to the DuckDB replay; only the rerank
+    cosine carries float rounding, absorbed by round-4.
+
+    Scale: training cost is bounded by ``sample_n`` (driver numpy, one
+    fused collect); encoding is one zero-shuffle Arrow pass; the
+    distance tables are |queries|·m·n_cells rows broadcast; candidate
+    scoring joins the broadcast tables against the long-form code
+    relation (m rows/vector, 2 ints each — the 100 TB resident set is
+    the CODES, 16 bytes/vector vs 512 for the raw floats) and
+    aggregates on vec_id; original vectors are touched only for
+    |queries|·rerank_pool rerank rows."""
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    spark = df.sparkSession
+    sub_d = dim // m
+    sample_n = max(sample_n, n_cells)
+    emb0 = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # one fused driver action: query vectors + the seeded hash sample
+    # (the IVF pattern — TakeOrdered heap survives inside the Union)
+    fused = (
+        emb0.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("leg", F.lit(0))
+        .unionByName(
+            emb0.orderBy(seed_hash_spark(seed), "vec_id")
+            .limit(sample_n)
+            .withColumn("leg", F.lit(1))
+        )
+        .collect()
+    )
+    import hashlib
+
+    def _seed_key(r):
+        h = hashlib.md5(
+            f"ivf|{seed}|{int(r['vec_id'])}".encode("utf-8")
+        ).hexdigest()[:15]
+        return (int(h, 16), int(r["vec_id"]))
+
+    sample_rows = sorted((r for r in fused if r["leg"] == 1), key=_seed_key)
+    smat = _np_quant(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    )
+    books = _pq_train(smat, m, n_cells, lloyd_iters)
+
+    # per-query ADC distance tables as a literal broadcast relation
+    by_id = {int(r["vec_id"]): r for r in fused if r["leg"] == 0}
+    qrows = [by_id[int(i)] for i in query_ids if int(i) in by_id]
+    tab_rows, qv_rows = [], []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        qq = _np_quant(qv[None, :])[0]
+        qv_rows.append((int(r["vec_id"]), list(r["v"])))
+        for s in range(m):
+            ids, cmat = books[s]
+            qs = qq[s * sub_d : (s + 1) * sub_d]
+            d2 = ((cmat - qs) ** 2).sum(axis=1)
+            tab_rows += [
+                (int(r["vec_id"]), s, int(ids[ci]), int(d2[ci]))
+                for ci in range(len(ids))
+            ]
+    qtab = F.broadcast(
+        spark.createDataFrame(
+            tab_rows, "qid bigint, sub bigint, cell bigint, qd2 bigint"
+        )
+    )
+    qvec = F.broadcast(
+        spark.createDataFrame(qv_rows, "qid bigint, qv array<double>")
+    )
+
+    codes = emb0.mapInPandas(
+        _pq_encode_kernel(books, m, sub_d),
+        "vec_id bigint, sub bigint, cell bigint",
+    )
+    adist = (
+        codes.join(qtab, ["sub", "cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adist"))
+    )
+    pool_win = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    pool = (
+        adist.withColumn("prnk", F.row_number().over(pool_win))
+        .filter(F.col("prnk") <= rerank_pool)
+        .select("qid", "vec_id")
+    )
+    rr = pool.join(emb0, "vec_id").join(qvec, "qid")
+    sim = F.round(
+        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        4,
+    )
+    final_win = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        rr.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(final_win))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -95,5 +95,7 @@ def test_gate_priority_orders_catalog():
         "resample_locf_daily", "bm25_search",
         # r07 new operators: bounded PageRank; SQ8-compressed ANN
         "near_dup_pagerank", "ann_sq8_rerank",
+        # r07 new operator: PQ-ADC compressed ANN (learned codebooks)
+        "ann_pq_adc",
     ):
         assert ordered.index(name) < 50, name

