@@ -209,3 +209,60 @@ def resample_locf_daily(spark, sf_dir):
         "n_obs",
         "is_gap",
     )
+
+
+@query(
+    "trailing_window_revenue",
+    """
+    WITH keyed AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 10 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_in_window
+    FROM keyed
+    """,
+    "Trailing 30-day revenue per customer — the RANGE-frame window "
+    "(value-range frames over event time: every order sees the sum and "
+    "count of that customer's orders in the preceding 30 days, "
+    "including same-day peers), the ML-feature-engineering staple the "
+    "ROWS-frame queries (running_revenue_per_customer) don't cover: a "
+    "RANGE frame is defined by the ORDER-BY VALUE distance, so ties "
+    "enter the frame together and the frame is a set, not a row "
+    "prefix. Time travels as integer epoch days on both engines "
+    "(identical frame boundaries); the set-sum is gated in exact "
+    "integer cents (a RANGE frame has no deterministic accumulation "
+    "order, so a float sum would be association-luck). Scale: one "
+    "customer-key shuffle; the frame evaluates with Spark's sliding "
+    "range-frame machinery, no self-join.",
+)
+def trailing_window_revenue(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keyed = orders.filter(F.col("o_custkey") % 10 == 0).select(
+        "o_custkey", "o_orderkey", d.alias("d"), cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return keyed.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("cents").over(w).alias("trailing_cents"),
+        F.count("*").over(w).alias("n_in_window"),
+    )

@@ -95,7 +95,7 @@ def test_gate_priority_orders_catalog():
         "resample_locf_daily", "bm25_search",
         # r07 new operators: bounded PageRank; SQ8-compressed ANN
         "near_dup_pagerank", "ann_sq8_rerank",
-        # r07 new operator: PQ-ADC compressed ANN (learned codebooks)
-        "ann_pq_adc",
+        # r07 new operators: PQ-ADC ANN; RANGE-frame trailing window
+        "ann_pq_adc", "trailing_window_revenue",
     ):
         assert ordered.index(name) < 50, name
