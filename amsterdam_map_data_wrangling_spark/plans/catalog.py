@@ -127,8 +127,9 @@ _GATE_PRIORITY: list[str] = [
     # (c) new registrations this round (each displaced one r05-green
     #     name from the front into the park below): the graduated r07
     #     queue (plans/features.py, plans/sparse.py, the two new
-    #     plans/dedup.py gates), the decontamination-removal gate, and
-    #     the PCM content-decode gate
+    #     plans/dedup.py gates) plus the round-7 operator additions
+    #     (decontamination, WAV-PCM + BMP content decodes, LOCF
+    #     resample, BM25, PageRank, SQ8 + PQ-ADC ANN, RANGE frame)
     "sparse_cosine_pairs",
     "sparse_cosine_topk",
     "bloom_vocab_overlap",
