@@ -234,3 +234,75 @@ def weighted_sample_per_group_gate(spark, sf_dir):
     return weighted_sample_per_group(
         documents, "source", "doc_id", "n_chars", k=4
     ).select("source", "doc_id")
+
+
+@query(
+    "ols_price_trend_by_priority",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority AS g,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(round(o_totalprice / 100) AS BIGINT) AS y
+      FROM orders
+    ), sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy
+      FROM pts GROUP BY g
+    )
+    SELECT g,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope_r,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept_r,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2_r
+    FROM sums ORDER BY g
+    """,
+    "Grouped closed-form OLS — per-priority linear trend of order value "
+    "over time (slope, intercept, R²) from the five classical sufficient "
+    "statistics (n, Σx, Σy, Σx², Σy², Σxy): THE distributed-regression "
+    "shape — one aggregation pass produces mergeable exact-integer "
+    "sums, the fit is driver-free arithmetic on five numbers per group. "
+    "Determinism discipline: x = epoch days (≤ 2404), y = hundred-"
+    "dollar units (≤ 5000), so every sufficient statistic is an exact "
+    "integer below 2^53; both engines then evaluate the IDENTICAL "
+    "formula over identical exact-valued doubles — each op correctly "
+    "rounded, so slope/intercept/R² are bit-equal before the rounding "
+    "(Spark's regr_slope/regr_* were deliberately NOT used: their "
+    "streaming-covariance accumulation is engine-specific). Scale: one "
+    "shuffle on the group key; the model side is 6 numbers per group "
+    "regardless of data size.",
+)
+def ols_price_trend_by_priority(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    y = F.round(F.col("o_totalprice") / 100).cast("long")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("g"), x.alias("x"), y.alias("y")
+    )
+    sums = pts.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    slope = num / denx
+    return sums.select(
+        "g",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 8).alias("slope_r"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
+        F.round((num * num) / (denx * (n * syy - sy * sy)), 8).alias("r2_r"),
+    ).orderBy("g")

@@ -559,3 +559,34 @@ def test_bmp_synthesizer_round_trips_through_independent_decoder(spark):
                 assert bgr[0] == (mid * 7 + x * 13 + y * 29) % 256
                 assert bgr[1] == (mid * 11 + x * 17 + y * 31) % 256
                 assert bgr[2] == (mid * 13 + x * 19 + y * 37) % 256
+
+
+def test_all_binary_parsers_reject_garbage_without_crashing():
+    """Fuzz: every header/content parser must return its reject value on
+    arbitrary and prefix-corrupted bytes, never raise — media columns at
+    100 TB WILL contain truncated and corrupt payloads. Deterministic
+    seed so the corpus is reproducible."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_bmp_pixel_stats,
+        _parse_image_dims,
+        _parse_mp4_mvhd,
+        _parse_wav_fmt,
+        _parse_wav_pcm_levels,
+    )
+
+    rng = random.Random(7)
+    prefixes = (
+        b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"BM",
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\x00\x00\x00\x10ftyp",
+    )
+    for _ in range(500):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        for pre in prefixes:
+            b = pre + body
+            _parse_wav_pcm_levels(b)
+            _parse_bmp_pixel_stats(b)
+            _parse_image_dims(b)
+            _parse_wav_fmt(b)
+            _parse_mp4_mvhd(b)
