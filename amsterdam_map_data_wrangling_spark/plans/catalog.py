@@ -150,6 +150,7 @@ _GATE_PRIORITY: list[str] = [
     "ann_pq_adc",
     "trailing_window_revenue",
     "ols_price_trend_by_priority",
+    "incremental_dedup_stats",
     # (d) the r05-green tail, oldest-registered first; the front holds
     #     as many as fit after (a)-(c):
     "multimodal_dims",
@@ -170,12 +171,12 @@ _GATE_PRIORITY: list[str] = [
     "sketch_value_quantiles",
     "salted_join_hot_customer",
     "dedup_exact_groups",
-    "dedup_minhash_portable",
     # ---- window boundary (slot 50) ----
     # (e) the parked r05-green tail: UNCHANGED code, r05 verdicts age to
     #     3 rounds under the bounded (N - 100) allowance, first in line
     #     for r08's front. Growth note: each new registration above
     #     moves the last front name here, keeping front == 50.
+    "dedup_minhash_portable",
     "dedup_simhash_portable",
     "frame_sample_stats",
     "pricing_summary",

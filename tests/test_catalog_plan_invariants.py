@@ -30,6 +30,7 @@ BNLJ_WHITELIST = {
     "bm25_search",  # broadcast 1-row (n_docs, n_toks) statistics stitch
     "near_dup_pagerank",  # broadcast 1-row node-count teleport stitch
     "ann_sq8_rerank",  # tiny broadcast query-code set vs corpus scoring
+    "incremental_dedup_stats",  # three 1-row census aggregates → one row
 }
 
 #: the deliberate row-Python surface gates; everything else must stay

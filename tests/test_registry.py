@@ -97,7 +97,7 @@ def test_gate_priority_orders_catalog():
         "near_dup_pagerank", "ann_sq8_rerank",
         # r07 new operators: PQ-ADC ANN; RANGE-frame trailing window
         "ann_pq_adc", "trailing_window_revenue",
-        # r07 new operator: grouped closed-form OLS
-        "ols_price_trend_by_priority",
+        # r07 new operators: grouped OLS; incremental-ingestion dedup
+        "ols_price_trend_by_priority", "incremental_dedup_stats",
     ):
         assert ordered.index(name) < 50, name
