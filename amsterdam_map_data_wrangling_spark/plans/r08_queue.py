@@ -130,3 +130,138 @@ QUEUE = {
     "dataset_split_stats": (split_build, SPLIT_ORACLE),
     "embedding_label_centroids": (centroid_build, CENTROID_ORACLE),
 }
+
+
+def _recall_curve_oracle() -> str:
+    """Composed DuckDB replay: the portable MinHash→LSH candidate
+    relation (the dedup_minhash_portable_pairs algebra over a smaller
+    1-in-20 corpus) LEFT-joined under the exact w=3 Jaccard pair
+    relation, rolled up to (threshold, n_exact, n_recalled) — the
+    recall curve that turns the pytest-only recall property into a
+    value-gated artifact."""
+    k, bands = 8, 4
+    r = k // bands
+    sig_mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(
+            zip((7, 13, 31, 67, 127, 257, 521, 1031),
+                (3, 5, 11, 17, 23, 41, 83, 163))
+        )
+        if i < k
+    )
+    band_cases = " ".join(
+        "WHEN {idx} THEN {concat}".format(
+            idx=b,
+            concat=" || '|' || ".join(
+                f"h{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    ), toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM corpus
+    ), sh AS (
+      SELECT DISTINCT id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM toks, unnest(range(1, len(l) - 1)) AS r(i)
+      WHERE len(l) >= 3
+    ), hashed AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+      FROM sh
+    ), sig AS (
+      SELECT id,
+           {sig_mins}
+      FROM hashed GROUP BY id
+    ), banded AS (
+      SELECT id, {", ".join(f"h{i}" for i in range(k))}, band_idx,
+             ('0x' || substr(md5(CASE band_idx {band_cases} END), 1, 15))::BIGINT
+               AS band_hash
+      FROM sig, (VALUES {", ".join(f"({b})" for b in range(bands))}) bi(band_idx)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx
+                   AND a.band_hash = b.band_hash
+                   AND a.id < b.id
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), exact AS (
+      SELECT id_a, id_b,
+             round(CAST(n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), flagged AS (
+      SELECT e.jac,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN cand c
+        ON c.id_a = e.id_a AND c.id_b = e.id_b
+    )
+    SELECT t.tp, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_recalled
+    FROM flagged, (VALUES (30), (50), (70)) t(tp)
+    WHERE jac >= t.tp / 100.0
+    GROUP BY t.tp
+"""
+
+
+def recall_curve_build(spark, sf_dir):
+    """LSH recall curve: exact w=3 Jaccard pairs vs the portable
+    MinHash banding candidates on the same corpus, rolled up per
+    threshold — turns the suite's recall PROPERTY into a value-gated
+    driver artifact. Scale: both relations are the already-bounded
+    blocking outputs; the rollup is a 3-row threshold fan-out."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") % 20 == 0)
+    corpus = subset.unionByName(
+        subset.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).localCheckpoint(eager=False)  # feeds candidates AND exact pairs
+    cand = lsh_candidate_pairs(
+        minhash_signatures_portable(shingles(corpus, "doc_id", "text", 3), 8),
+        k=8,
+        bands=4,
+        portable=True,
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    exact = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", w=3, threshold=0.3, df_cap=50
+    )
+    thresholds = documents.sparkSession.createDataFrame(
+        [(30,), (50,), (70,)], "tp int"
+    )
+    flagged = exact.join(cand, ["id_a", "id_b"], "left").select(
+        "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("jaccard") >= F.col("tp") / 100.0)
+        .groupBy("tp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_recalled"),
+        )
+    )
+
+
+QUEUE["minhash_recall_curve"] = (recall_curve_build, _recall_curve_oracle())
