@@ -265,3 +265,97 @@ def recall_curve_build(spark, sf_dir):
 
 
 QUEUE["minhash_recall_curve"] = (recall_curve_build, _recall_curve_oracle())
+
+
+#: cluster-SIZE distribution of the near-dup graph — the dedup QA
+#: rollup on top of connected components ("how big do duplicate groups
+#: get" decides salting/keep policies before a 100 TB run); singleton
+#: documents (no near-dup edge) are counted explicitly so the histogram
+#: covers the whole corpus, not just the edge-touched minority.
+CLUSTER_HIST_ORACLE = (
+    "WITH RECURSIVE toks AS ("
+    r"""
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                  || ' ' || l[i+4] AS shingle
+      FROM toks, unnest(range(1, len(l) - 3)) AS r(i)
+      WHERE len(l) >= 5
+    ), rare AS (
+      SELECT id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= 50)
+    ), sizes AS (SELECT id, COUNT(*) AS n_sh FROM rare GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    ), csz AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id
+    ), hist AS (
+      SELECT sz, COUNT(*) AS n_clusters FROM csz GROUP BY sz
+      UNION ALL
+      SELECT 1 AS sz,
+             (SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(*) FROM comp) AS n_clusters
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+    FROM hist GROUP BY sz
+"""
+)
+
+
+def cluster_hist_build(spark, sf_dir):
+    """Cluster-size histogram over the near-dup components, singletons
+    included: composes connected_components with two rollups — the
+    report that sizes the keep-canonical stage. Scale: both rollups run
+    on the component relation (|edge-touched docs| rows); the singleton
+    count is corpus_count − component_count, two scalars."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    )
+    comp = connected_components(pairs).localCheckpoint(eager=False)
+    csz = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = csz.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+    singles = (
+        documents.agg(F.count("*").alias("n_docs"))
+        .crossJoin(comp.agg(F.count("*").alias("n_comp")))
+        .select(
+            F.lit(1).cast("bigint").alias("sz"),
+            (F.col("n_docs") - F.col("n_comp")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("sz")
+        .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters"
+        )
+    )
+
+
+QUEUE["dedup_cluster_size_hist"] = (cluster_hist_build, CLUSTER_HIST_ORACLE)
