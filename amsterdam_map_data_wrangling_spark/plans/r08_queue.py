@@ -359,3 +359,46 @@ def cluster_hist_build(spark, sf_dir):
 
 
 QUEUE["dedup_cluster_size_hist"] = (cluster_hist_build, CLUSTER_HIST_ORACLE)
+
+
+#: first-order event-transition counts — the Markov-chain feature
+#: builder for behavioral sequences (and the input to transition-matrix
+#: anomaly checks); within-user ordering pinned by the catalog's total
+#: (ts, event_id) order so lag() is deterministic on both engines.
+TRANSITION_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+"""
+
+
+def transition_build(spark, sf_dir):
+    """First-order transition counts between consecutive events per
+    user: one lag() window over the (ts, event_id) total order, one
+    (prev, next) aggregation. Scale: one user-key shuffle for the
+    window; the output is |event_types|² rows regardless of data."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+QUEUE["event_transition_counts"] = (transition_build, TRANSITION_ORACLE)
