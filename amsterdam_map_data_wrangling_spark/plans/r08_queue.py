@@ -402,3 +402,232 @@ def transition_build(spark, sf_dir):
 
 
 QUEUE["event_transition_counts"] = (transition_build, TRANSITION_ORACLE)
+
+
+#: SCD2 (slowly-changing-dimension, type 2) build from the event log:
+#: every event opens a validity interval on its user's "current state"
+#: and the next event (ts, event_id order) closes it — lead() IS the
+#: valid_to assignment. Durations in EXACT integer microseconds
+#: (unix_micros / epoch_us, the gap_sessionization idiom) so every sum
+#: is order-free.
+SCD2_ORACLE = """
+    WITH h AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN next_us IS NOT NULL THEN next_us - us
+                         ELSE 0 END) AS BIGINT) AS total_state_us
+    FROM h GROUP BY event_type
+"""
+
+
+def scd2_build(spark, sf_dir):
+    """SCD2 dimension build: each event opens a per-user state interval,
+    closed by the user's next event (valid_to = lead(ts)); open
+    intervals are the is_current rows. Audited per state: interval
+    count, open count, total dwell time. Scale: ONE user_id shuffle for
+    the lead() window, then a per-state partial agg — the standard
+    change-capture → dimension shape, no state store needed in batch."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    h = events.select(
+        "event_type",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    return h.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(F.when(F.col("next_us").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("next_us").isNotNull(),
+                F.col("next_us") - F.col("us"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("total_state_us"),
+    )
+
+
+QUEUE["scd2_state_durations"] = (scd2_build, SCD2_ORACLE)
+
+
+#: weekly cohort-retention matrix — cohort = the user's first active
+#: week (Monday-truncated, both engines); cell = distinct users of that
+#: cohort active N weeks later. Pure integer arithmetic: week deltas
+#: are exact epoch-day differences divided by 7 (both week-starts are
+#: Mondays, so the quotient is exact).
+COHORT_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                  AS BIGINT) AS days_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, days_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_day, days_since
+"""
+
+
+def cohort_build(spark, sf_dir):
+    """Daily cohort-retention matrix: users bucketed by first-active
+    day; each cell counts the cohort's distinct users active N days on.
+    The growth-analytics staple, in pure integer day arithmetic (UTC
+    date casts on both engines). Scale: one user_id agg for the cohort
+    assignment, one equi-join back (AQE broadcasts the |users|-row side
+    when small, shuffles when not), one DISTINCT — output is |cohort
+    days| x |day offsets|, constant in corpus size."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = (
+        events.select("user_id", day.alias("d"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("days_since"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "days_since").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    ).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "days_since",
+        "n_users",
+    )
+
+
+QUEUE["cohort_retention"] = (cohort_build, COHORT_ORACLE)
+
+
+#: Kolmogorov–Smirnov drift statistic between the hash-split train and
+#: holdout n_chars distributions, computed EXACTLY: D = max |ECDF_a -
+#: ECDF_b| evaluated on distinct values, carried as the integer
+#: numerator |cum_a*n_b - cum_b*n_a| until one final correctly-rounded
+#: division. The train/test leakage + drift check every dataset release
+#: should run.
+KS_ORACLE = """
+    WITH keyed AS (
+      SELECT n_chars,
+             CASE WHEN ('0x' || substr(md5('split|spark-graft|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ), cnt AS (
+      SELECT n_chars, SUM(is_train) AS ca, SUM(1 - is_train) AS cb
+      FROM keyed GROUP BY n_chars
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY n_chars) AS cuma,
+             SUM(cb) OVER (ORDER BY n_chars) AS cumb
+      FROM cnt
+    ), tot AS (
+      SELECT CAST(SUM(is_train) AS BIGINT) AS na,
+             CAST(SUM(1 - is_train) AS BIGINT) AS nb
+      FROM keyed
+    )
+    SELECT t.na AS n_train, t.nb AS n_holdout,
+           CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
+             AS d_num,
+           round(CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
+                 / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d
+    FROM cum c, tot t GROUP BY t.na, t.nb
+"""
+
+
+def ks_build(spark, sf_dir):
+    """Exact two-sample KS statistic between the deterministic train
+    split and its holdout, on the n_chars distribution. ECDFs only step
+    at sample points, so evaluating on distinct values is exact; the
+    statistic stays an integer (|cum_a*n_b - cum_b*n_a|) until the last
+    division. Scale: the cumulative window runs on the DISTINCT-VALUE
+    relation (bounded domain, not corpus rows) — the single-partition
+    window is over |distinct n_chars| rows only; everything upstream is
+    one narrow map + one value agg."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("split"),
+                        F.lit("spark-graft"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keyed = documents.select(
+        "n_chars",
+        F.when(bucket < 80, 1).otherwise(0).alias("is_train"),
+    )
+    cnt = keyed.groupBy("n_chars").agg(
+        F.sum("is_train").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_train")).alias("cb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    tot = keyed.agg(
+        F.sum("is_train").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("is_train")).cast("bigint").alias("nb"),
+    )
+    d = cum.crossJoin(tot).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("absdiff"),
+    )
+    return d.groupBy("na", "nb").agg(
+        F.max("absdiff").cast("bigint").alias("d_num")
+    ).select(
+        F.col("na").alias("n_train"),
+        F.col("nb").alias("n_holdout"),
+        "d_num",
+        F.round(
+            F.col("d_num")
+            / (F.col("na").cast("double") * F.col("nb")),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+QUEUE["ks_split_drift"] = (ks_build, KS_ORACLE)
