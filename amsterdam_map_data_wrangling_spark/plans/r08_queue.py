@@ -631,3 +631,217 @@ def ks_build(spark, sf_dir):
 
 
 QUEUE["ks_split_drift"] = (ks_build, KS_ORACLE)
+
+
+#: chi-square independence audit of event_type x ISO weekday — per-cell
+#: observed/expected/contribution. Every input to the float math is an
+#: exact integer, and the float path is exclusively IEEE basic ops
+#: (one division for e, sub/mul/div for the contribution — NO pow(), no
+#: libm transcendentals), so both engines emit bit-identical doubles.
+#: Weekday via Spark weekday(date) == DuckDB isodow(date) - 1 (Monday=0)
+#: on UTC-cast dates.
+CHI2_ORACLE = """
+    WITH base AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) - 1 AS wd FROM events
+    ), o AS (
+      SELECT event_type, wd, COUNT(*) AS n FROM base GROUP BY event_type, wd
+    ), r AS (
+      SELECT event_type, COUNT(*) AS n_row FROM base GROUP BY event_type
+    ), c AS (
+      SELECT wd, COUNT(*) AS n_col FROM base GROUP BY wd
+    ), t AS (SELECT COUNT(*) AS n_total FROM base)
+    SELECT o.event_type, CAST(o.wd AS BIGINT) AS weekday,
+           CAST(o.n AS BIGINT) AS n_obs,
+           round(CAST(r.n_row * c.n_col AS DOUBLE) / t.n_total, 6)
+             AS expected_r,
+           round(((o.n - CAST(r.n_row * c.n_col AS DOUBLE) / t.n_total)
+                  * (o.n - CAST(r.n_row * c.n_col AS DOUBLE) / t.n_total))
+                 / (CAST(r.n_row * c.n_col AS DOUBLE) / t.n_total), 6)
+             AS chi2_term_r
+    FROM o
+    JOIN r ON o.event_type = r.event_type
+    JOIN c ON o.wd = c.wd
+    CROSS JOIN t
+"""
+
+
+def chi2_build(spark, sf_dir):
+    """Chi-square independence audit (event_type x weekday): per-cell
+    observed count, expected count under independence, and the cell's
+    chi2 contribution — the data-quality check for 'is activity mix
+    stable across the week'. Exact-int margins; float path is IEEE
+    basic ops only (no pow/ln), so cross-engine bit-stable. Scale: one
+    pass builds all four margins (cells, rows, cols, total are
+    aggregations of the same narrow projection); the joins stitch
+    |types| x 7 rows — broadcast territory by construction."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", F.weekday(F.col("ts").cast("date")).alias("wd")
+    )
+    o = base.groupBy("event_type", "wd").agg(F.count("*").alias("n"))
+    r = base.groupBy("event_type").agg(F.count("*").alias("n_row"))
+    c = base.groupBy("wd").agg(F.count("*").alias("n_col"))
+    t = base.agg(F.count("*").alias("n_total"))
+    e = (F.col("n_row") * F.col("n_col")).cast("double") / F.col("n_total")
+    d = F.col("n") - e
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "wd")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("wd").cast("bigint").alias("weekday"),
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(e, 6).alias("expected_r"),
+            F.round((d * d) / e, 6).alias("chi2_term_r"),
+        )
+    )
+
+
+QUEUE["chi2_type_weekday"] = (chi2_build, CHI2_ORACLE)
+
+
+#: pairwise vocabulary Jaccard between sources — corpus-mix comparison
+#: on EXACT distinct-token sets (the catalog's whitespace tokenization);
+#: the only float is one division of exact integers.
+VOCAB_JACCARD_ORACLE = r"""
+    WITH toks AS (
+      SELECT DISTINCT source, unnest(string_split_regex(trim(text),
+                                     '\s+')) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT source, COUNT(*) AS nv FROM toks GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ninter
+      FROM toks a JOIN toks b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.nv AS BIGINT) AS n_vocab_a,
+           CAST(sb.nv AS BIGINT) AS n_vocab_b,
+           CAST(i.ninter AS BIGINT) AS n_shared,
+           round(CAST(i.ninter AS BIGINT)
+                 / CAST(sa.nv + sb.nv - i.ninter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
+def vocab_jaccard_build(spark, sf_dir):
+    """Pairwise vocabulary overlap (exact Jaccard on distinct-token
+    sets) between sources — the corpus-mix diff for dataset curation
+    ('how much does crawl A's vocabulary overlap crawl B's?'). Scale:
+    vocab grows sublinearly in corpus size (Heaps' law) so the distinct
+    (source, term) relation is the small derived set; the term
+    self-join is bounded by |sources| per term bucket and never touches
+    document text. Pairs with zero shared vocabulary drop out (inner
+    join) on both engines."""
+    from amsterdam_map_data_wrangling_spark.functions.text import tokens
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = (
+        documents.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = toks.groupBy("source").agg(F.count("*").alias("nv"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("nv").alias("nva")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("nv").alias("nvb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("nva").cast("bigint").alias("n_vocab_a"),
+            F.col("nvb").cast("bigint").alias("n_vocab_b"),
+            F.col("ninter").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("ninter").cast("bigint")
+                / (F.col("nva") + F.col("nvb") - F.col("ninter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUEUE["vocab_jaccard_sources"] = (vocab_jaccard_build, VOCAB_JACCARD_ORACLE)
+
+
+#: equal-frequency (decile) binning of event values per type — the
+#: feature-quantization staple. ntile() is identical standard SQL on
+#: both engines; bin min/max are raw stored doubles (NO arithmetic), so
+#: the gate is float-exact by construction. Tie-break (value, event_id)
+#: makes the assignment a total order.
+DECILE_ORACLE = """
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM binned GROUP BY event_type, decile
+"""
+
+
+def decile_build(spark, sf_dir):
+    """Equal-frequency decile binning per event_type (feature
+    quantization): ntile(10) over the (value, event_id) total order,
+    then per-bin count and raw min/max boundaries — no float
+    arithmetic at all, so the bin edges are bit-exact. Scale: one
+    event_type shuffle shared by the window and the aggregation;
+    at 100 TB swap ntile for approx-percentile cut points (the sketch
+    family) — this exact form is the small-dim / per-group path."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = events.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).select(
+        "event_type",
+        F.col("decile").cast("bigint").alias("decile"),
+        "n",
+        "lo",
+        "hi",
+    )
+
+
+QUEUE["equal_freq_deciles"] = (decile_build, DECILE_ORACLE)
