@@ -845,3 +845,225 @@ def decile_build(spark, sf_dir):
 
 
 QUEUE["equal_freq_deciles"] = (decile_build, DECILE_ORACLE)
+
+
+#: lag-1 SPEARMAN autocorrelation of daily order revenue — rank form
+#: chosen over Pearson deliberately: ranks are bounded by the calendar
+#: (|days| stays ~2.4k at ANY scale factor), so every intermediate is
+#: an exact small integer and the statistic cannot drift when raw
+#: day-revenue magnitudes blow past 2^53 at 100 TB. rho = 1 -
+#: 6*sum(d^2)/(n*(n^2-1)), ties broken by date (documented total order).
+SPEARMAN_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ), pairs AS (
+      SELECT day, cents AS x,
+             lead(cents) OVER (ORDER BY day) AS y
+      FROM daily
+    ), p AS (SELECT day, x, y FROM pairs WHERE y IS NOT NULL
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY x, day) AS rx,
+             row_number() OVER (ORDER BY y, day) AS ry
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           round(1.0 - CAST(6 * SUM((rx - ry) * (rx - ry)) AS BIGINT)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (COUNT(*) * COUNT(*) - 1)), 6) AS spearman_rho
+    FROM ranked
+"""
+
+
+def spearman_build(spark, sf_dir):
+    """Lag-1 Spearman autocorrelation of the daily revenue series —
+    'does a strong day predict the next?' in rank space. Rank form is
+    the scale-proof choice: day count is calendar-bounded, so ranks and
+    d^2 sums stay exact BIGINTs at any corpus size, where Pearson's raw
+    sum-of-squares would leave 2^53 and pick up engine-ordered rounding.
+    Scale: the day aggregation is the only data-sized shuffle; the
+    lead/rank windows run on the |days|-row relation (bounded domain,
+    single partition by construction)."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wd = Window.orderBy("day")
+    p = (
+        daily.select(
+            "day",
+            F.col("cents").alias("x"),
+            F.lead("cents").over(wd).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    ranked = p.select(
+        F.row_number().over(Window.orderBy("x", "day")).alias("rx"),
+        F.row_number().over(Window.orderBy("y", "day")).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n_pairs",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6) * F.col("sum_d2")).cast("bigint")
+            / (
+                F.col("n_pairs").cast("double")
+                * (F.col("n_pairs") * F.col("n_pairs") - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+QUEUE["spearman_autocorr_daily_revenue"] = (spearman_build, SPEARMAN_ORACLE)
+
+
+#: min-max feature scaling audit — per event_type quartile-bin counts of
+#: the scaled value. The scaled value is (v - min)/(max - min): IEEE
+#: sub/sub/div on identical stored doubles → bit-identical on both
+#: engines; binning is floor(scaled*4) clamped to 3 (the scaled max
+#: lands exactly on 1.0).
+MINMAX_ORACLE = """
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    ), scaled AS (
+      SELECT e.event_type, s.mn, s.mx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(CAST(floor((e.value - s.mn) / (s.mx - s.mn)
+                                        * 4) AS BIGINT), 3)
+             END AS bin
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS quartile_bin,
+           CAST(COUNT(*) AS BIGINT) AS n, mn, mx
+    FROM scaled GROUP BY event_type, bin, mn, mx
+"""
+
+
+def minmax_build(spark, sf_dir):
+    """Min-max scaling audit per event_type: scale value to [0,1] with
+    the group's own min/max (broadcast back), count rows per quartile of
+    the scaled range, and carry the raw fit parameters (mn, mx — stored
+    doubles, no arithmetic). The feature-scaling staple plus its skew
+    report (uniform value -> ~equal bins; heavy tail -> bin 0 bulge).
+    Degenerate groups (mx = mn) pin to bin 0 instead of dividing by
+    zero. Scale: one tiny per-group stats agg broadcast back onto a
+    narrow map — the value column shuffles once for the final count."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    scaled = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 4
+                ).cast("long"),
+                F.lit(3).cast("long"),
+            )
+        )
+        .alias("bin"),
+    )
+    return scaled.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(
+        "event_type",
+        F.col("bin").cast("bigint").alias("quartile_bin"),
+        "n",
+        "mn",
+        "mx",
+    )
+
+
+QUEUE["minmax_scale_bins"] = (minmax_build, MINMAX_ORACLE)
+
+
+#: per-source token-diversity profile. Simpson concentration (sum c^2 /
+#: N^2) is chosen over Shannon entropy DELIBERATELY: it is a pure
+#: exact-integer statistic (no ln(), whose last-ulp libm differences the
+#: catalog documents avoiding), with the same curation signal —
+#: boilerplate-heavy sources concentrate, diverse sources spread.
+DIVERSITY_ORACLE = r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), tc AS (
+      SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           round(CAST(COUNT(*) AS BIGINT)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio,
+           round(CAST(SUM(c * c) AS BIGINT)
+                 / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6)
+             AS simpson_concentration
+    FROM tc GROUP BY source
+"""
+
+
+def diversity_build(spark, sf_dir):
+    """Token-diversity profile per source: token count, vocabulary
+    size, type-token ratio, and Simpson concentration (the probability
+    two random tokens coincide — the log-free diversity index; its
+    reciprocal is the 'effective vocabulary'). Scale: one (source,
+    term) aggregation then a per-source rollup — vocabulary is the
+    small Heaps-law relation; at extreme scale the c^2 of a 1e12-count
+    stopword would need decimal widening, which the docstring flags
+    rather than hides."""
+    from amsterdam_map_data_wrangling_spark.functions.text import tokens
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tc = (
+        documents.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        "sum_c2",
+        F.round(
+            F.col("n_vocab") / F.col("n_tokens").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("sum_c2")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+            6,
+        ).alias("simpson_concentration"),
+    )
+
+
+QUEUE["token_diversity_by_source"] = (diversity_build, DIVERSITY_ORACLE)
