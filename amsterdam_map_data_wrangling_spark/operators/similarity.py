@@ -982,3 +982,88 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of every vector against
+    its corpus's OWN per-label centroids — the pseudo-labeling /
+    label-noise audit: the confusion between given and predicted labels
+    measures class separation in embedding space.
+
+    Engine-exact by the IVF family's contract (:func:`ivf_topk`):
+    components quantize to ints (``floor(x·1000 + 0.5)``), per-label
+    centroids are exact int64 component SUMS — never divided into float
+    means (cosine is scale-invariant) — and similarity derives from
+    exact-integer dots and norms, so numpy, Spark, and DuckDB compare
+    bit-identical doubles; ties take the lowest label (ascending
+    centroid order + argmax-first-max, :func:`_np_cents`).
+
+    Scale: the centroid relation is ONE (label, dim) aggregation —
+    |labels|·dim rows collected to the driver (bounded, corpus-
+    independent) — and classification is the zero-shuffle
+    :func:`_assign_kernel`-style Arrow/numpy pass: O(|labels|·dim) task
+    state, no join, no shuffle of the embedding column. Returns
+    (id, label, pred_label)."""
+    import numpy as np
+
+    emb0 = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent_rows = (
+        emb0.select(
+            "label",
+            F.posexplode(F.col("v")).alias("i", "x"),
+        )
+        .select(
+            "label",
+            "i",
+            F.floor(F.col("x") * _QUANT_SCALE + 0.5).cast("long").alias("q"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("q").alias("s"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["i"])] = int(r["s"])
+    dim = max(max(d) for d in by_label.values()) + 1
+    cents = _np_cents(
+        (
+            lab,
+            np.array([comps.get(i, 0) for i in range(dim)], dtype=np.int64),
+            int(
+                np.array([comps.get(i, 0) for i in range(dim)], dtype=np.int64)
+                @ np.array([comps.get(i, 0) for i in range(dim)], dtype=np.int64)
+            ),
+        )
+        for lab, comps in by_label.items()
+    )
+    cids, cmat, csn = _cent_arrays(cents)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            best = _np_best(_np_quant(vmat), cmat, csn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "pred_label": cids[best],
+                }
+            )
+
+    return emb0.mapInPandas(
+        gen, "vec_id bigint, label int, pred_label bigint"
+    )

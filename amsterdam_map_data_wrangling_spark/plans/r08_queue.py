@@ -1067,3 +1067,249 @@ def diversity_build(spark, sf_dir):
 
 
 QUEUE["token_diversity_by_source"] = (diversity_build, DIVERSITY_ORACLE)
+
+
+#: nearest-centroid (Rocchio) confusion matrix — label vs predicted
+#: label under the corpus's own per-label centroids. The whole chain is
+#: the IVF family's engine-exact contract: int-quantized components,
+#: int64 SUM centroids (cosine is scale-invariant, so never divided),
+#: exact-integer dots/norms, one sqrt+mul+div of IEEE doubles; ties to
+#: the lowest label on both engines.
+CONFUSION_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT vec_id, label, d.i,
+             CAST(floor(v[d.i] * 1000 + 0.5) AS BIGINT) AS q
+      FROM e, unnest(range(1, 65)) AS d(i)
+    ), cent AS (
+      SELECT label AS c_label, i, CAST(SUM(q) AS BIGINT) AS s
+      FROM comp GROUP BY label, i
+    ), cn AS (
+      SELECT c_label, CAST(SUM(s * s) AS BIGINT) AS n2
+      FROM cent GROUP BY c_label
+    ), qn AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS qn2
+      FROM comp GROUP BY vec_id
+    ), dots AS (
+      SELECT c.vec_id, c.label AS true_label, t.c_label,
+             CAST(SUM(c.q * t.s) AS BIGINT) AS idot
+      FROM comp c JOIN cent t ON c.i = t.i
+      GROUP BY c.vec_id, c.label, t.c_label
+    ), scored AS (
+      SELECT d.vec_id, d.true_label, d.c_label,
+             CAST(d.idot AS DOUBLE)
+               / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+               AS sim
+      FROM dots d
+      JOIN qn q ON d.vec_id = q.vec_id
+      JOIN cn n ON d.c_label = n.c_label
+    ), pred AS (
+      SELECT vec_id, true_label, c_label AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c_label) AS rn
+      FROM scored
+    )
+    SELECT true_label, CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_label, pred_label
+"""
+
+
+def confusion_build(spark, sf_dir):
+    """Confusion matrix of nearest-centroid classification against the
+    given labels — class-separation / label-noise audit for the
+    embedding corpus (strong diagonal = separable classes). The Spark
+    side runs operators.similarity.nearest_centroid_classify: ONE
+    (label, dim) aggregation collects the bounded int64-sum centroids,
+    then a zero-shuffle Arrow/numpy pass classifies the corpus (no join
+    — the oracle's 64x comp-join formulation is the same arithmetic
+    relationally). Output is |labels|^2 cells max."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    labeled = nearest_centroid_classify(
+        embeddings, "vec_id", "embedding", "label"
+    )
+    return labeled.groupBy(
+        F.col("label").alias("true_label"), "pred_label"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+QUEUE["nearest_centroid_confusion"] = (confusion_build, CONFUSION_ORACLE)
+
+
+#: RFM customer segmentation on the orders table — recency in exact
+#: days vs the corpus's max order date, frequency as order count,
+#: monetary as exact integer cents; quartiles by ntile(4) under fully
+#: tie-broken total orders ((metric, custkey)), so the segment
+#: assignment is deterministic on both engines.
+RFM_ORACLE = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_day,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), anchored AS (
+      SELECT o_custkey,
+             date_diff('day', last_day,
+                       (SELECT MAX(o_orderdate) FROM orders)) AS rec_days,
+             freq, cents
+      FROM per_cust
+    ), scored AS (
+      SELECT ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+      FROM anchored
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_q, f_q, m_q
+"""
+
+
+def rfm_build(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation: per-customer
+    exact-integer metrics (days since last order vs the global max
+    date; order count; cents), quartiled by ntile(4) with custkey
+    tie-breaks, counted per segment cell (<= 64). Quartile 1 = best in
+    each dimension (most recent / most frequent / highest spend).
+    Scale: one custkey aggregation; the three ntile windows run on the
+    |customers| relation — at 100 TB swap ntile for approx-percentile
+    cut points, same downstream segment rollup."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("max_day"))
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("max_day"), F.col("last_day")).alias("rec_days"),
+        "freq",
+        "cents",
+    )
+    scored = anchored.select(
+        F.ntile(4)
+        .over(Window.orderBy("rec_days", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("cents"), "o_custkey"))
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    ).select(
+        F.col("r_q").cast("bigint").alias("r_q"),
+        F.col("f_q").cast("bigint").alias("f_q"),
+        F.col("m_q").cast("bigint").alias("m_q"),
+        "n_customers",
+    )
+
+
+QUEUE["rfm_segment_counts"] = (rfm_build, RFM_ORACLE)
+
+
+#: referential-integrity + validity audit of the star schema — one row
+#: per check, exact violation counts. The release gate every warehouse
+#: load should run before publishing.
+DQ_ORACLE = """
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'childless_orders',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orderless_customers',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+"""
+
+
+def dq_build(spark, sf_dir):
+    """Data-quality audit suite over the star schema: referential
+    integrity (orphan lineitems, childless orders, orderless customers
+    — LEFT ANTI joins) and validity invariants (non-positive
+    quantities, ship-before-order, discount range), one exact
+    count per check. Scale: each anti-join shuffles on its key (AQE
+    broadcasts the smaller side); the validity scans are
+    filter-pushdown counts; checks are independent jobs a scheduler
+    can run in parallel."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    lineitem, orders, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+
+    def one(name, df):
+        return df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    childless = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_anti"
+    )
+    orderless = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    nonpos = lineitem.filter(F.col("l_quantity") <= 0)
+    ship_bad = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    disc_bad = lineitem.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    )
+
+    return (
+        one("orphan_lineitems", orphan)
+        .unionByName(one("childless_orders", childless))
+        .unionByName(one("orderless_customers", orderless))
+        .unionByName(one("nonpositive_quantity", nonpos))
+        .unionByName(one("ship_before_order", ship_bad))
+        .unionByName(one("discount_out_of_range", disc_bad))
+    )
+
+
+QUEUE["dq_audit_star"] = (dq_build, DQ_ORACLE)
