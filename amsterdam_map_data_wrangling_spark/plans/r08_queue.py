@@ -272,7 +272,11 @@ QUEUE["minhash_recall_curve"] = (recall_curve_build, _recall_curve_oracle())
 #: get" decides salting/keep policies before a 100 TB run); singleton
 #: documents (no near-dup edge) are counted explicitly so the histogram
 #: covers the whole corpus, not just the edge-touched minority.
-CLUSTER_HIST_ORACLE = (
+#: shared candidate-pair CTE (df-capped 5-gram shingle blocking +
+#: exact Jaccard >= 0.5) — the oracle twin of
+#: operators.dedup.ngram_jaccard_pairs, reused by every graph-rollup
+#: gate in this queue.
+_NGRAM_PAIRS_CTE = (
     "WITH RECURSIVE toks AS ("
     r"""
       SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
@@ -296,7 +300,13 @@ CLUSTER_HIST_ORACLE = (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-    ), edges AS (
+    )"""
+)
+
+
+CLUSTER_HIST_ORACLE = (
+    _NGRAM_PAIRS_CTE
+    + """, edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
     ), walk(id, label) AS (
@@ -1313,3 +1323,170 @@ def dq_build(spark, sf_dir):
 
 
 QUEUE["dq_audit_star"] = (dq_build, DQ_ORACLE)
+
+
+#: degree distribution of the near-dup similarity graph — the skew
+#: report for pair-generating stages (a power-law tail says salt the
+#: bucket join before scaling up). Edge-touched nodes only (degree >= 1),
+#: documented on both engines.
+DEGREE_ORACLE = (
+    _NGRAM_PAIRS_CTE
+    + """, edges AS (
+      SELECT id_a AS src FROM pairs
+      UNION ALL SELECT id_b AS src FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+"""
+)
+
+
+def degree_hist_build(spark, sf_dir):
+    """Degree histogram of the near-dup pair graph: how many documents
+    participate in how many near-dup relations — the skew audit that
+    decides whether the downstream component/keep stages need salting.
+    Scale: degrees aggregate the PAIR relation (already df-capped and
+    never quadratic), two tiny rollups; the corpus text never moves."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    )
+    edges = pairs.select(F.col("id_a").alias("src")).unionByName(
+        pairs.select(F.col("id_b").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+
+
+QUEUE["neardup_degree_hist"] = (degree_hist_build, DEGREE_ORACLE)
+
+
+#: grid-bucketed spatial radius join — the distributed spatial-join
+#: shape (geohash/grid cell as the shuffle key, 3x3 neighborhood
+#: candidate join, exact refine). Coordinates are DETERMINISTIC
+#: synthetic integers from the portable md5 (the star schema carries no
+#: geometry; the harness pins the operator's arithmetic end-to-end),
+#: so every distance is an exact BIGINT and the gate is float-free.
+SPATIAL_ORACLE = """
+    WITH pts AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5('geo-x|spark-graft|'
+               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100000 AS x,
+             ('0x' || substr(md5('geo-y|spark-graft|'
+               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100000 AS y
+      FROM documents
+    ), cells AS (
+      SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy FROM pts
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM cells a
+      JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+    FROM cand WHERE dist2 <= 2000 * 2000
+"""
+
+
+def spatial_build(spark, sf_dir):
+    """Grid-bucketed radius join: all point pairs within r = 2000 of
+    each other, found by hashing points into r-sized grid cells and
+    joining each cell against its 3x3 neighborhood — candidates are
+    O(points per neighborhood), never the quadratic cross join, and
+    the exact integer-squared-distance refine runs only on candidates.
+    This is the canonical distributed spatial join (geohash bucketing);
+    the shuffle key is the cell id. The 3x3 window is exhaustive for
+    radius <= cell size: any pair within r differs by < 1 cell per
+    axis. Coordinates here are deterministic md5-derived integers (no
+    geometry in the star schema — the harness pins the plumbing)."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def coord(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(tag),
+                            F.lit("spark-graft"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        )
+
+    pts = documents.select(
+        F.col("doc_id").alias("id"),
+        coord("geo-x").alias("x"),
+        coord("geo-y").alias("y"),
+    ).select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / 2000).cast("long").alias("cx"),
+        F.floor(F.col("y") / 2000).cast("long").alias("cy"),
+    )
+    # The 3x3 neighborhood is joined as a pure EQUI join: side a
+    # explodes its 9 neighbor cell ids into the join key, so the
+    # candidate stage is a hash join on (cell_x, cell_y) — never a
+    # nested-loop range join (which is what a BETWEEN condition would
+    # plan to, and what the catalog's plan invariants forbid).
+    offs = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    a = pts.select("id", "x", "y", "cx", "cy", offs.alias("o")).select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dist2.cast("bigint").alias("dist2"),
+        )
+        .filter(F.col("dist2") <= 2000 * 2000)
+    )
+
+
+QUEUE["spatial_radius_pairs"] = (spatial_build, SPATIAL_ORACLE)
