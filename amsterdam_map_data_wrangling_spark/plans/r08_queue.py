@@ -1490,3 +1490,205 @@ def spatial_build(spark, sf_dir):
 
 
 QUEUE["spatial_radius_pairs"] = (spatial_build, SPATIAL_ORACLE)
+
+
+#: queue plans whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin — every one is a broadcast 1-row scalar
+#: stitch (the same intended-BNLJ class the catalog whitelists). COPY
+#: these into tests/test_catalog_plan_invariants.BNLJ_WHITELIST when
+#: registering at r08; tests/test_r08_queue.py enforces the invariant
+#: (with this whitelist) on the queue already.
+BNLJ_OK = {
+    "minhash_recall_curve",  # broadcast 1-row recall denominators stitch
+    "dedup_cluster_size_hist",  # corpus-count x component-count 1-row stitch
+    "ks_split_drift",  # broadcast 1-row (n_train, n_holdout) totals
+    "chi2_type_weekday",  # broadcast 1-row grand-total stitch
+    "rfm_segment_counts",  # broadcast 1-row global max order date
+}
+
+
+#: market-basket association rules over (user, day) baskets of event
+#: types — support / confidence / lift from exact integer counts; the
+#: float path is two/three staged correctly-rounded divisions, written
+#: in the SAME op order on both engines.
+BASKET_ORACLE = """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ), nb AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets
+      FROM baskets
+    ), item AS (
+      SELECT event_type, COUNT(*) AS n_item FROM baskets
+      GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             COUNT(*) AS n_pair
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           round(CAST(p.n_pair AS BIGINT)
+                 / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+           round(CAST(p.n_pair AS BIGINT)
+                 / CAST(ia.n_item AS DOUBLE), 6) AS confidence_a_b,
+           round((CAST(p.n_pair AS BIGINT) * CAST(nb.n_baskets AS DOUBLE))
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.item_a = ia.event_type
+    JOIN item ib ON p.item_b = ib.event_type
+    CROSS JOIN nb
+"""
+
+
+def basket_build(spark, sf_dir):
+    """Association-rule mining over (user, day) baskets: pairwise
+    support, confidence and lift between event types — the co-occurrence
+    analysis behind recommendations and anomaly rules. All counts exact
+    integers; lift = (n_pair·n_baskets)/(n_a·n_b) staged as int·double
+    product over double product, identical op order both engines.
+    Scale: baskets is one DISTINCT on (user, day, type); the pair join
+    is per-basket (bounded by |types|² per basket, never cross-corpus);
+    item/total margins broadcast back onto the |types|²-row result."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    baskets = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("item_a"), F.col("n_item").alias("na")
+    )
+    ib = item.select(
+        F.col("event_type").alias("item_b"), F.col("n_item").alias("nb_")
+    )
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb_").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_pair").cast("bigint")
+                / F.col("n_baskets").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("bigint")
+                / F.col("na").cast("double"),
+                6,
+            ).alias("confidence_a_b"),
+            F.round(
+                (
+                    F.col("n_pair").cast("bigint")
+                    * F.col("n_baskets").cast("double")
+                )
+                / (F.col("na").cast("double") * F.col("nb_")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+QUEUE["basket_lift_pairs"] = (basket_build, BASKET_ORACLE)
+
+
+#: sweep-line concurrency: maximum number of users simultaneously "in
+#: session" per day, from per-(user, day) activity intervals
+#: [first event, last event] in exact integer microseconds. Interval
+#: end points emit -1 BEFORE same-instant starts (+1) under the
+#: documented (us, delta, user_id) total order, so touching intervals
+#: never count as overlapping — identically on both engines.
+CONCURRENCY_ORACLE = """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), pts AS (
+      SELECT day, s_us AS us, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT day, e_us AS us, -1 AS delta, user_id FROM iv
+    ), swept AS (
+      SELECT day,
+             SUM(delta) OVER (
+               PARTITION BY day ORDER BY us, delta, user_id
+               ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY day
+"""
+
+
+def concurrency_build(spark, sf_dir):
+    """Peak concurrency per day (sweep line): each (user, day) activity
+    interval contributes +1 at its first event and -1 at its last; the
+    running sum under the (us, delta, user_id) total order peaks at the
+    day's maximum simultaneous users — capacity planning's favorite
+    query, in pure integer arithmetic. Scale: one (user, day) agg, then
+    the sweep window partitioned BY DAY (each day's point list is
+    bounded); no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min(us).alias("s_us"), F.max(us).alias("e_us"))
+    pts = iv.select(
+        "day", F.col("s_us").alias("us"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        iv.select(
+            "day",
+            F.col("e_us").alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = Window.partitionBy("day").orderBy("us", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = pts.select("day", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("max_concurrent")
+    ).select(F.col("day").cast("string").alias("day"), "max_concurrent")
+
+
+QUEUE["daily_peak_concurrency"] = (concurrency_build, CONCURRENCY_ORACLE)

@@ -32,3 +32,26 @@ def test_r08_queue_is_not_registered(spark):
             f"to the parked r05-green tail first; move it through "
             f"_GATE_PRIORITY (and the ORACLE_HASHES ledger) at r08"
         )
+
+
+def test_r08_queue_plans_free_of_scale_killers(spark):
+    """The catalog's plan invariants, applied to the queue BEFORE
+    registration: no cartesian products, no BNLJ outside the documented
+    1-row-stitch whitelist, no row-Python."""
+    from amsterdam_map_data_wrangling_spark.plans.r08_queue import BNLJ_OK
+
+    offenders: dict[str, list[str]] = {}
+    for name, (build, _oracle) in QUEUE.items():
+        plan = (
+            build(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.setdefault("CartesianProduct", []).append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.setdefault("BroadcastNestedLoopJoin", []).append(name)
+        if "BatchEvalPython" in plan:
+            offenders.setdefault("row-Python", []).append(name)
+    assert not offenders, f"scale-killers in queued plans: {offenders}"
