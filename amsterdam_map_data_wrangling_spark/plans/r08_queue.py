@@ -1504,6 +1504,8 @@ BNLJ_OK = {
     "ks_split_drift",  # broadcast 1-row (n_train, n_holdout) totals
     "chi2_type_weekday",  # broadcast 1-row grand-total stitch
     "rfm_segment_counts",  # broadcast 1-row global max order date
+    "basket_lift_pairs",  # broadcast 1-row basket-count stitch
+    "ab_test_zscore",  # broadcast 1-row above-average-threshold stitch
 }
 
 
@@ -1692,3 +1694,316 @@ def concurrency_build(spark, sf_dir):
 
 
 QUEUE["daily_peak_concurrency"] = (concurrency_build, CONCURRENCY_ORACLE)
+
+
+#: revenue concentration audit — Gini coefficient + top-10%/20% revenue
+#: shares over per-customer exact cents. Every numerator is an exact
+#: BIGINT (rank-weighted sums over the (cents, custkey) total order);
+#: the only floats are final single divisions.
+CONCENTRATION_ORACLE = """
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk_asc,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk_desc
+      FROM pc
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(rk_asc * cents) AS BIGINT) AS wsum
+      FROM ranked
+    ), tops AS (
+      SELECT CAST(SUM(CASE WHEN rk_desc <= n // 10 THEN cents
+                           ELSE 0 END) AS BIGINT) AS top10,
+             CAST(SUM(CASE WHEN rk_desc <= n // 5 THEN cents
+                           ELSE 0 END) AS BIGINT) AS top20
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT t.n AS n_customers, t.total AS total_cents,
+           round((2.0 * t.wsum) / (CAST(t.n AS DOUBLE) * t.total)
+                 - (CAST(t.n + 1 AS DOUBLE) / t.n), 6) AS gini,
+           round(CAST(p.top10 AS BIGINT) / CAST(t.total AS DOUBLE), 6)
+             AS top10_share,
+           round(CAST(p.top20 AS BIGINT) / CAST(t.total AS DOUBLE), 6)
+             AS top20_share
+    FROM tot t CROSS JOIN tops p
+"""
+
+
+def concentration_build(spark, sf_dir):
+    """Revenue concentration: Gini coefficient (rank-weighted form,
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted spend) plus
+    the Pareto top-10%/20% revenue shares — the inequality audit behind
+    'do 20% of customers drive 80% of revenue'. Exact-integer
+    numerators; final divisions only. Scale: one custkey agg, two rank
+    windows on the |customers| relation, three scalar stitches."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = pc.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("rk_asc"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "o_custkey"))
+        .alias("rk_desc"),
+    ).localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("rk_asc") * F.col("cents")).cast("bigint").alias("wsum"),
+    )
+    tops = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk_desc") <= F.floor(F.col("n") / 10),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top10"),
+            F.sum(
+                F.when(
+                    F.col("rk_desc") <= F.floor(F.col("n") / 5),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top20"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(tops)).select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.col("wsum"))
+            / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top10").cast("bigint") / F.col("total").cast("double"), 6
+        ).alias("top10_share"),
+        F.round(
+            F.col("top20").cast("bigint") / F.col("total").cast("double"), 6
+        ).alias("top20_share"),
+    )
+
+
+QUEUE["revenue_concentration"] = (concentration_build, CONCENTRATION_ORACLE)
+
+
+#: two-proportion A/B z-test on the deterministic hash split of USERS:
+#: conversion = user had a purchase event. Counts exact; the z
+#: statistic is a staged IEEE formula (divisions, one sqrt — no libm
+#: transcendentals), written in the identical op order on both engines.
+AB_TEST_ORACLE = """
+    WITH pc AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab|spark-graft|'
+                    || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purch
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_purch) AS BIGINT) AS total_purch
+      FROM pc
+    ), u AS (
+      SELECT arm,
+             CASE WHEN pc.n_purch * t.n_users > t.total_purch
+                  THEN 1 ELSE 0 END AS converted
+      FROM pc CROSS JOIN tot t
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_b
+      FROM u
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+                ELSE round((CAST(x_a AS DOUBLE) / n_a
+                            - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM agg
+"""
+
+
+def ab_test_build(spark, sf_dir):
+    """Two-proportion z-test between deterministic hash-assigned A/B
+    arms (conversion = ABOVE-AVERAGE purchaser, decided by the exact
+    cross-multiplied integer comparison n_purch·n_users > total_purch —
+    absolute thresholds saturate to p = 0 or 1 as events-per-user
+    scales with SF; a corpus-relative cut stays ~half at any scale,
+    float-free): the experimentation primitive,
+    with the same retry-stable assignment hash as the samplers. Counts
+    exact; z is the pooled-proportion formula in staged IEEE ops
+    (divide/sqrt only), identical on both engines; fully degenerate
+    splits (x = 0 or x = n) emit NULL rather than dividing by zero.
+    Scale: one user_id agg, a broadcast 1-row threshold stitch, a
+    1-row fold."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("ab"),
+                        F.lit("spark-graft"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    pc = events.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    )
+    tot = pc.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_purch").cast("bigint").alias("total_purch"),
+    )
+    u = pc.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.when(
+            F.col("n_purch") * F.col("n_users") > F.col("total_purch"), 1
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(F.col("x_a").cast("double") / F.col("n_a"), 6).alias("p_a"),
+        F.round(F.col("x_b").cast("double") / F.col("n_b"), 6).alias("p_b"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") == 0)
+            | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("x_a").cast("double") / F.col("n_a")
+                    - F.col("x_b").cast("double") / F.col("n_b")
+                )
+                / F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("z_score"),
+    )
+
+
+QUEUE["ab_test_zscore"] = (ab_test_build, AB_TEST_ORACLE)
+
+
+#: log2-bucketed inter-event gap histogram WITHOUT logs: the bucket is
+#: the binary-representation length of the exact microsecond gap
+#: (length(bin(gap)) = floor(log2(gap)) + 1, pure integer), sidestepping
+#: libm entirely — the burstiness profile of the event stream.
+GAP_HIST_ORACLE = """
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(length(bin(gap_us)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY length(bin(gap_us))
+"""
+
+
+def gap_hist_build(spark, sf_dir):
+    """Burstiness profile: per-user inter-event gaps (exact integer
+    microseconds) bucketed by binary magnitude — length(bin(gap)) IS
+    floor(log2)+1 without touching floating point, so the histogram is
+    libm-free by construction. Scale: one user_id window shuffle, one
+    bounded-domain aggregation (<= 64 buckets)."""
+    from pyspark.sql import Window
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy(
+        F.length(F.bin(F.col("gap_us"))).cast("bigint").alias("log2_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+QUEUE["gap_log2_hist"] = (gap_hist_build, GAP_HIST_ORACLE)
