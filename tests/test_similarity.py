@@ -290,3 +290,74 @@ def test_pq_adc_recall_vs_brute(spark):
     assert len(hits) >= 0.8 * len(brute), (len(hits), len(brute))
     for key in hits:
         assert pq[key] == brute[key]
+
+
+def test_nearest_centroid_classify_separable_and_tiebreak(spark):
+    """Clearly-separable clusters classify to their own label; a vector
+    equidistant from two identical centroids takes the LOWEST label
+    (ascending centroid order + argmax-first-max)."""
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    rows = [
+        # label 0 cluster: along +x
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9, 0.1]),
+        # label 1 cluster: along +y
+        (2, 1, [0.0, 1.0]),
+        (3, 1, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        r.vec_id: r.pred_label
+        for r in nearest_centroid_classify(
+            df, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    # tie: labels 5 and 7 have IDENTICAL centroids; every vector ties
+    # and must take the lower label.
+    tie_rows = [(0, 7, [1.0, 1.0]), (1, 5, [1.0, 1.0])]
+    tie = spark.createDataFrame(tie_rows, ["vec_id", "label", "embedding"])
+    preds = {
+        r.vec_id: r.pred_label
+        for r in nearest_centroid_classify(
+            tie, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    assert preds == {0: 5, 1: 5}
+
+
+def test_spatial_radius_pairs_matches_brute_force(spark):
+    """The 3x3-neighborhood grid equi-join is EXHAUSTIVE for radius <=
+    cell size: identical pair set to the O(n^2) brute-force filter on
+    the same deterministic coordinates."""
+    import hashlib
+
+    from amsterdam_map_data_wrangling_spark.plans.r08_queue import (
+        spatial_build,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.dist2
+        for r in spatial_build(spark, SF_ORACLE).collect()
+    }
+
+    def coord(tag, i):
+        h = hashlib.md5(f"{tag}|spark-graft|{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % 100000
+
+    pts = {
+        i: (coord("geo-x", i), coord("geo-y", i)) for i in range(500)
+    }
+    want = {}
+    ids = sorted(pts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= 2000 * 2000:
+                want[(a, b)] = d2
+    assert got == want
