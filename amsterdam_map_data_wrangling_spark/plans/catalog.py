@@ -102,6 +102,13 @@ def _load_all() -> None:
 #: stays satisfiable by construction. r08 recipe: front = the parked
 #: r05-green tail (their verdicts turn 3 rounds old — hard ceiling) +
 #: any changed-code queries, then the oldest r06-green queries.
+#: Round-7-close exact fill: the park holds 26 names and
+#: plans/r08_queue.py holds 24 validated pairs, so r08's front is
+#: exactly 26 + 24 = 50 with ZERO slack — register all 24, park the 50
+#: r06-greens (they re-gate at r09 at age 3, inside the then-current
+#: N − 100 = 150 − 100 = 50 allowance, which the 24 registrations grow
+#: to precisely the needed size). Do NOT add further registrations at
+#: r08 beyond the queue without dropping a queue pair to r09.
 _GATE_PRIORITY: list[str] = [
     # ---- round 7 rotation ----
     # (a) first-ever driver verdicts for the 5 queries that overflowed
