@@ -1506,6 +1506,7 @@ BNLJ_OK = {
     "rfm_segment_counts",  # broadcast 1-row global max order date
     "basket_lift_pairs",  # broadcast 1-row basket-count stitch
     "ab_test_zscore",  # broadcast 1-row above-average-threshold stitch
+    "revenue_concentration",  # two broadcast 1-row scalar stitches
 }
 
 
