@@ -902,3 +902,107 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_scd2_closed_intervals_match_batch(spark):
+    """Streaming SCD2 maintenance: summing the drained closed-interval
+    deltas per event_type must reproduce the batch SCD2 gate's closed
+    portion exactly — (n_intervals − n_open, total_state_us)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.scd2 import (
+        streaming_scd2_closed_intervals,
+    )
+    from amsterdam_map_data_wrangling_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stream = streaming_scd2_closed_intervals(
+        read_events_stream(spark, SF_ORACLE)
+    )
+    assert stream.isStreaming
+    (
+        stream.writeStream.format("memory")
+        .queryName("t_scd2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.event_type: (r.nc, r.cu)
+        for r in spark.table("t_scd2")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_closed").alias("nc"), F.sum("closed_us").alias("cu")
+        )
+        .collect()
+    }
+    events = load_tables(spark, SF_ORACLE, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    h = events.select(
+        "event_type",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    want = {
+        r.event_type: (r.nc, r.cu)
+        for r in h.groupBy("event_type")
+        .agg(
+            F.count("*").alias("nc"),
+            F.sum(F.col("next_us") - F.col("us")).alias("cu"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_scd2_handler_closes_boundary_interval_across_batches():
+    """Direct handler check of the cross-batch path: the interval left
+    open by batch 1 must close against batch 2's first event with the
+    CARRIED type and start time, and intra-batch disorder (multiple
+    unsorted Arrow chunks) must be repaired by the concat+sort."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.scd2 import _update_scd2
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    # batch 1: two chunks delivered OUT of time order
+    b1a = pd.DataFrame({"us": [2_000_000], "event_id": [2],
+                        "event_type": ["click"]})
+    b1b = pd.DataFrame({"us": [1_000_000], "event_id": [1],
+                        "event_type": ["view"]})
+    out1 = pd.concat(list(_update_scd2((7,), iter([b1a, b1b]), st)))
+    # one interval closed: the sorted order opens with "view"
+    assert out1.to_dict("records") == [
+        {"user_id": 7, "event_type": "view", "n_closed": 1,
+         "closed_us": 1_000_000}
+    ]
+    assert st.get == (2_000_000, "click")
+
+    # batch 2: the boundary interval (open "click" @2s) must close
+    # against 5s with the carried type.
+    b2 = pd.DataFrame({"us": [5_000_000], "event_id": [3],
+                       "event_type": ["purchase"]})
+    out2 = pd.concat(list(_update_scd2((7,), iter([b2]), st)))
+    assert out2.to_dict("records") == [
+        {"user_id": 7, "event_type": "click", "n_closed": 1,
+         "closed_us": 3_000_000}
+    ]
+    assert st.get == (5_000_000, "purchase")
