@@ -1006,3 +1006,89 @@ def test_scd2_handler_closes_boundary_interval_across_batches():
          "closed_us": 3_000_000}
     ]
     assert st.get == (5_000_000, "purchase")
+
+
+def test_scd2_handler_batch_split_invariance_property():
+    """Hypothesis: for ANY typed event-time sequence and ANY split into
+    event-time-ordered micro-batches, summing the handler's emitted
+    closed-interval deltas equals the single-pass lead() computation —
+    micro-batch boundaries cannot change the dimension history."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.streaming.scd2 import _update_scd2
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=0, max_value=10_000_000),
+            min_size=1,
+            max_size=25,
+        ),
+        types=st.data(),
+        splits=st.sets(st.integers(min_value=1, max_value=24)),
+    )
+    def run(gaps, types, splits):
+        times = [0]
+        for g in gaps[1:]:
+            times.append(times[-1] + g)
+        tlist = [
+            types.draw(st.sampled_from(["a", "b", "c"]))
+            for _ in times
+        ]
+        # reference single pass: interval i-1 closes at i, attributed
+        # to the opening event's type
+        want: dict[str, list[int]] = {}
+        for i in range(1, len(times)):
+            acc = want.setdefault(tlist[i - 1], [0, 0])
+            acc[0] += 1
+            acc[1] += times[i] - times[i - 1]
+
+        bounds = sorted(b for b in splits if b < len(times))
+        pieces, prev = [], 0
+        for b in bounds + [len(times)]:
+            if b > prev:
+                pieces.append((times[prev:b], tlist[prev:b]))
+                prev = b
+        st_obj = FakeState()
+        got: dict[str, list[int]] = {}
+        for ts_piece, ty_piece in pieces:
+            out = list(
+                _update_scd2(
+                    (1,),
+                    iter(
+                        [
+                            pd.DataFrame(
+                                {
+                                    "us": ts_piece,
+                                    "event_id": list(range(len(ts_piece))),
+                                    "event_type": ty_piece,
+                                }
+                            )
+                        ]
+                    ),
+                    st_obj,
+                )
+            )
+            for pdf in out:
+                for r in pdf.to_dict("records"):
+                    acc = got.setdefault(r["event_type"], [0, 0])
+                    acc[0] += r["n_closed"]
+                    acc[1] += r["closed_us"]
+        assert got == want
+
+    run()
