@@ -109,6 +109,20 @@ def _load_all() -> None:
 #: N − 100 = 150 − 100 = 50 allowance, which the 24 registrations grow
 #: to precisely the needed size). Do NOT add further registrations at
 #: r08 beyond the queue without dropping a queue pair to r09.
+#:
+#: SATURATION NOTICE (decide deliberately at r08): at N = 150 the
+#: schedule becomes a permanent 3-round cycle with zero slack — every
+#: round's 50 slots are fully owed to the cohort hitting the age-3
+#: ceiling (r09: the 50 r06-greens; r10: the 26 re-gated parks + the
+#: 24 r08 registrations; r11: the 50 r09-regated; ...), so NO further
+#: registration is ever possible at a 50-row artifact window.
+#: Registering all 24 therefore trades all future breadth for maximum
+#: now-breadth; registering K < 24 keeps (24 − K) queue pairs plus
+#: (24 − K) front slots of permanent per-cycle slack. 150-at-
+#: saturation is a defensible end state (rounds 9+ shift to perf and
+#: depth); just make the choice knowingly, and prefer retiring a
+#: weak query over exceeding the ceiling if a must-register operator
+#: appears later.
 _GATE_PRIORITY: list[str] = [
     # ---- round 7 rotation ----
     # (a) first-ever driver verdicts for the 5 queries that overflowed
