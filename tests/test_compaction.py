@@ -1,0 +1,69 @@
+"""Compaction planner math + a real small-files round trip."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from amsterdam_map_data_wrangling_spark.operators.compaction import (
+    compaction_plan,
+    compact_parquet_dir,
+)
+
+
+def test_plan_respects_target_and_is_deterministic():
+    sizes = [("a", 60), ("b", 50), ("c", 40), ("d", 30), ("e", 10), ("f", 200)]
+    plan = compaction_plan(sizes, target_bytes=100)
+    # oversized file is a singleton
+    assert ["f"] in plan
+    # every multi-file group fits the target
+    by_name = dict(sizes)
+    for g in plan:
+        if len(g) > 1:
+            assert sum(by_name[p] for p in g) <= 100
+    # all files appear exactly once
+    assert sorted(p for g in plan for p in g) == sorted(by_name)
+    # deterministic: same metadata, same plan (input order irrelevant)
+    assert plan == compaction_plan(list(reversed(sizes)), 100)
+
+
+def test_plan_group_count_is_near_optimal():
+    # 30 files of 40 bytes at target 100 → optimal 15 groups (2 each);
+    # FFD must not exceed the 1.22·OPT + 1 bound (here: 19).
+    sizes = [(f"f{i:02d}", 40) for i in range(30)]
+    plan = compaction_plan(sizes, 100)
+    assert len(plan) <= 19
+    assert all(len(g) <= 2 for g in plan)
+
+
+def test_plan_rejects_nonpositive_target():
+    with pytest.raises(ValueError):
+        compaction_plan([("a", 1)], 0)
+
+
+def test_compact_parquet_dir_round_trip(spark, tmp_path):
+    """16 tiny files → a handful of compacted ones, exact row parity."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    from pyspark.sql import functions as F
+
+    base = spark.range(1600).select(
+        "id", (F.col("id") % 7).alias("v")
+    )
+    for i in range(16):
+        base.filter(F.col("id") % 16 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 16
+
+    audit = compact_parquet_dir(spark, src, dst, target_bytes=64 * 1024)
+    assert audit["n_input_files"] == n_in
+    assert audit["n_groups"] < n_in
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == audit["n_groups"]
+    # exact content parity
+    got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    want = sorted(tuple(r) for r in base.collect())
+    assert got == want
