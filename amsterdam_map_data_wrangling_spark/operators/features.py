@@ -272,3 +272,23 @@ def weighted_sample_per_group(
         .filter(F.col("_rnk") <= k)
         .drop("_wkey", "_rnk")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: str = "spark-graft"
+) -> DataFrame:
+    """Reproducible global shuffle for training-order export: rows sort
+    by the portable md5 of (seed, key) with the key itself as the total
+    tie-break — the SAME permutation on any engine, any cluster size,
+    any retry (the property ``rand(seed)`` loses the moment
+    partitioning changes, because Spark seeds rand per-partition).
+    Re-seeding gives an independent permutation per epoch.
+
+    Scale: a global sort = one range-partitioned shuffle (Spark samples
+    key ranges, so output files come out in permutation order and a
+    sequential trainer can stream them). The hash is computed from the
+    key column only — the payload is never part of the sort key."""
+    h = F.md5(
+        F.concat_ws("|", F.lit("shuffle"), F.lit(seed), F.col(key_col).cast("string"))
+    )
+    return df.orderBy(h, F.col(key_col))

@@ -242,3 +242,21 @@ def test_winsorize_propagates_nulls(spark):
     # non-null rows still clamp normally
     assert out[1][1] == -1 and out[4][1] == 1
     assert all(v[0] is not None for k, v in out.items() if k != 2)
+
+
+def test_deterministic_shuffle_is_a_stable_seeded_permutation(spark):
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(df, "doc_id").collect()]
+    b = [r.doc_id for r in deterministic_shuffle(df, "doc_id").collect()]
+    c = [
+        r.doc_id
+        for r in deterministic_shuffle(df, "doc_id", seed="epoch-2").collect()
+    ]
+    assert a == b                       # same seed → identical order
+    assert sorted(a) == list(range(500))  # a true permutation
+    assert a != list(range(500))        # actually shuffled
+    assert a != c and sorted(c) == sorted(a)  # new seed → new permutation
