@@ -1,15 +1,21 @@
-r"""Round-8 registration queue: (build, oracle) pairs VALIDATED this
-round but deliberately NOT registered — round 7 closed with the gate
-window exactly at its capacity-math balance (every further registration
-would displace an r05-green name whose verdict hits the 3-round ceiling
-at r08; the r08 front is already owed to the 26-name park — see
-plans/catalog.py). This module is not imported by catalog._load_all;
+r"""Round-8 registration queue: 24 (build, oracle) pairs VALIDATED in
+round 7 but deliberately NOT registered — round 7 closed with the gate
+window exactly at its capacity-math balance, and these 24 are sized as
+an EXACT FILL of the r08 front next to the 26-name r05-green park
+(26 + 24 = 50; saturation analysis at plans/catalog.py:_GATE_PRIORITY —
+registering all 24 caps the catalog at N = 150 in a permanent 3-round
+re-gate cycle). This module is not imported by catalog._load_all;
 tests/test_r08_queue.py keeps every pair hash-green against DuckDB at
-both SFs so round 8 can register by adding @query decorators + rotation
-entries + an ORACLE_HASHES.json "8" snapshot only.
+both SFs (plus a plan-invariant scan with the BNLJ_OK 1-row-stitch
+whitelist) so round 8 can register by adding @query decorators +
+rotation entries + BNLJ_WHITELIST entries + an ORACLE_HASHES.json "8"
+snapshot only.
 
 Float-gate conventions as the registered catalog (plans/catalog.py
-module docstring).
+module docstring); the exactness DESIGN choices specific to this queue
+(Spearman-over-Pearson, Simpson-over-Shannon, integer-KS, per-cell
+chi2, corpus-relative A/B cut, bin-length log2) are tabulated in
+PLANS.md "r08 queue — design choices".
 """
 
 from __future__ import annotations
