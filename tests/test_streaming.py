@@ -14,7 +14,7 @@ from amsterdam_map_data_wrangling_spark.streaming.windows import (
     tumbling_counts_stream,
 )
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMALL
 
 
 def _rows(df, cols):
@@ -1092,3 +1092,82 @@ def test_scd2_handler_batch_split_invariance_property():
         assert got == want
 
     run()
+
+
+def test_streaming_scd2_multi_batch_e2e_matches_batch(spark, tmp_path):
+    """END-TO-END cross-batch proof for the streaming SCD2: the event
+    log split into two time-ordered files, streamed with
+    maxFilesPerTrigger=1 so boundary intervals MUST close via carried
+    state in a real streaming query (the unit/property tests cover the
+    handler; this covers the full applyInPandasWithState state store
+    path). Totals must still equal the batch lead() relation."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.sources.registry import load_tables
+    from amsterdam_map_data_wrangling_spark.streaming.scd2 import (
+        streaming_scd2_closed_intervals,
+    )
+
+    events = load_tables(spark, SF_SMALL, ["events"])["events"]
+    cut = events.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0].m
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for i, part in enumerate(
+        [events.filter(F.col("ts") <= cut), events.filter(F.col("ts") > cut)]
+    ):
+        d = str(tmp_path / f"w{i}")
+        part.coalesce(1).write.parquet(d)
+        (src,) = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.copy(src, os.path.join(stream_dir, f"{i:03d}.parquet"))
+        _time.sleep(1.1)  # distinct mtimes pin file → batch order
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_scd2_closed_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("t_scd2_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) >= 2, "expected a genuinely multi-batch run"
+
+    got = {
+        r.event_type: (r.nc, r.cu)
+        for r in spark.table("t_scd2_mb")
+        .groupBy("event_type")
+        .agg(F.sum("n_closed").alias("nc"), F.sum("closed_us").alias("cu"))
+        .collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    h = events.select(
+        "event_type", us.alias("us"), F.lead(us).over(w).alias("next_us")
+    ).filter(F.col("next_us").isNotNull())
+    want = {
+        r.event_type: (r.nc, r.cu)
+        for r in h.groupBy("event_type")
+        .agg(
+            F.count("*").alias("nc"),
+            F.sum(F.col("next_us") - F.col("us")).alias("cu"),
+        )
+        .collect()
+    }
+    assert got == want
