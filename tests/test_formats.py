@@ -164,3 +164,27 @@ def test_variant_and_xml_malformed_input_contracts(spark):
     ).select("id", F.col("n._id").alias("nid"))
     got_x = {r["id"]: r["nid"] for r in parsed.collect()}
     assert got_x[1] == 7 and got_x[2] is None and got_x[3] is None
+
+
+def test_parquet_codec_parity_snappy_zstd_gzip(spark):
+    """Storage-codec breadth: the same table written under snappy,
+    zstd, and gzip parquet compression reads back value-identical.
+    Codec choice is a 100 TB storage/CPU dial, never a semantics one
+    (zstd typically wins size at similar scan cost on modern Spark)."""
+    import glob
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    want = {tuple(r) for r in docs.collect()}
+    sizes = {}
+    for codec in ["snappy", "zstd", "gzip"]:
+        path = os.path.join(BASE, f"codec_{codec}")
+        docs.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        back = spark.read.parquet(path)
+        assert {tuple(r) for r in back.collect()} == want
+        sizes[codec] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    assert all(s > 0 for s in sizes.values())
