@@ -567,8 +567,11 @@ KS_ORACLE = """
     SELECT t.na AS n_train, t.nb AS n_holdout,
            CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
              AS d_num,
-           round(CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
-                 / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d
+           CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+                ELSE round(CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na))
+                                AS BIGINT)
+                     / (CAST(t.na AS DOUBLE) * t.nb), 6)
+           END AS ks_d
     FROM cum c, tot t GROUP BY t.na, t.nb
 """
 
@@ -638,11 +641,18 @@ def ks_build(spark, sf_dir):
         F.col("na").alias("n_train"),
         F.col("nb").alias("n_holdout"),
         "d_num",
-        F.round(
-            F.col("d_num")
-            / (F.col("na").cast("double") * F.col("nb")),
-            6,
-        ).alias("ks_d"),
+        F.when(
+            (F.col("na") == 0) | (F.col("nb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("d_num")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            )
+        )
+        .alias("ks_d"),
     )
 
 
@@ -887,9 +897,12 @@ SPEARMAN_ORACLE = """
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
-           round(1.0 - CAST(6 * SUM((rx - ry) * (rx - ry)) AS BIGINT)
-                 / (CAST(COUNT(*) AS DOUBLE)
-                    * (COUNT(*) * COUNT(*) - 1)), 6) AS spearman_rho
+           CASE WHEN COUNT(*) < 2 THEN NULL
+                ELSE round(1.0
+                     - CAST(6 * SUM((rx - ry) * (rx - ry)) AS BIGINT)
+                     / (CAST(COUNT(*) AS DOUBLE)
+                        * (COUNT(*) * COUNT(*) - 1)), 6)
+           END AS spearman_rho
     FROM ranked
 """
 
@@ -933,15 +946,19 @@ def spearman_build(spark, sf_dir):
     ).select(
         "n_pairs",
         "sum_d2",
-        F.round(
-            F.lit(1.0)
-            - (F.lit(6) * F.col("sum_d2")).cast("bigint")
-            / (
-                F.col("n_pairs").cast("double")
-                * (F.col("n_pairs") * F.col("n_pairs") - 1)
-            ),
-            6,
-        ).alias("spearman_rho"),
+        F.when(F.col("n_pairs") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6) * F.col("sum_d2")).cast("bigint")
+                / (
+                    F.col("n_pairs").cast("double")
+                    * (F.col("n_pairs") * F.col("n_pairs") - 1)
+                ),
+                6,
+            )
+        )
+        .alias("spearman_rho"),
     )
 
 
@@ -1638,10 +1655,11 @@ QUEUE["basket_lift_pairs"] = (basket_build, BASKET_ORACLE)
 
 #: sweep-line concurrency: maximum number of users simultaneously "in
 #: session" per day, from per-(user, day) activity intervals
-#: [first event, last event] in exact integer microseconds. Interval
-#: end points emit -1 BEFORE same-instant starts (+1) under the
-#: documented (us, delta, user_id) total order, so touching intervals
-#: never count as overlapping — identically on both engines.
+#: [first event, last event] in exact integer microseconds. CLOSED
+#: intervals: same-instant starts (+1) sort BEFORE ends (-1) under the
+#: (us, delta DESC, user_id) total order, so a user whose interval is a
+#: single instant still counts as present, and touching intervals
+#: overlap at the touch point — identically on both engines.
 CONCURRENCY_ORACLE = """
     WITH iv AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
@@ -1654,7 +1672,7 @@ CONCURRENCY_ORACLE = """
     ), swept AS (
       SELECT day,
              SUM(delta) OVER (
-               PARTITION BY day ORDER BY us, delta, user_id
+               PARTITION BY day ORDER BY us, delta DESC, user_id
                ROWS UNBOUNDED PRECEDING) AS live
       FROM pts
     )
@@ -1667,9 +1685,10 @@ CONCURRENCY_ORACLE = """
 def concurrency_build(spark, sf_dir):
     """Peak concurrency per day (sweep line): each (user, day) activity
     interval contributes +1 at its first event and -1 at its last; the
-    running sum under the (us, delta, user_id) total order peaks at the
-    day's maximum simultaneous users — capacity planning's favorite
-    query, in pure integer arithmetic. Scale: one (user, day) agg, then
+    running sum under the closed-interval (us, delta DESC, user_id)
+    total order peaks at the day's maximum simultaneous users (a
+    single-event user still counts while present) — capacity
+    planning's favorite query, in pure integer arithmetic. Scale: one (user, day) agg, then
     the sweep window partitioned BY DAY (each day's point list is
     bounded); no global ordering anywhere."""
     from pyspark.sql import Window
@@ -1691,9 +1710,9 @@ def concurrency_build(spark, sf_dir):
             "user_id",
         )
     )
-    w = Window.partitionBy("day").orderBy("us", "delta", "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = Window.partitionBy("day").orderBy(
+        "us", F.desc("delta"), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     swept = pts.select("day", F.sum("delta").over(w).alias("live"))
     return swept.groupBy("day").agg(
         F.max("live").cast("bigint").alias("max_concurrent")
@@ -1731,8 +1750,11 @@ CONCENTRATION_ORACLE = """
       FROM ranked CROSS JOIN tot
     )
     SELECT t.n AS n_customers, t.total AS total_cents,
-           round((2.0 * t.wsum) / (CAST(t.n AS DOUBLE) * t.total)
-                 - (CAST(t.n + 1 AS DOUBLE) / t.n), 6) AS gini,
+           CASE WHEN t.n = 0 THEN NULL
+                ELSE round((2.0 * t.wsum)
+                           / (CAST(t.n AS DOUBLE) * t.total)
+                     - (CAST(t.n + 1 AS DOUBLE) / t.n), 6)
+           END AS gini,
            round(CAST(p.top10 AS BIGINT) / CAST(t.total AS DOUBLE), 6)
              AS top10_share,
            round(CAST(p.top20 AS BIGINT) / CAST(t.total AS DOUBLE), 6)
@@ -1796,12 +1818,16 @@ def concentration_build(spark, sf_dir):
     return tot.crossJoin(F.broadcast(tops)).select(
         F.col("n").alias("n_customers"),
         F.col("total").alias("total_cents"),
-        F.round(
-            (F.lit(2.0) * F.col("wsum"))
-            / (F.col("n").cast("double") * F.col("total"))
-            - (F.col("n") + 1).cast("double") / F.col("n"),
-            6,
-        ).alias("gini"),
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.lit(2.0) * F.col("wsum"))
+                / (F.col("n").cast("double") * F.col("total"))
+                - (F.col("n") + 1).cast("double") / F.col("n"),
+                6,
+            )
+        )
+        .alias("gini"),
         F.round(
             F.col("top10").cast("bigint") / F.col("total").cast("double"), 6
         ).alias("top10_share"),
@@ -1848,9 +1874,12 @@ AB_TEST_ORACLE = """
       FROM u
     )
     SELECT n_a, n_b, x_a, x_b,
-           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
-           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
-           CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+           CASE WHEN n_a = 0 THEN NULL
+                ELSE round(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
+           CASE WHEN n_b = 0 THEN NULL
+                ELSE round(CAST(x_b AS DOUBLE) / n_b, 6) END AS p_b,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
                 ELSE round((CAST(x_a AS DOUBLE) / n_a
                             - CAST(x_b AS DOUBLE) / n_b)
                  / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
@@ -1938,10 +1967,20 @@ def ab_test_build(spark, sf_dir):
         "n_b",
         "x_a",
         "x_b",
-        F.round(F.col("x_a").cast("double") / F.col("n_a"), 6).alias("p_a"),
-        F.round(F.col("x_b").cast("double") / F.col("n_b"), 6).alias("p_b"),
+        F.when(F.col("n_a") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("x_a").cast("double") / F.col("n_a"), 6)
+        )
+        .alias("p_a"),
+        F.when(F.col("n_b") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("x_b").cast("double") / F.col("n_b"), 6)
+        )
+        .alias("p_b"),
         F.when(
-            (F.col("x_a") + F.col("x_b") == 0)
+            (F.col("n_a") == 0)
+            | (F.col("n_b") == 0)
+            | (F.col("x_a") + F.col("x_b") == 0)
             | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")),
             F.lit(None).cast("double"),
         )
