@@ -58,19 +58,23 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Placeholder for COMPRESSED-codec media decode (PIL/libav/etc. are
+    """Placeholder for LOSSY-codec media decode (PIL/libav/etc. are
     not in this environment). Raises so nothing silently pretends to
-    decode. Scope note: uncompressed formats are decoded for real —
-    header walks for PNG/JPEG/WAV/MP4 (:func:`extract_image_dims` /
-    :func:`extract_audio_fmt` / :func:`extract_video_meta`) and FULL
-    PCM sample decode for WAV (:func:`extract_audio_levels`) plus full
-    24-bit BMP pixel decode (:func:`extract_image_pixels`); only
-    codec-encoded pixel/sample data lands here."""
+    decode. Scope note: everything losslessly decodable from the spec
+    alone IS decoded for real — header walks for PNG/JPEG/WAV/MP4
+    (:func:`extract_image_dims` / :func:`extract_audio_fmt` /
+    :func:`extract_video_meta`), FULL PCM sample decode for WAV
+    (:func:`extract_audio_levels`), full 24-bit BMP pixel decode
+    (:func:`extract_image_pixels`), and full LZW-COMPRESSED GIF pixel
+    decode (:func:`extract_gif_pixels`, pure-Python LZW); only
+    lossy-codec data (JPEG entropy stream, MP3/AAC frames, H.26x)
+    lands here."""
     raise NotImplementedError(
-        "compressed-codec decode requires image/audio libraries not "
-        "present in this container; wire a real decoder here "
-        "(payload → pixels/samples). Uncompressed WAV PCM and BMP pixels "
-        "decode for real in extract_audio_levels / extract_image_pixels."
+        "lossy-codec decode requires image/audio libraries not present "
+        "in this container; wire a real decoder here (payload → "
+        "pixels/samples). WAV PCM, BMP pixels, and LZW GIF pixels "
+        "decode for real in extract_audio_levels / "
+        "extract_image_pixels / extract_gif_pixels."
     )
 
 
@@ -866,6 +870,293 @@ def extract_image_pixels(media: DataFrame) -> DataFrame:
             ids, chans, npx, sums, maxs, tops = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for ch, n, s, m, t in _parse_bmp_pixel_stats(payload):
+                    ids.append(mid)
+                    chans.append(ch)
+                    npx.append(n)
+                    sums.append(s)
+                    maxs.append(m)
+                    tops.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="Int32"),
+                    "n_pixels": pd.array(npx, dtype="int64"),
+                    "sum_val": pd.array(sums, dtype="int64"),
+                    "max_val": pd.array(maxs, dtype="int64"),
+                    "top_row_sum": pd.array(tops, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF: full LZW pixel decode (first COMPRESSED codec decoded for real)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int] | None:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear /
+    end-of-information codes, KwKwK case, width growth when the table
+    fills 1<<width, 12-bit cap with no further adds) → index stream, or
+    None on a corrupt stream. Pure Python, no codec dependency — GIF's
+    LZW is losslessly decodable from the spec alone."""
+    if not 2 <= mcs <= 8:
+        return None
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(1 << mcs)] + [(), ()]
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                # wild GIFs routinely omit the end-of-information code;
+                # return what decoded — callers enforce pixel-count
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW encode, the exact mirror of :func:`_lzw_decode`:
+    a real dictionary-building encoder whose code WIDTH follows the
+    DECODER's table clock (the decoder learns each entry one code later
+    than the encoder creates it, so the emit width must track the
+    decoder's table size, not the encoder's). Resets with a clear code
+    before the 12-bit table fills."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return (
+            {(i,): i for i in range(1 << mcs)},
+            end + 1,  # encoder's next code value
+            len(range(1 << mcs)) + 2,  # decoder's table size clock
+            mcs + 1,
+        )
+
+    table, nxt, dec_len, width = fresh()
+    put(clear, width)
+    prefix: tuple[int, ...] = ()
+    first_emit = True  # the decoder adds NO entry after its first read
+
+    def tick() -> None:
+        # advance the DECODER's table clock for one non-first emit
+        nonlocal dec_len, width, first_emit
+        if first_emit:
+            first_emit = False
+            return
+        if dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+
+    for sym in indices:
+        cand = prefix + (sym,)
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        tick()
+        table[cand] = nxt
+        nxt += 1
+        prefix = (sym,)
+        if nxt >= 4094:  # reset comfortably below the cap
+            put(table[prefix], width)
+            tick()
+            put(clear, width)
+            table, nxt, dec_len, width = fresh()
+            prefix = ()
+            first_emit = True
+    if prefix:
+        put(table[prefix], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synthesize_gif_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic tiny GIF89a files with REAL LZW-compressed pixel
+    data — the compressed-codec twin of :func:`synthesize_bmp_payloads`.
+    Per asset: w = 3 + id%5, h = 2 + id%3, an 8-color global palette
+    color[k] = (k*30, 255 - k*30, k*15 + 7), pixel index(x, y) =
+    (x + 2*y + id) % 8, plus a graphic-control extension block so the
+    parser's extension-skip path is always exercised. Built in an
+    Arrow-batched pass (LZW runs in Python — compression is not SQL),
+    but every pixel statistic stays a CLOSED FORM of the id, so an
+    oracle never needs to replay the compression."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 3 + mid % 5, 2 + mid % 3
+                idx = [
+                    (x + 2 * y + mid) % 8
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                lzw = _lzw_encode(idx, 3)
+                b = bytearray(b"GIF89a")
+                b += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                b += bytes([0xF2, 0, 0])  # GCT present, 8 entries
+                for k in range(8):
+                    b += bytes([k * 30, 255 - k * 30, k * 15 + 7])
+                b += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE ext
+                b += bytes([0x2C]) + (0).to_bytes(4, "little")
+                b += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                b += bytes([0, 3])  # no local table; min code size
+                for i in range(0, len(lzw), 255):
+                    chunk = lzw[i : i + 255]
+                    b += bytes([len(chunk)]) + chunk
+                b += bytes([0, 0x3B])
+                ids.append(mid)
+                payloads.append(bytes(b))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+def _parse_gif_pixel_stats(b: bytes) -> list[tuple[int, int, int, int, int]]:
+    """FULL GIF content decode, no codec dependency: header + logical
+    screen descriptor, global color table, extension-block skipping,
+    image descriptor, REAL LZW decompression of the index stream, and
+    palette mapping — then the same per-channel statistics contract as
+    the BMP twin. Channel 0/1/2 = R/G/B (GIF palettes are RGB; the BMP
+    twin's 0/1/2 = B/G/R is that format's storage order). First image
+    frame only; interlaced or local-palette frames and any structural
+    damage → []."""
+    b = bytes(b)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return []
+    w0 = int.from_bytes(b[6:8], "little")
+    h0 = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return []
+        palette = [
+            (b[pos + 3 * k], b[pos + 3 * k + 1], b[pos + 3 * k + 2])
+            for k in range(n)
+        ]
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            return []
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            return []
+        if pos + 9 > len(b):
+            return []
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        flags = b[pos + 8]
+        pos += 9
+        if flags & 0xC0 or not palette or w <= 0 or h <= 0:
+            return []  # local palette / interlace unsupported
+        if w > w0 or h > h0 or pos >= len(b):
+            return []
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            if pos + 1 + ln > len(b):
+                return []
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), mcs)
+        if idx is None or len(idx) < w * h:
+            return []
+        idx = idx[: w * h]
+        if any(i >= len(palette) for i in idx):
+            return []
+        out = []
+        for ch in range(3):
+            vals = [palette[i][ch] for i in idx]
+            out.append(
+                (
+                    ch,
+                    w * h,
+                    sum(vals),
+                    max(vals),
+                    sum(vals[:w]),  # visual top row (GIF stores top-down)
+                )
+            )
+        return out
+    return []
+
+
+def extract_gif_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL GIF pixel decode over binary payloads
+    (``mapInPandas`` + :func:`_parse_gif_pixel_stats`): the first
+    format in the engine whose pixel data is genuinely COMPRESSED on
+    the wire and decompressed by the engine itself (pure-Python LZW).
+    Same output contract and scale shape as
+    :func:`extract_image_pixels` — map-only, payloads never leave the
+    scanning executor, 3 rows of integers per asset."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, npx, sums, maxs, tops = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for ch, n, s, m, t in _parse_gif_pixel_stats(payload):
                     ids.append(mid)
                     chans.append(ch)
                     npx.append(n)

@@ -570,6 +570,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
 
     from amsterdam_map_data_wrangling_spark.operators.multimodal import (
         _parse_bmp_pixel_stats,
+        _parse_gif_pixel_stats,
         _parse_image_dims,
         _parse_mp4_mvhd,
         _parse_wav_fmt,
@@ -580,6 +581,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
     prefixes = (
         b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"BM",
         b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\x00\x00\x00\x10ftyp",
+        b"GIF89a", b"GIF87a",
     )
     for _ in range(500):
         body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
@@ -587,6 +589,104 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
             b = pre + body
             _parse_wav_pcm_levels(b)
             _parse_bmp_pixel_stats(b)
+            _parse_gif_pixel_stats(b)
             _parse_image_dims(b)
             _parse_wav_fmt(b)
             _parse_mp4_mvhd(b)
+
+
+# ---------------------------------------------------------------------------
+# GIF: real LZW pixel decode
+# ---------------------------------------------------------------------------
+
+#: the canonical public 1x1 black-pixel GIF89a (the web's placeholder
+#: image) — an EXTERNAL fixture produced by neither our encoder nor our
+#: tests, so the decoder's validity doesn't rest on encode/decode bugs
+#: canceling out.
+_TINY_GIF_B64 = "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+
+
+def test_gif_decodes_external_reference_fixture():
+    import base64
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_gif_pixel_stats,
+    )
+
+    stats = _parse_gif_pixel_stats(base64.b64decode(_TINY_GIF_B64))
+    # 1 black pixel: every channel sums to 0, with the GCE extension
+    # block and the omitted end-of-information code both handled.
+    assert stats == [(0, 1, 0, 0, 0), (1, 1, 0, 0, 0), (2, 1, 0, 0, 0)]
+
+
+def test_lzw_roundtrip_growth_reset_and_kwkwk():
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    random.seed(11)
+    cases = [
+        [0] * 500,                    # run → KwKwK codes
+        [0, 1] * 400,
+        [random.randrange(8) for _ in range(5000)],   # width growth
+        [random.randrange(8) for _ in range(200000)],  # forces a reset
+        [5],
+        [],
+    ]
+    for mcs, ix in [(3, c) for c in cases] + [
+        (2, [random.randrange(4) for _ in range(3000)]),
+        (8, [random.randrange(256) for _ in range(3000)]),
+    ]:
+        assert _lzw_decode(_lzw_encode(ix, mcs), mcs) == ix
+
+
+def test_gif_synthesize_decode_matches_closed_form(spark):
+    """The Spark path end-to-end: synthesized LZW-compressed GIFs
+    decode back to EXACTLY the closed-form pixel statistics implied by
+    the synthesis formula — through real compression on the wire."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_gif_pixels,
+        synthesize_gif_payloads,
+    )
+
+    ids = list(range(40))
+    df = spark.createDataFrame([(i,) for i in ids], ["media_id"])
+    got = {
+        (r.media_id, r.channel): (r.n_pixels, r.sum_val, r.max_val,
+                                  r.top_row_sum)
+        for r in extract_gif_pixels(
+            synthesize_gif_payloads(df, "media_id")
+        ).collect()
+    }
+    palette = [(k * 30, 255 - k * 30, k * 15 + 7) for k in range(8)]
+    for mid in ids:
+        w, h = 3 + mid % 5, 2 + mid % 3
+        idx = [(x + 2 * y + mid) % 8 for y in range(h) for x in range(w)]
+        for ch in range(3):
+            vals = [palette[i][ch] for i in idx]
+            assert got[(mid, ch)] == (
+                w * h, sum(vals), max(vals), sum(vals[:w])
+            )
+
+
+def test_gif_parser_rejects_damage_without_crashing():
+    import base64
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_gif_pixel_stats,
+    )
+
+    good = base64.b64decode(_TINY_GIF_B64)
+    random.seed(3)
+    assert _parse_gif_pixel_stats(b"") == []
+    assert _parse_gif_pixel_stats(b"GIF89a") == []
+    assert _parse_gif_pixel_stats(b"NOTGIF" + good[6:]) == []
+    assert _parse_gif_pixel_stats(good[:20]) == []  # truncated mid-GCT
+    assert _parse_gif_pixel_stats(good[:-3]) == []  # truncated LZW data
+    for _ in range(50):
+        junk = bytes(random.randrange(256) for _ in range(60))
+        _parse_gif_pixel_stats(b"GIF89a" + junk)  # must not raise
