@@ -65,16 +65,19 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     (:func:`extract_image_dims` / :func:`extract_audio_fmt` /
     :func:`extract_video_meta`), FULL PCM sample decode for WAV
     (:func:`extract_audio_levels`), full 24-bit BMP pixel decode
-    (:func:`extract_image_pixels`), and full LZW-COMPRESSED GIF pixel
-    decode (:func:`extract_gif_pixels`, pure-Python LZW); only
+    (:func:`extract_image_pixels`), full LZW-COMPRESSED GIF pixel
+    decode (:func:`extract_gif_pixels`, pure-Python LZW), and full
+    DEFLATE-compressed PNG pixel decode (:func:`extract_png_pixels`,
+    stdlib zlib + engine-side CRC walk and filter predictors); only
     lossy-codec data (JPEG entropy stream, MP3/AAC frames, H.26x)
     lands here."""
     raise NotImplementedError(
         "lossy-codec decode requires image/audio libraries not present "
         "in this container; wire a real decoder here (payload → "
-        "pixels/samples). WAV PCM, BMP pixels, and LZW GIF pixels "
-        "decode for real in extract_audio_levels / "
-        "extract_image_pixels / extract_gif_pixels."
+        "pixels/samples). WAV PCM, BMP, LZW GIF, and DEFLATE PNG "
+        "pixels decode for real in extract_audio_levels / "
+        "extract_image_pixels / extract_gif_pixels / "
+        "extract_png_pixels."
     )
 
 
@@ -1157,6 +1160,240 @@ def extract_gif_pixels(media: DataFrame) -> DataFrame:
             ids, chans, npx, sums, maxs, tops = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for ch, n, s, m, t in _parse_gif_pixel_stats(payload):
+                    ids.append(mid)
+                    chans.append(ch)
+                    npx.append(n)
+                    sums.append(s)
+                    maxs.append(m)
+                    tops.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="Int32"),
+                    "n_pixels": pd.array(npx, dtype="int64"),
+                    "sum_val": pd.array(sums, dtype="int64"),
+                    "max_val": pd.array(maxs, dtype="int64"),
+                    "top_row_sum": pd.array(tops, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: full pixel decode (DEFLATE via stdlib zlib; filters are the engine)
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
+    """Undo PNG scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth, per the spec's byte-wise predictors) → reconstructed pixel
+    bytes, or None on a bad filter byte / short data. This is the part
+    of PNG that is NOT zlib — the five predictors and the Paeth
+    tie-break order are implemented here and pinned by hand-computed
+    vectors in tests."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        base = y * stride
+        prev = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:
+            out[base : base + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                out[base + x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[base + x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    return bytes(out)
+
+
+def _parse_png_pixel_stats(b: bytes) -> list[tuple[int, int, int, int, int]]:
+    """FULL PNG content decode with stdlib only: signature, chunk walk
+    with REAL CRC-32 verification (zlib.crc32 — corrupt chunks reject,
+    they don't decode garbage), IHDR validation, IDAT concatenation,
+    DEFLATE inflate (zlib), scanline unfiltering
+    (:func:`_png_unfilter`), then the family's per-channel statistics.
+    Supported: 8-bit truecolor (type 2) and truecolor+alpha (type 6,
+    alpha ignored for channel stats), non-interlaced. Channel 0/1/2 =
+    R/G/B. Anything else — foreign magic, bad CRC, exotic bit depth,
+    interlace — → []."""
+    import zlib
+
+    b = bytes(b)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return []
+    pos = 8
+    w = h = bitdepth = colortype = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 8 + ln + 4 > len(b):
+            return []
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return []
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            if ln != 13:
+                return []
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype = data[8], data[9]
+            if data[10] != 0 or data[11] != 0 or data[12] != 0:
+                return []  # compression/filter-method/interlace
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+    if not seen_end or w is None or not idat:
+        return []
+    if bitdepth != 8 or colortype not in (2, 6) or w <= 0 or h <= 0:
+        return []
+    bpp = 3 if colortype == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return []
+    px = _png_unfilter(raw, w, h, bpp)
+    if px is None:
+        return []
+    out = []
+    for ch in range(3):
+        vals = [px[(y * w + x) * bpp + ch] for y in range(h) for x in range(w)]
+        out.append((ch, w * h, sum(vals), max(vals), sum(vals[:w])))
+    return out
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 8-bit truecolor PNGs with REAL DEFLATE-compressed,
+    scanline-FILTERED pixel data: row y uses filter type y % 5, so
+    every synthesized file exercises all five predictors on the decode
+    side. Pixels: r=(x*7+id)%256, g=(y*11+2*id)%256, b=(x+y+3*id)%256,
+    w = 3 + id%4, h = 5 + id%5 (h >= 5 ⇒ all filters present) —
+    every statistic a closed form of the id, the family contract."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big")
+                + ctype
+                + data
+                + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 3 + mid % 4, 5 + mid % 5
+                px = [
+                    [
+                        (
+                            (x * 7 + mid) % 256,
+                            (y * 11 + 2 * mid) % 256,
+                            (x + y + 3 * mid) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                recon = [
+                    bytes(v for p in row for v in p) for row in px
+                ]
+                raw = bytearray()
+                for y, line in enumerate(recon):
+                    ftype = y % 5
+                    prev = recon[y - 1] if y else bytes(w * 3)
+                    raw.append(ftype)
+                    for x in range(w * 3):
+                        a = line[x - 3] if x >= 3 else 0
+                        b_ = prev[x]
+                        c = prev[x - 3] if x >= 3 else 0
+                        if ftype == 0:
+                            pred = 0
+                        elif ftype == 1:
+                            pred = a
+                        elif ftype == 2:
+                            pred = b_
+                        elif ftype == 3:
+                            pred = (a + b_) >> 1
+                        else:
+                            p = a + b_ - c
+                            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b_ if pb <= pc else c)
+                            )
+                        raw.append((line[x] - pred) & 0xFF)
+                ihdr = (
+                    w.to_bytes(4, "big")
+                    + h.to_bytes(4, "big")
+                    + bytes([8, 2, 0, 0, 0])
+                )
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                ids.append(mid)
+                payloads.append(payload)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+def extract_png_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL PNG pixel decode over binary payloads
+    (``mapInPandas`` + :func:`_parse_png_pixel_stats`): DEFLATE is
+    stdlib zlib; chunk CRC validation and the five filter predictors
+    are the engine's. Same contract and scale shape as the BMP and GIF
+    twins — map-only, 3 integer rows per asset."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, npx, sums, maxs, tops = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for ch, n, s, m, t in _parse_png_pixel_stats(payload):
                     ids.append(mid)
                     chans.append(ch)
                     npx.append(n)

@@ -572,6 +572,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
         _parse_bmp_pixel_stats,
         _parse_gif_pixel_stats,
         _parse_image_dims,
+        _parse_png_pixel_stats,
         _parse_mp4_mvhd,
         _parse_wav_fmt,
         _parse_wav_pcm_levels,
@@ -590,6 +591,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
             _parse_wav_pcm_levels(b)
             _parse_bmp_pixel_stats(b)
             _parse_gif_pixel_stats(b)
+            _parse_png_pixel_stats(b)
             _parse_image_dims(b)
             _parse_wav_fmt(b)
             _parse_mp4_mvhd(b)
@@ -690,3 +692,119 @@ def test_gif_parser_rejects_damage_without_crashing():
     for _ in range(50):
         junk = bytes(random.randrange(256) for _ in range(60))
         _parse_gif_pixel_stats(b"GIF89a" + junk)  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# PNG: full pixel decode
+# ---------------------------------------------------------------------------
+
+#: widely-circulated 1x1 red-pixel PNG (RGBA, Sub-filtered scanline) —
+#: an EXTERNAL fixture; the test below additionally cross-reads its
+#: inflated scanline with stdlib only, so the expectation does not
+#: depend on our filter code.
+_RED_PNG_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_png_decodes_external_reference_fixture():
+    import base64
+    import zlib
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_png_pixel_stats,
+    )
+
+    b = base64.b64decode(_RED_PNG_B64)
+    # independent stdlib-only read of the single scanline: filter must
+    # be Sub(1) and the first pixel's filtered bytes ARE the values
+    pos = 8
+    raw = None
+    while raw is None:
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        if b[pos + 4 : pos + 8] == b"IDAT":
+            raw = zlib.decompress(b[pos + 8 : pos + 8 + ln])
+        else:
+            pos += 12 + ln
+    assert raw[0] == 1 and (raw[1], raw[2], raw[3]) == (255, 0, 0)
+    assert _parse_png_pixel_stats(b) == [
+        (0, 1, 255, 255, 255),
+        (1, 1, 0, 0, 0),
+        (2, 1, 0, 0, 0),
+    ]
+
+
+def test_png_unfilter_hand_computed_vectors():
+    """Each predictor pinned on hand-computed spec arithmetic (bpp=3,
+    w=2, so the second pixel sees a = first pixel's byte)."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _png_unfilter,
+    )
+
+    # Sub: [10,20,30, +5,+6,+7] → second pixel = 15,26,37
+    assert _png_unfilter(
+        bytes([1, 10, 20, 30, 5, 6, 7]), 2, 1, 3
+    ) == bytes([10, 20, 30, 15, 26, 37])
+    # Up over a first None row: row2 = row1 + deltas
+    assert _png_unfilter(
+        bytes([0, 1, 2, 3, 4, 5, 6, 2, 10, 10, 10, 10, 10, 10]), 2, 2, 3
+    ) == bytes([1, 2, 3, 4, 5, 6, 11, 12, 13, 14, 15, 16])
+    # Average: pred = floor((a + b)/2). Row1 (None) = [8,0,0,6,0,0];
+    # row2 filt = [1,0,0,1,0,0]: x0 pred = floor((0+8)/2) = 4 → 5;
+    # x3 sees a = recon[0] = 5, b = 6 → pred = 5 → 6.
+    assert _png_unfilter(
+        bytes([0, 8, 0, 0, 6, 0, 0, 3, 1, 0, 0, 1, 0, 0]), 2, 2, 3
+    ) == bytes([8, 0, 0, 6, 0, 0, 5, 0, 0, 6, 0, 0])
+    # Paeth tie-break: a=3, b=3, c=0 → p=6, pa=pb=3, pc=6 → pick a
+    assert _png_unfilter(
+        bytes([0, 3, 0, 0, 3, 0, 0, 4, 0, 0, 0, 1, 0, 0]), 2, 2, 3
+    ) == bytes([3, 0, 0, 3, 0, 0, 3, 0, 0, 4, 0, 0])
+    # bad filter type rejects
+    assert _png_unfilter(bytes([9, 0, 0, 0]), 1, 1, 3) is None
+
+
+def test_png_synthesize_decode_matches_closed_form(spark):
+    """Spark e2e: DEFLATE-compressed, all-five-filters synthesis
+    decodes back to the exact closed-form statistics."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_png_pixels,
+        synthesize_png_payloads,
+    )
+
+    ids = list(range(30))
+    df = spark.createDataFrame([(i,) for i in ids], ["media_id"])
+    got = {
+        (r.media_id, r.channel): (r.n_pixels, r.sum_val, r.max_val,
+                                  r.top_row_sum)
+        for r in extract_png_pixels(
+            synthesize_png_payloads(df, "media_id")
+        ).collect()
+    }
+    for mid in ids:
+        w, h = 3 + mid % 4, 5 + mid % 5
+        chans = [
+            [(x * 7 + mid) % 256 for y in range(h) for x in range(w)],
+            [(y * 11 + 2 * mid) % 256 for y in range(h) for x in range(w)],
+            [(x + y + 3 * mid) % 256 for y in range(h) for x in range(w)],
+        ]
+        for ch, vals in enumerate(chans):
+            assert got[(mid, ch)] == (
+                w * h, sum(vals), max(vals), sum(vals[:w])
+            )
+
+
+def test_png_crc_validation_rejects_flipped_byte():
+    """A single flipped pixel byte must fail the chunk CRC and reject
+    the file — integrity is part of the decode, not an afterthought."""
+    import base64
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_png_pixel_stats,
+    )
+
+    b = bytearray(base64.b64decode(_RED_PNG_B64))
+    assert _parse_png_pixel_stats(bytes(b)) != []
+    idat = bytes(b).index(b"IDAT")
+    b[idat + 7] ^= 0xFF  # flip a byte inside the IDAT payload
+    assert _parse_png_pixel_stats(bytes(b)) == []
