@@ -808,3 +808,32 @@ def test_png_crc_validation_rejects_flipped_byte():
     idat = bytes(b).index(b"IDAT")
     b[idat + 7] ^= 0xFF  # flip a byte inside the IDAT payload
     assert _parse_png_pixel_stats(bytes(b)) == []
+
+
+def test_lzw_roundtrip_property():
+    """Hypothesis: ANY index sequence round-trips through the GIF LZW
+    encoder/decoder at any legal code size — including sequences that
+    cross width boundaries and trigger KwKwK."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        mcs=st.integers(min_value=2, max_value=8),
+        data=st.data(),
+    )
+    def run(mcs, data):
+        ix = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                max_size=600,
+            )
+        )
+        assert _lzw_decode(_lzw_encode(ix, mcs), mcs) == ix
+
+    run()
