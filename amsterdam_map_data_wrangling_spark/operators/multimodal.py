@@ -66,11 +66,13 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     :func:`extract_video_meta`), FULL PCM sample decode for WAV
     (:func:`extract_audio_levels`), full 24-bit BMP pixel decode
     (:func:`extract_image_pixels`), full LZW-COMPRESSED GIF pixel
-    decode (:func:`extract_gif_pixels`, pure-Python LZW), and full
+    decode (:func:`extract_gif_pixels`, pure-Python LZW), full
     DEFLATE-compressed PNG pixel decode (:func:`extract_png_pixels`,
-    stdlib zlib + engine-side CRC walk and filter predictors); only
-    lossy-codec data (JPEG entropy stream, MP3/AAC frames, H.26x)
-    lands here."""
+    stdlib zlib + engine-side CRC walk and filter predictors), and
+    G.711 µ-law/A-law companded telephony audio
+    (:func:`extract_g711_levels`, spec-derived expansion tables pinned
+    against stdlib audioop); only lossy-codec data (JPEG entropy
+    stream, MP3/AAC frames, H.26x) lands here."""
     raise NotImplementedError(
         "lossy-codec decode requires image/audio libraries not present "
         "in this container; wire a real decoder here (payload → "
@@ -1412,3 +1414,174 @@ def extract_png_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law companded WAV: decode via spec-derived tables
+# ---------------------------------------------------------------------------
+
+
+def _g711_ulaw_table() -> list[int]:
+    """µ-law byte → 16-bit linear, the classic CCITT G.711 expansion
+    (complement, 4-bit mantissa + 0x84 bias shifted by the 3-bit
+    segment, sign fold). Pinned byte-for-byte against stdlib
+    ``audioop.ulaw2lin`` in tests — an implementation independent of
+    this one."""
+    out = []
+    for u0 in range(256):
+        u = ~u0 & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out.append((0x84 - t) if (u & 0x80) else (t - 0x84))
+    return out
+
+
+def _g711_alaw_table() -> list[int]:
+    """A-law byte → 16-bit linear (0x55 toggle, segmented expansion);
+    pinned against stdlib ``audioop.alaw2lin``."""
+    out = []
+    for a0 in range(256):
+        a = a0 ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out.append(t if (a & 0x80) else -t)
+    return out
+
+
+_G711_TABLES = {6: _g711_alaw_table(), 7: _g711_ulaw_table()}
+
+
+def _parse_wav_g711_levels(b: bytes) -> list[tuple[int, int, int, int]]:
+    """FULL companded-WAV content decode: RIFF walk to ``fmt `` /
+    ``data``, REQUIRE format tag 6 (A-law) or 7 (µ-law) at 8 bits per
+    sample, expand every byte through the spec-derived G.711 table,
+    then the same per-channel (channel, n_frames, sum_amp, peak_abs)
+    contract as the PCM twin — telephony audio decodes to real 16-bit
+    amplitudes with zero codec dependencies. Anything else → []."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return []
+    pos, n = 12, len(b)
+    tag = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and clen >= 16:
+            d = b[pos + 8 : pos + 8 + clen]
+            tag = int.from_bytes(d[0:2], "little")
+            channels = int.from_bytes(d[2:4], "little")
+            bits = int.from_bytes(d[14:16], "little")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if tag not in _G711_TABLES or not channels or bits != 8 or data is None:
+        return []
+    table = np.asarray(_G711_TABLES[tag], dtype=np.int64)
+    amps = table[np.frombuffer(data, dtype=np.uint8)]
+    n_frames = len(amps) // channels
+    amps = amps[: n_frames * channels].reshape(n_frames, channels)
+    return [
+        (
+            ch,
+            n_frames,
+            int(amps[:, ch].sum()),
+            int(np.abs(amps[:, ch]).max()) if n_frames else 0,
+        )
+        for ch in range(channels)
+    ]
+
+
+def synthesize_g711_wav_payloads(
+    df: DataFrame, id_col: str, law: str = "ulaw"
+) -> DataFrame:
+    """Deterministic stereo G.711 WAV files: format tag 7 (µ-law) or 6
+    (A-law), 8 bits/sample, n = 64 + id%32 frames, byte sample for
+    (frame i, channel c) = (i*17 + c*29 + id) % 256 — the expected
+    LINEAR statistics are a closed form of the id through the published
+    expansion table. Built JVM-side in hex (the same zero-Python path
+    as the PCM synthesizer) since companded bytes ARE the wire format —
+    no encoder needed to exercise the decoder."""
+    tag = 7 if law == "ulaw" else 6
+    n_frames = (F.lit(64) + F.col("media_id") % 32).cast("int")
+    data_len = n_frames * 2
+    i = F.explode(F.sequence(F.lit(0), data_len - 1)).alias("i")
+    rows = df.select(
+        F.col(id_col).cast("long").alias("media_id")
+    ).select("media_id", i)
+    byte_hex = F.lpad(
+        F.lower(
+            F.hex(
+                (
+                    (F.col("i") / 2).cast("long") * 17
+                    + (F.col("i") % 2) * 29
+                    + F.col("media_id")
+                )
+                % 256
+            )
+        ),
+        2,
+        "0",
+    )
+    data_hex = rows.groupBy("media_id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list(F.struct("i", byte_hex.alias("h"))))
+                    .getField("h")).alias("dh"),
+        F.count("*").alias("nbytes"),
+    )
+    hdr = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le_hex(F.col("nbytes") + 36, 4),
+        F.lit("57415645"),  # WAVE
+        F.lit("666d7420"),  # fmt_
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(tag), 2),
+        _le_hex(F.lit(2), 2),  # stereo
+        _le_hex(F.lit(8000), 4),  # sample rate
+        _le_hex(F.lit(16000), 4),  # byte rate
+        _le_hex(F.lit(2), 2),  # block align
+        _le_hex(F.lit(8), 2),  # bits per sample
+        F.lit("64617461"),  # data
+        _le_hex(F.col("nbytes"), 4),
+        F.col("dh"),
+    )
+    return data_hex.select("media_id", F.unhex(hdr).alias("payload"))
+
+
+def extract_g711_levels(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL G.711 companded-audio decode
+    (``mapInPandas`` + :func:`_parse_wav_g711_levels`): telephony WAVs
+    (µ-law/A-law) expand to real 16-bit amplitudes through the
+    spec-derived tables. Same contract and scale shape as
+    :func:`extract_audio_levels`."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, nfr, sums, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for ch, n, s, p in _parse_wav_g711_levels(payload):
+                    ids.append(mid)
+                    chans.append(ch)
+                    nfr.append(n)
+                    sums.append(s)
+                    peaks.append(p)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="Int32"),
+                    "n_frames": pd.array(nfr, dtype="int64"),
+                    "sum_amp": pd.array(sums, dtype="int64"),
+                    "peak_abs": pd.array(peaks, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, LEVELS_SCHEMA)

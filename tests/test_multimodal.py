@@ -575,6 +575,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
         _parse_png_pixel_stats,
         _parse_mp4_mvhd,
         _parse_wav_fmt,
+        _parse_wav_g711_levels,
         _parse_wav_pcm_levels,
     )
 
@@ -589,6 +590,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
         for pre in prefixes:
             b = pre + body
             _parse_wav_pcm_levels(b)
+            _parse_wav_g711_levels(b)
             _parse_bmp_pixel_stats(b)
             _parse_gif_pixel_stats(b)
             _parse_png_pixel_stats(b)
@@ -837,3 +839,81 @@ def test_lzw_roundtrip_property():
         assert _lzw_decode(_lzw_encode(ix, mcs), mcs) == ix
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """Both expansion tables pinned byte-for-byte against stdlib
+    audioop (an independent C implementation; deprecated in 3.13 but
+    present here) — the decoder's validity doesn't rest on our own
+    formula transcription."""
+    import struct
+    import warnings
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+        for table, ref in [
+            (_g711_ulaw_table(), audioop.ulaw2lin),
+            (_g711_alaw_table(), audioop.alaw2lin),
+        ]:
+            for b in range(256):
+                want = struct.unpack("<h", ref(bytes([b]), 2))[0]
+                assert table[b] == want, (b, table[b], want)
+
+
+def test_g711_synthesize_decode_matches_closed_form(spark):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+        extract_g711_levels,
+        synthesize_g711_wav_payloads,
+    )
+
+    ids = list(range(25))
+    df = spark.createDataFrame([(i,) for i in ids], ["media_id"])
+    for law, table in [("ulaw", _g711_ulaw_table()),
+                       ("alaw", _g711_alaw_table())]:
+        got = {
+            (r.media_id, r.channel): (r.n_frames, r.sum_amp, r.peak_abs)
+            for r in extract_g711_levels(
+                synthesize_g711_wav_payloads(df, "media_id", law=law)
+            ).collect()
+        }
+        for mid in ids:
+            n = 64 + mid % 32
+            for ch in range(2):
+                amps = [
+                    table[(i * 17 + ch * 29 + mid) % 256] for i in range(n)
+                ]
+                assert got[(mid, ch)] == (
+                    n, sum(amps), max(abs(a) for a in amps)
+                )
+
+
+def test_g711_parser_requires_companded_format():
+    """A PCM WAV (format tag 1) must NOT pass through the G.711 tables,
+    and vice versa the PCM parser's output differs from G.711's on the
+    same companded bytes — the format tag is load-bearing."""
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_wav_g711_levels,
+    )
+
+    # minimal PCM-tagged wav: tag 1 → reject
+    hdr = (b"RIFF" + (40).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + b"data" + (4).to_bytes(4, "little") + bytes([1, 2, 3, 4]))
+    assert _parse_wav_g711_levels(hdr) == []
