@@ -573,6 +573,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
         _parse_gif_pixel_stats,
         _parse_image_dims,
         _parse_png_pixel_stats,
+        _parse_tiff_pixel_stats,
         _parse_mp4_mvhd,
         _parse_wav_fmt,
         _parse_wav_g711_levels,
@@ -583,7 +584,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
     prefixes = (
         b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"BM",
         b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\x00\x00\x00\x10ftyp",
-        b"GIF89a", b"GIF87a",
+        b"GIF89a", b"GIF87a", b"II*\x00", b"MM\x00*",
     )
     for _ in range(500):
         body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
@@ -594,6 +595,7 @@ def test_all_binary_parsers_reject_garbage_without_crashing():
             _parse_bmp_pixel_stats(b)
             _parse_gif_pixel_stats(b)
             _parse_png_pixel_stats(b)
+            _parse_tiff_pixel_stats(b)
             _parse_image_dims(b)
             _parse_wav_fmt(b)
             _parse_mp4_mvhd(b)
@@ -917,3 +919,93 @@ def test_g711_parser_requires_companded_format():
            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
            + b"data" + (4).to_bytes(4, "little") + bytes([1, 2, 3, 4]))
     assert _parse_wav_g711_levels(hdr) == []
+
+
+# ---------------------------------------------------------------------------
+# TIFF: uncompressed strip decode
+# ---------------------------------------------------------------------------
+
+
+def _hand_build_tiff(w, h, px, rows_strip1):
+    """Independent little-endian TIFF builder for the tests (separate
+    struct-packing from the operator's synthesizer)."""
+    ifd_off, n_e = 8, 10
+    bits_off = ifd_off + 2 + 12 * n_e + 4
+    cut = rows_strip1 * w * 3
+    s1, s2 = bytes(px[:cut]), bytes(px[cut:])
+    s1_off = bits_off + 6
+    s2_off = s1_off + len(s1)
+    arr_off = s2_off + len(s2)
+
+    def entry(tag, typ, cnt, val):
+        e = tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+        e += cnt.to_bytes(4, "little")
+        if typ == 3 and cnt == 1:
+            e += val.to_bytes(2, "little") + b"\x00\x00"
+        else:
+            e += val.to_bytes(4, "little")
+        return e
+
+    ifd = (n_e).to_bytes(2, "little")
+    ifd += entry(256, 3, 1, w) + entry(257, 3, 1, h)
+    ifd += entry(258, 3, 3, bits_off) + entry(259, 3, 1, 1)
+    ifd += entry(262, 3, 1, 2) + entry(273, 4, 2, arr_off)
+    ifd += entry(277, 3, 1, 3) + entry(278, 3, 1, rows_strip1 or 1)
+    ifd += entry(279, 4, 2, arr_off + 8) + entry(284, 3, 1, 1)
+    ifd += (0).to_bytes(4, "little")
+    return (
+        b"II*\x00" + ifd_off.to_bytes(4, "little") + ifd
+        + b"".join(v.to_bytes(2, "little") for v in (8, 8, 8))
+        + s1 + s2
+        + s1_off.to_bytes(4, "little") + s2_off.to_bytes(4, "little")
+        + len(s1).to_bytes(4, "little") + len(s2).to_bytes(4, "little")
+    )
+
+
+def test_tiff_parser_on_hand_built_file():
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _parse_tiff_pixel_stats,
+    )
+
+    w, h = 3, 4
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([x * 5, y * 7, x + 2 * y])
+    got = _parse_tiff_pixel_stats(_hand_build_tiff(w, h, px, h // 2))
+    want = []
+    for ch in range(3):
+        vals = [px[(y * w + x) * 3 + ch] for y in range(h) for x in range(w)]
+        want.append((ch, w * h, sum(vals), max(vals), sum(vals[:w])))
+    assert got == want
+    # big-endian and compressed files reject
+    assert _parse_tiff_pixel_stats(b"MM\x00*" + bytes(60)) == []
+
+
+def test_tiff_synthesize_decode_matches_closed_form(spark):
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        extract_tiff_pixels,
+        synthesize_tiff_payloads,
+    )
+
+    ids = list(range(25))
+    df = spark.createDataFrame([(i,) for i in ids], ["media_id"])
+    got = {
+        (r.media_id, r.channel): (r.n_pixels, r.sum_val, r.max_val,
+                                  r.top_row_sum)
+        for r in extract_tiff_pixels(
+            synthesize_tiff_payloads(df, "media_id")
+        ).collect()
+    }
+    for mid in ids:
+        w, h = 3 + mid % 4, 4 + mid % 3
+        for ch in range(3):
+            vals = [
+                [(x * 5 + mid) % 256, (y * 7 + 2 * mid) % 256,
+                 (x + 2 * y + 3 * mid) % 256][ch]
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert got[(mid, ch)] == (
+                w * h, sum(vals), max(vals), sum(vals[:w])
+            )
