@@ -123,3 +123,119 @@ def read_tar_members(
             )
 
     return bins.select("path", "content").mapInPandas(shred, _MEMBER_SCHEMA)
+
+
+_WARC_SCHEMA = (
+    "archive string, record_id string, warc_type string, "
+    "target_uri string, content_length long, payload binary, "
+    "http_body binary"
+)
+
+
+def _parse_warc(content: bytes) -> list[tuple[str, str, str, int, bytes, bytes | None]]:
+    """Parse one (possibly multi-member-gzip) WARC file into records:
+    (record_id, warc_type, target_uri, content_length, payload,
+    http_body). WARC/1.0 framing per ISO 28500: CRLF header block,
+    blank line, Content-Length payload bytes, CRLF CRLF separator.
+    For ``application/http`` response payloads, ``http_body`` is the
+    content after the HTTP header block — the part a text pipeline
+    actually wants; None otherwise. Raises ValueError on broken
+    framing (callers choose loud or skip)."""
+    import gzip
+
+    if content[:2] == b"\x1f\x8b":
+        # Common-Crawl convention: one gzip member per record,
+        # concatenated — stdlib gzip reads all members transparently
+        content = gzip.decompress(content)
+    out = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        # tolerate trailing separators / padding newlines
+        while pos < n and content[pos : pos + 2] in (b"\r\n",):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = content.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("unterminated WARC header block")
+        header = content[pos:head_end].decode("utf-8", "replace")
+        lines = header.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at offset {pos}")
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/bad Content-Length") from exc
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError("truncated WARC payload")
+        payload = content[body_start : body_start + clen]
+        http_body = None
+        if fields.get("content-type", "").startswith("application/http"):
+            sep = payload.find(b"\r\n\r\n")
+            http_body = payload[sep + 4 :] if sep >= 0 else payload
+        out.append(
+            (
+                fields.get("warc-record-id", ""),
+                fields.get("warc-type", ""),
+                fields.get("warc-target-uri", ""),
+                clen,
+                payload,
+                http_body,
+            )
+        )
+        pos = body_start + clen
+    return out
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, skip_bad: bool = False
+) -> DataFrame:
+    """WARC ingestion — the Common-Crawl wire format: every record of
+    every ``*.warc`` / ``*.warc.gz`` under ``path`` as a row
+    (archive, record_id, warc_type, target_uri, content_length,
+    payload, http_body). Same distribution shape and error contract as
+    :func:`read_zip_members`: one binaryFile row per archive, stdlib
+    parsing in an Arrow-batched pass, loud-or-skip on damage."""
+    bins = spark.read.format("binaryFile").load(path)
+
+    def shred(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            cols: dict[str, list] = {
+                "archive": [], "record_id": [], "warc_type": [],
+                "target_uri": [], "content_length": [], "payload": [],
+                "http_body": [],
+            }
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    records = _parse_warc(bytes(content))
+                except Exception as exc:  # noqa: BLE001
+                    if not skip_bad:
+                        raise
+                    warnings.warn(
+                        f"skipping unreadable WARC {apath}: {exc}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    continue
+                for rid, rtype, uri, clen, payload, body in records:
+                    cols["archive"].append(apath)
+                    cols["record_id"].append(rid)
+                    cols["warc_type"].append(rtype)
+                    cols["target_uri"].append(uri)
+                    cols["content_length"].append(clen)
+                    cols["payload"].append(payload)
+                    cols["http_body"].append(body)
+            cols["content_length"] = pd.array(
+                cols["content_length"], dtype="int64"
+            )
+            yield pd.DataFrame(cols)
+
+    return bins.select("path", "content").mapInPandas(shred, _WARC_SCHEMA)

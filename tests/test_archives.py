@@ -73,3 +73,78 @@ def test_tar_members_exact_bytes(spark, tmp_path):
     rows = read_tar_members(spark, str(d)).collect()
     got = {r.member: bytes(r.payload) for r in rows}
     assert got == expected
+
+
+def _warc_record(rid, rtype, uri, payload, content_type=None):
+    hdr = [
+        "WARC/1.0",
+        f"WARC-Type: {rtype}",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        f"WARC-Target-URI: {uri}",
+        f"Content-Length: {len(payload)}",
+    ]
+    if content_type:
+        hdr.append(f"Content-Type: {content_type}")
+    return "\r\n".join(hdr).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_warc_records_plain_and_gzip(spark, tmp_path):
+    import gzip
+
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    html = b"<html><body>hello crawl</body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    records = (
+        _warc_record("aaa", "warcinfo", "", b"software: test")
+        + _warc_record(
+            "bbb", "response", "http://example.com/", http,
+            content_type="application/http; msgtype=response",
+        )
+        + _warc_record("ccc", "request", "http://example.com/", b"GET /")
+    )
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "plain.warc").write_bytes(records)
+    # Common-Crawl style: one gzip member per record, concatenated
+    gz = b"".join(
+        gzip.compress(r)
+        for r in [
+            _warc_record("ddd", "response", "http://example.org/x", http,
+                         content_type="application/http; msgtype=response"),
+            _warc_record("eee", "metadata", "http://example.org/x", b"{}"),
+        ]
+    )
+    (d / "cc.warc.gz").write_bytes(gz)
+
+    rows = read_warc_records(spark, str(d)).collect()
+    by_id = {r.record_id: r for r in rows}
+    assert len(rows) == 5
+    assert by_id["<urn:uuid:bbb>"].warc_type == "response"
+    assert by_id["<urn:uuid:bbb>"].target_uri == "http://example.com/"
+    assert bytes(by_id["<urn:uuid:bbb>"].payload) == http
+    assert bytes(by_id["<urn:uuid:bbb>"].http_body) == html
+    assert by_id["<urn:uuid:ccc>"].http_body is None
+    assert bytes(by_id["<urn:uuid:ddd>"].http_body) == html
+    assert by_id["<urn:uuid:eee>"].warc_type == "metadata"
+
+
+def test_warc_corrupt_policy(spark, tmp_path):
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    d = tmp_path / "warcs2"
+    d.mkdir()
+    (d / "ok.warc").write_bytes(
+        _warc_record("zzz", "response", "http://a/", b"fine")
+    )
+    (d / "bad.warc").write_bytes(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+    with pytest.raises(Exception):
+        read_warc_records(spark, str(d)).collect()
+    rows = read_warc_records(spark, str(d), skip_bad=True).collect()
+    assert [r.record_id for r in rows] == ["<urn:uuid:zzz>"]
