@@ -202,3 +202,42 @@ def chunk_fingerprint(toks: Column, start: Column, chunk_size: int) -> Column:
     the engine-portable content witness for a chunk (DuckDB:
     md5(array_to_string(list_slice(...), ' ')))."""
     return F.md5(F.concat_ws(" ", F.slice(toks, start, chunk_size)))
+
+
+#: the named HTML entities worth decoding without an HTML library —
+#: the handful that dominate real crawl text. Numeric entities decode
+#: for the full Latin-1 range via a two-step regexp (documented
+#: limitation: higher code points pass through as text).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: un-escaping &amp;lt; early would double-decode
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl-grade HTML → text, entirely JVM-side (regexp_replace
+    chain, stays in whole-stage codegen — no Python in the hot path):
+    drops <script>/<style>/comments wholesale, turns block-level
+    closers and <br> into spaces so words don't fuse across layout
+    boundaries, strips every remaining tag, decodes the dominant named
+    entities (&amp; deliberately last), and collapses whitespace.
+
+    This is the boilerplate-light cleaning stage between WARC ingestion
+    (``sources/archives.read_warc_records`` → http_body) and the text
+    quality/dedup pipeline — not a DOM parser: malformed tags degrade
+    to text, which for corpus building is the right failure mode."""
+    t = html
+    t = F.regexp_replace(t, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/blockquote)\b[^>]*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -148,3 +148,50 @@ def test_warc_corrupt_policy(spark, tmp_path):
         read_warc_records(spark, str(d)).collect()
     rows = read_warc_records(spark, str(d), skip_bad=True).collect()
     assert [r.record_id for r in rows] == ["<urn:uuid:zzz>"]
+
+
+def test_warc_to_clean_text_end_to_end(spark, tmp_path):
+    """The crawl-to-corpus loop: WARC → http_body → html_to_text →
+    tokens, all engine-side."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        html_to_text,
+        tokens,
+    )
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    html = (
+        b"<html><head><style>p{color:red}</style>"
+        b"<script>alert('x &amp; y')</script></head>"
+        b"<body><h1>Title</h1><p>Hello&nbsp;crawl &amp; friends"
+        b"<br>line two</p><!-- hidden --><div>tail</div></body></html>"
+    )
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "one.warc").write_bytes(
+        _warc_record(
+            "r1", "response", "http://example.com/a", http,
+            content_type="application/http; msgtype=response",
+        )
+    )
+    cleaned = (
+        read_warc_records(spark, str(d))
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "target_uri",
+            html_to_text(
+                F.col("http_body").cast("string")
+            ).alias("text"),
+        )
+        .withColumn("toks", tokens(F.col("text")))
+        .collect()
+    )
+    assert len(cleaned) == 1
+    assert cleaned[0].text == "Title Hello crawl & friends line two tail"
+    assert cleaned[0].toks == [
+        "Title", "Hello", "crawl", "&", "friends", "line", "two", "tail",
+    ]
