@@ -241,3 +241,51 @@ def html_to_text(html: Column) -> Column:
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host of a URL, NULL for non-URLs (built-in
+    ``try_parse_url`` — JVM-side, ANSI-safe)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def url_registered_domain(url: Column) -> Column:
+    """Last-two-labels approximation of the registrable domain
+    (example.com from www.example.com). DOCUMENTED heuristic: correct
+    for generic TLDs, one label short for ccTLD registries like
+    ``.co.uk`` — crawl curation at 100 TB buckets by this key for
+    per-site caps and blocklists, where the approximation error is a
+    conservative over-grouping (never under-grouping)."""
+    h = url_host(url)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 2, h).otherwise(
+            F.concat_ws(
+                ".", F.element_at(parts, n - 1), F.element_at(parts, n)
+            )
+        )
+    )
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for exact-dedup keys: lower-case scheme+host,
+    strip fragments, default ports (:80/:443), and a single trailing
+    slash on the bare path. Pure regexp/built-in chain (codegen);
+    query strings are KEPT (they select content on real sites —
+    dropping them is a recall-losing choice a caller can make
+    explicitly)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(
+        u,
+        r"(?i)^(https?)://([^/:?#]+)(:(80|443))?",
+        r"$1://$2",
+    )
+    # lower-case ONLY scheme and host (path is case-sensitive)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z]+://([^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?#]*", "")
+    rest = F.when(rest == "/", "").otherwise(rest)
+    return F.when(
+        scheme == "", url  # not a URL shape: pass through untouched
+    ).otherwise(F.concat(scheme, F.lit("://"), host, rest))

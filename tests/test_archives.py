@@ -195,3 +195,36 @@ def test_warc_to_clean_text_end_to_end(spark, tmp_path):
     assert cleaned[0].toks == [
         "Title", "Hello", "crawl", "&", "friends", "line", "two", "tail",
     ]
+
+
+def test_url_curation_functions(spark):
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    rows = [
+        ("HTTPS://WWW.Example.COM:443/Path/Page?q=1#frag",),
+        ("http://sub.a.example.org:80/",),
+        ("http://example.com",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, ["u"])
+    got = df.select(
+        url_host(F.col("u")).alias("h"),
+        url_registered_domain(F.col("u")).alias("d"),
+        url_normalize(F.col("u")).alias("n"),
+    ).collect()
+    assert [r.h for r in got] == [
+        "www.example.com", "sub.a.example.org", "example.com", None,
+    ]
+    assert [r.d for r in got] == [
+        "example.com", "example.org", "example.com", None,
+    ]
+    assert got[0].n == "https://www.example.com/Path/Page?q=1"
+    assert got[1].n == "http://sub.a.example.org"
+    assert got[2].n == "http://example.com"
+    assert got[3].n == "not a url"
