@@ -289,3 +289,43 @@ def url_normalize(url: Column) -> Column:
     return F.when(
         scheme == "", url  # not a URL shape: pass through untouched
     ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
+def sentences(text: Column) -> Column:
+    """Heuristic sentence segmentation, JVM-side: split after [.!?]
+    runs followed by whitespace and an upper-case/digit opener —
+    the regex stays in codegen, which is what a 100 TB corpus pass
+    needs. A heuristic by design (abbreviations like 'Dr.' split);
+    corpus chunking wants cheap, deterministic boundaries, not a
+    grammar. Empty segments are dropped."""
+    parts = F.split(text, r"(?<=[.!?])[\s]+(?=[A-Z0-9\"'])")
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def fold_accents(text: Column) -> Column:
+    """Unicode NFKD accent folding (café → cafe) as an Arrow-batched
+    pandas UDF — the deliberate Python path: Spark ships no ICU, and
+    unicodedata is the stdlib's correct answer. Use AFTER filtering to
+    the rows that need it (the catalog's UDF discipline); NULLs pass
+    through."""
+    import pandas as pd  # noqa: F401 - documents the Arrow path
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else "".join(
+                c
+                for c in unicodedata.normalize("NFKD", x)
+                if not unicodedata.combining(c)
+            )
+        )
+
+    return _fold(text)

@@ -83,3 +83,34 @@ def test_problemchars(spark, key, problematic):
     df = spark.createDataFrame([(key,)], ["k"])
     got = df.select(is_problematic_key(F.col("k")).alias("p")).collect()[0]["p"]
     assert got is problematic
+
+
+def test_sentence_segmentation_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [("First one. Second two! Third? 4th starts with a digit. end",)],
+        ["t"],
+    )
+    got = df.select(sentences(F.col("t")).alias("s")).collect()[0].s
+    # 'end' opens lower-case → stays attached to the previous segment
+    assert got == [
+        "First one.",
+        "Second two!",
+        "Third?",
+        "4th starts with a digit. end",
+    ]
+
+
+def test_fold_accents_nfkd(spark):
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import fold_accents
+
+    df = spark.createDataFrame(
+        [("café",), ("naïve Ångström",), (None,)], ["t"]
+    )
+    got = [r.f for r in df.select(fold_accents(F.col("t")).alias("f")).collect()]
+    assert got == ["cafe", "naive Angstrom", None]
