@@ -276,10 +276,13 @@ def url_normalize(url: Column) -> Column:
     dropping them is a recall-losing choice a caller can make
     explicitly)."""
     u = F.regexp_replace(url, r"#.*$", "")
+    # Default-port strip is scheme-aware (:80 is only redundant on http,
+    # :443 only on https) and boundary-anchored with (?![0-9]) so :8080 /
+    # :4430 never match as prefixes (r7 ADVICE: the unanchored form
+    # rewrote http://x:8080/ to http://x80/ and corrupted dedup keys).
+    u = F.regexp_replace(u, r"(?i)^(http)://([^/:?#]+):80(?![0-9])", r"$1://$2")
     u = F.regexp_replace(
-        u,
-        r"(?i)^(https?)://([^/:?#]+)(:(80|443))?",
-        r"$1://$2",
+        u, r"(?i)^(https)://([^/:?#]+):443(?![0-9])", r"$1://$2"
     )
     # lower-case ONLY scheme and host (path is case-sensitive)
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+)://", 1))

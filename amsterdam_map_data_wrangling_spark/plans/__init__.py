@@ -5,6 +5,7 @@ from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
     features,
     multimodal,
     queries,
+    r08_queue,
     similarity,
     sketches,
     sparse,

@@ -72,6 +72,7 @@ def _load_all() -> None:
         features,
         multimodal,
         queries,
+        r08_queue,
         similarity,
         sketches,
         sparse,
@@ -90,113 +91,36 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 #:
-#: Capacity math (round 7, registry N > 2x50): only 100 verdict slots
-#: exist per 2 rounds, so the strict <=2-round policy saturates. The
-#: sustainable tight schedule, enforced by tests/test_gate_freshness.py:
-#: changed-code and new queries always front-load; a bounded tail of at
-#: most (N - 100) UNCHANGED queries may age to 3 rounds (never beyond,
-#: must hold a verdict from two artifacts back, parked immediately past
-#: slot 50). Every new registration this round takes a front slot and
-#: displaces one r05-green query into the park — N grows by 1 each
-#: time, so the (N - 100) allowance grows in lockstep and the policy
-#: stays satisfiable by construction. r08 recipe: front = the parked
-#: r05-green tail (their verdicts turn 3 rounds old — hard ceiling) +
-#: any changed-code queries, then the oldest r06-green queries.
-#: Round-7-close exact fill: the park holds 26 names and
-#: plans/r08_queue.py holds 24 validated pairs, so r08's front is
-#: exactly 26 + 24 = 50 with ZERO slack — register all 24, park the 50
-#: r06-greens (they re-gate at r09 at age 3, inside the then-current
-#: N − 100 = 150 − 100 = 50 allowance, which the 24 registrations grow
-#: to precisely the needed size). Do NOT add further registrations at
-#: r08 beyond the queue without dropping a queue pair to r09.
+#: Capacity math (N = 150, the saturation ceiling): 100 verdict slots
+#: exist per 2 rounds, so with N > 100 a bounded tail of at most
+#: (N - 100) = 50 UNCHANGED queries ages to 3 rounds (never beyond;
+#: must hold a verdict from two artifacts back; parked immediately past
+#: slot 50) — enforced mechanically by tests/test_gate_freshness.py
+#: plus the oracle-definition ledger (ORACLE_HASHES.json).
 #:
-#: SATURATION NOTICE (decide deliberately at r08): at N = 150 the
-#: schedule becomes a permanent 3-round cycle with zero slack — every
-#: round's 50 slots are fully owed to the cohort hitting the age-3
-#: ceiling (r09: the 50 r06-greens; r10: the 26 re-gated parks + the
-#: 24 r08 registrations; r11: the 50 r09-regated; ...), so NO further
-#: registration is ever possible at a 50-row artifact window.
-#: Registering all 24 therefore trades all future breadth for maximum
-#: now-breadth; registering K < 24 keeps (24 − K) queue pairs plus
-#: (24 − K) front slots of permanent per-cycle slack. 150-at-
-#: saturation is a defensible end state (rounds 9+ shift to perf and
-#: depth); just make the choice knowingly, and prefer retiring a
-#: weak query over exceeding the ceiling if a must-register operator
-#: appears later.
+#: SATURATION DECISION (round 8, recorded per the r07 verdict ask and
+#: SURVEY §8): register ALL 24 queue pairs — the catalog lands exactly
+#: at N = 150 and the rotation becomes a permanent 3-round cycle with
+#: zero registration slack. Rationale: the queue families (drift, A/B,
+#: retention, spatial, basket, concentration, ...) are breadth a user
+#: of this engine would actually run, and rounds 9+ pivot to perf and
+#: depth work that needs no new gate slots. If a must-register operator
+#: ever appears, RETIRE a weak query for its slot rather than exceed
+#: the ceiling.
+#:
+#: Standing 3-round cycle from here (each round's 50 slots are owed in
+#: full to the cohort whose verdicts turn 3 rounds old):
+#:   r08 front = 26 r05-parks + 24 first-ever queue registrations
+#:   r09 front = the 50 r06-greens (section (e) below, pre-written)
+#:   r10 front = the 50 r07-greens (unlisted tail below)
+#:   r11 front = the r08 front again, and so on.
+#: Changed-code queries always jump their cohort into the next front,
+#: displacing an unchanged name one cycle later — the ledger test
+#: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 7 rotation ----
-    # (a) first-ever driver verdicts for the 5 queries that overflowed
-    #     the round-6 window (pytest-oracle-green at both SFs since
-    #     registration, never in any CORRECTNESS artifact — VERDICT r6
-    #     deduction #1):
-    "gap_sessionization",
-    "variant_json_stats",
-    "null_semantics_audit",
-    "xml_roundtrip_stats",
-    "nation_volume_shipping",
-    # (b) the oracle-changed trio (r5 ADVICE integer-cents / literal-0
-    #     gates landed in r6 but their fresh definitions never met the
-    #     driver — r6 ADVICE #2 names exactly this hazard) and the
-    #     behavior-preserving internal changes (dedup_clusters hop
-    #     budget; ann_ivf seed re-sort):
-    "pii_redaction_stats",
-    "star_join_customers_by_region",
-    "range_join_balance_bands",
-    "dedup_clusters",
-    "ann_ivf",
-    "ann_ivf_probe2",
-    # (c) new registrations this round (each displaced one r05-green
-    #     name from the front into the park below): the graduated r07
-    #     queue (plans/features.py, plans/sparse.py, the two new
-    #     plans/dedup.py gates) plus the round-7 operator additions
-    #     (decontamination, WAV-PCM + BMP content decodes, LOCF
-    #     resample, BM25, PageRank, SQ8 + PQ-ADC ANN, RANGE frame)
-    "sparse_cosine_pairs",
-    "sparse_cosine_topk",
-    "bloom_vocab_overlap",
-    "decontaminate_stats",
-    "winsorize_price_stats",
-    "robust_z_by_priority",
-    "unigram_lm_scores",
-    "uniform_sample_per_group",
-    "weighted_sample_per_group",
-    "sorted_neighborhood_window",
-    "near_dup_transitivity",
-    "audio_levels",
-    "image_pixel_stats",
-    "resample_locf_daily",
-    "bm25_search",
-    "near_dup_pagerank",
-    "ann_sq8_rerank",
-    "ann_pq_adc",
-    "trailing_window_revenue",
-    "ols_price_trend_by_priority",
-    "incremental_dedup_stats",
-    # (d) the r05-green tail, oldest-registered first; the front holds
-    #     as many as fit after (a)-(c):
-    "multimodal_dims",
-    "multimodal_features",
-    "dedup_minhash_pairs",
-    "dedup_minhash_portable_pairs",
-    "dedup_simhash_bands",
-    "dedup_ngram_jaccard",
-    "knn_cosine_brute",
-    "ann_sign_lsh",
-    "ann_rand_lsh",
-    "embedding_near_dup_pairs",
-    "tfidf_top_terms",
-    "token_budget_pack",
-    "token_budget_pack_sharded",
-    "quality_filter_pipeline",
-    "sketch_users_by_type",
-    "sketch_value_quantiles",
-    "salted_join_hot_customer",
-    "dedup_exact_groups",
-    # ---- window boundary (slot 50) ----
-    # (e) the parked r05-green tail: UNCHANGED code, r05 verdicts age to
-    #     3 rounds under the bounded (N - 100) allowance, first in line
-    #     for r08's front. Growth note: each new registration above
-    #     moves the last front name here, keeping front == 50.
+    # ---- round 8 rotation: front (slots 1-50) ----
+    # (a) the 26 r05-green parks — their r05 verdicts hit the 3-round
+    #     hard ceiling this round (r07 verdict deduction #1):
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "frame_sample_stats",
@@ -223,9 +147,90 @@ _GATE_PRIORITY: list[str] = [
     "eav_unpivot_topk",
     "table_stats",
     "salted_user_event_stats",
-    # (f) the 50 r06-green queries are deliberately unlisted — they
-    #     append in registration order behind the park, each holding a
-    #     verdict exactly 1 round old.
+    # (b) the 24 r08-queue registrations (plans/r08_queue.py) — first
+    #     driver verdicts; oracle-validated at both SFs since r07:
+    "dataset_split_stats",
+    "embedding_label_centroids",
+    "minhash_recall_curve",
+    "dedup_cluster_size_hist",
+    "event_transition_counts",
+    "scd2_state_durations",
+    "cohort_retention",
+    "ks_split_drift",
+    "chi2_type_weekday",
+    "vocab_jaccard_sources",
+    "equal_freq_deciles",
+    "spearman_autocorr_daily_revenue",
+    "minmax_scale_bins",
+    "token_diversity_by_source",
+    "nearest_centroid_confusion",
+    "rfm_segment_counts",
+    "dq_audit_star",
+    "neardup_degree_hist",
+    "spatial_radius_pairs",
+    "basket_lift_pairs",
+    "daily_peak_concurrency",
+    "revenue_concentration",
+    "ab_test_zscore",
+    "gap_log2_hist",
+    # ---- window boundary (slot 50) ----
+    # (e) park: the 50 r06-green queries, verdicts age 2 at r08 → they
+    #     are r09's entire front (pre-written here per r07 verdict ask
+    #     #7 so the next rotation is one mechanical move: swap sections
+    #     (a)+(b) with (e), snapshot ORACLE_HASHES "9"):
+    "tumbling_window_stats",
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "ilike_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "event_gap_stats",
+    "asof_last_click_before_error",
+    "above_avg_orders_per_customer",
+    "segment_event_counts",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    "sliding_window_by_type",
+    "session_window_per_user",
+    "interval_join_click_error",
+    "json_props_stats",
+    "value_percentiles_by_type",
+    "audio_dims",
+    "video_dims",
+    "runtime_bloom_filter_join",
+    "funnel_conversion",
+    "key_skew_profile",
+    "zorder_layout_stats",
+    "dedup_keep_canonical",
+    "cms_heavy_hitters",
+    "equi_depth_histogram",
+    "expectations_report",
+    "python_datasource_stats",
+    "chunk_documents_udtf",
+    "interval_overlap_balances",
+    "local_supplier_volume",
+    "weekly_cohort_retention",
+    "nested_json_shred",
+    "repetition_stats",
+    "benchmark_contamination",
+    "mixture_proportional_sample",
+    "snapshot_table_diff",
+    "dup_span_coverage",
+    "dedup_edit_refine",
+    "map_ops_surface",
+    # (f) the 50 r07-green queries are deliberately unlisted — they
+    #     append in registration order behind the park (verdict age 1),
+    #     and become r10's front.
 ]
 
 

@@ -2053,3 +2053,22 @@ def gap_hist_build(spark, sf_dir):
 
 
 QUEUE["gap_log2_hist"] = (gap_hist_build, GAP_HIST_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registration (the move this queue existed for): every validated
+# (build, oracle) pair enters the live catalog. catalog._load_all imports
+# this module, so the registry sees all 24; _GATE_PRIORITY fronts them next
+# to the 26-name r05-green park (exact 50-slot fill — capacity math at
+# plans/catalog.py:_GATE_PRIORITY). The QUEUE dict stays exported for
+# tests/test_r08_queue_edges.py's robustness sweep.
+# ---------------------------------------------------------------------------
+def _register() -> None:
+    from amsterdam_map_data_wrangling_spark.plans.catalog import query
+
+    for _name, (_build, _oracle) in QUEUE.items():
+        doc = " ".join((_build.__doc__ or "").split())
+        query(_name, _oracle, doc=doc)(_build)
+
+
+_register()

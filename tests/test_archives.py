@@ -211,6 +211,12 @@ def test_url_curation_functions(spark):
         ("http://sub.a.example.org:80/",),
         ("http://example.com",),
         ("not a url",),
+        # r7 ADVICE regression pins: a non-default port must survive
+        # url_normalize verbatim (:8080 once matched the :80 prefix),
+        # and a default port on the WRONG scheme is not redundant.
+        ("http://example.com:8080/x",),
+        ("https://example.com:4430/x",),
+        ("http://example.com:443/x",),
     ]
     df = spark.createDataFrame(rows, ["u"])
     got = df.select(
@@ -220,11 +226,16 @@ def test_url_curation_functions(spark):
     ).collect()
     assert [r.h for r in got] == [
         "www.example.com", "sub.a.example.org", "example.com", None,
+        "example.com", "example.com", "example.com",
     ]
     assert [r.d for r in got] == [
         "example.com", "example.org", "example.com", None,
+        "example.com", "example.com", "example.com",
     ]
     assert got[0].n == "https://www.example.com/Path/Page?q=1"
     assert got[1].n == "http://sub.a.example.org"
     assert got[2].n == "http://example.com"
     assert got[3].n == "not a url"
+    assert got[4].n == "http://example.com:8080/x"
+    assert got[5].n == "https://example.com:4430/x"
+    assert got[6].n == "http://example.com:443/x"

@@ -33,6 +33,14 @@ BNLJ_WHITELIST = {
     "incremental_dedup_stats",  # three 1-row census aggregates → one row
 }
 
+# r08-queue graduates: the 8 documented 1-row / fixed-size stitches,
+# reviewed pair-by-pair at queue build time (comments at
+# plans/r08_queue.py:BNLJ_OK) — registration unions them in rather than
+# duplicating the rationale here.
+from amsterdam_map_data_wrangling_spark.plans.r08_queue import BNLJ_OK
+
+BNLJ_WHITELIST |= BNLJ_OK
+
 #: the deliberate row-Python surface gates; everything else must stay
 #: JVM-side or Arrow-batched.
 ROW_PYTHON_WHITELIST = {"chunk_documents_udtf"}
