@@ -13,9 +13,9 @@ file ≈ one scan partition. Files already at/over target are left alone
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
+
+from amsterdam_map_data_wrangling_spark.sources.fs import list_files
 
 
 def compaction_plan(
@@ -60,10 +60,12 @@ def compact_parquet_dir(
     independent read→coalesce(1)→append job — a scheduler can run
     groups in parallel, and no shuffle happens anywhere (coalesce(1)
     merges partitions map-side)."""
+    # Hadoop-FS listing (not os.listdir) so the maintenance job runs
+    # against hdfs:// / s3a:// tables, not just the driver's disk.
     files = [
-        (os.path.join(src_dir, f), os.path.getsize(os.path.join(src_dir, f)))
-        for f in sorted(os.listdir(src_dir))
-        if f.endswith(".parquet")
+        (p, sz)
+        for p, sz in list_files(spark, src_dir)
+        if p.endswith(".parquet")
     ]
     groups = compaction_plan(files, target_bytes)
     total = 0

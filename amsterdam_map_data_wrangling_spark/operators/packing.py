@@ -80,7 +80,10 @@ def pack_sequences(
         bins: list[tuple[int, list[int]]] = []  # (fill, member ids)
         oversize_bins: list[tuple[int, list[int]]] = []
         for did, ln in items:
-            if ln >= context_len:
+            # strictly greater: an exact-fit document IS a full bin, not
+            # an oversize outlier (r7 ADVICE — >= invited callers to
+            # truncate a perfect zero-padding fit)
+            if ln > context_len:
                 oversize_bins.append((ln, [did]))
                 continue
             for i, (fill, members) in enumerate(bins):

@@ -811,8 +811,10 @@ def near_dup_transitivity(spark, sf_dir):
     "bit; per-edge contributions are identical doubles and only the "
     "neighbor SUM is association-sensitive — gated rounded to 9. "
     "Scale: each iteration is one vertex-key join + one aggregation "
-    "(a CC hop); ranks lazily checkpoint per round so lineage stays "
-    "one iteration deep.",
+    "(a CC hop); the REUSED edge relation is checkpointed once and "
+    "per-round rank checkpoints are deliberately omitted at this hop "
+    "budget (3 linear hops — operators/dedup.pagerank documents the "
+    "measured trade; deeper budgets would add them).",
 )
 def near_dup_pagerank(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.operators.dedup import pagerank

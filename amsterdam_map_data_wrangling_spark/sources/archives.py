@@ -9,7 +9,10 @@ Arrow-batched ``mapInPandas`` shreds each archive with stdlib
 Scale: archives never aggregate anywhere — each executor opens only its
 own partition's archives from memory (BytesIO, no temp files), so the
 pattern handles any number of archives; per-archive size is bounded by
-executor memory (the binaryFile source's contract). Corrupt archives
+executor memory (the binaryFile source's contract). For the opposite
+shape — ONE giant WARC that would otherwise be a single straggler task
+— use ``sources/warc_split.py``: byte-range partitions with record
+boundary synchronization, the input-format answer. Corrupt archives
 either fail loudly (default) or, with ``skip_bad=True``, drop with a
 WARNING — the crawl-ingest reality where a few truncated zips must not
 kill a 100 TB backfill."""

@@ -12,10 +12,13 @@ manifesting a million shards is just another map job."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.sources.fs import (
+    read_text_file,
+    write_text_file,
+)
 
 
 def write_jsonl_corpus(
@@ -40,19 +43,22 @@ def write_jsonl_corpus(
     rows = manifest.collect()  # manifests are shard-count-sized: small
     import json
 
-    with open(os.path.join(path, "_MANIFEST.jsonl"), "w") as f:
-        for r in rows:
-            f.write(
-                json.dumps(
-                    {
-                        "shard": r.shard,
-                        "n_rows": r.n_rows,
-                        "n_bytes": r.n_bytes,
-                        "md5": r.md5,
-                    }
-                )
-                + "\n"
-            )
+    # Hadoop-FS write, not a driver-local open(): the manifest must land
+    # NEXT TO the shards on whatever filesystem the export targeted
+    # (hdfs://, s3a://, file:) — r7 ADVICE.
+    lines = "".join(
+        json.dumps(
+            {
+                "shard": r.shard,
+                "n_rows": r.n_rows,
+                "n_bytes": r.n_bytes,
+                "md5": r.md5,
+            }
+        )
+        + "\n"
+        for r in rows
+    )
+    write_text_file(df.sparkSession, path + "/_MANIFEST.jsonl", lines)
     return manifest
 
 
@@ -96,8 +102,11 @@ def verify_manifest(spark: SparkSession, path: str) -> DataFrame:
     (empty = intact corpus). The consumer-side integrity check."""
     import json
 
-    with open(os.path.join(path, "_MANIFEST.jsonl")) as f:
-        stored = [json.loads(line) for line in f]
+    stored = [
+        json.loads(line)
+        for line in read_text_file(spark, path + "/_MANIFEST.jsonl").splitlines()
+        if line.strip()
+    ]
     stored_df = spark.createDataFrame(
         [(r["shard"], r["n_rows"], r["n_bytes"], r["md5"]) for r in stored],
         "shard string, n_rows long, n_bytes long, md5 string",

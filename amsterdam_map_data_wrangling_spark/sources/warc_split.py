@@ -1,0 +1,345 @@
+"""Range-split WARC reading: the giant-archive answer.
+
+``sources/archives.read_warc_records`` distributes one task per archive
+— the right shape for crawl dumps shipped as millions of ~1 GB WARC
+files, but a single 100 GB WARC is then a straggler by construction
+(and may not fit executor memory at all, since binaryFile materializes
+the whole file as one row).
+
+This module is the classic input-format remedy, done as a Spark 4
+Python DataSource: partition each WARC by BYTE RANGE and synchronize to
+a record boundary inside each range — exactly how Hadoop's text/WARC
+input formats make one huge file parallel. The claim rule is the
+standard one:
+
+  a record belongs to the partition whose range contains the record's
+  START offset; a task may read PAST its range end to finish its last
+  record, and a task whose range begins mid-record scans forward to the
+  first record that starts inside its range.
+
+Every record is therefore emitted exactly once, for any split size.
+
+Boundary synchronization, per flavor:
+
+- ``*.warc.gz`` (Common-Crawl convention: one gzip member per record,
+  concatenated): sync points are gzip member starts. Candidates are
+  ``\\x1f\\x8b\\x08`` magic hits, VALIDATED by actually decompressing a
+  member and checking the plaintext starts with ``WARC/`` — a false
+  magic inside compressed bytes fails one of the two checks and the
+  scan moves on. Member ends come from the decompressor's consumed-byte
+  count, so after the first sync everything is exact framing, not
+  guessing.
+- uncompressed ``*.warc``: sync points are ``WARC/`` version lines at a
+  record boundary. Candidates are validated by parsing a full header
+  block (version line + Content-Length) AND chain-checking that the
+  record's end lands on another valid record start (or EOF) — the
+  double validation Hadoop's splitters use, because a payload can
+  contain the marker bytes. A payload that embeds an entire valid WARC
+  record chain can still fool any marker-based splitter; ship such
+  payloads as .warc.gz, where member framing is exact. (Documented
+  limitation, inherent to the format.)
+
+Files are accessed through ``pyarrow.fs`` seek+read (local paths and
+any URI pyarrow supports: s3://, gs://, hdfs:// with libhdfs) — tasks
+read only their range plus one record's tail, never the whole file.
+
+Usage::
+
+    spark.dataSource.register(SplitWarcDataSource)
+    df = (spark.read.format("warc_split")
+          .option("path", "/data/crawl")          # file or directory
+          .option("split_bytes", 64 * 1024 * 1024)
+          .load())
+
+Schema is identical to ``read_warc_records`` (drop-in swap): one task
+per (file x range) instead of one per file.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from amsterdam_map_data_wrangling_spark.sources.archives import _WARC_SCHEMA
+
+_GZIP_MAGIC = b"\x1f\x8b\x08"
+_CHUNK = 4 * 1024 * 1024
+#: a header block larger than this is treated as damage, not a record
+_MAX_HEADER = 1 * 1024 * 1024
+
+
+def _open_file(path: str):
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+        return fs.open_input_file(p)
+    return pafs.LocalFileSystem().open_input_file(path)
+
+
+def _list_warcs(path: str) -> list[tuple[str, int]]:
+    """(path, size) for ``path`` itself (a file) or every *.warc /
+    *.warc.gz under it (a directory), any pyarrow-supported scheme."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), path
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return [(path, info.size)]
+    sel = pafs.FileSelector(p, recursive=True)
+    out = [
+        (f.path if "://" not in path else path.split("://")[0] + "://" + f.path, f.size)
+        for f in fs.get_file_info(sel)
+        if f.type == pafs.FileType.File
+        and (f.path.endswith(".warc") or f.path.endswith(".warc.gz"))
+    ]
+    if not out:
+        raise FileNotFoundError(f"no *.warc / *.warc.gz under {path}")
+    return sorted(out)
+
+
+class _Window:
+    """A forward-moving byte window over one file: keeps only
+    [base, base+len(buf)) in memory, extending by CHUNK on demand —
+    a task never holds more than its working span of a 100 GB file."""
+
+    def __init__(self, f, file_size: int, base: int):
+        self.f = f
+        self.size = file_size
+        self.base = base
+        self.buf = b""
+
+    def ensure(self, upto: int) -> None:
+        """Grow the window to cover absolute offset ``upto`` (exclusive),
+        clamped to the file size."""
+        need = min(upto, self.size) - (self.base + len(self.buf))
+        if need <= 0:
+            return
+        n = min(max(need, _CHUNK), self.size - self.base - len(self.buf))
+        self.f.seek(self.base + len(self.buf))
+        self.buf += self.f.read(n)
+
+    def drop_before(self, pos: int) -> None:
+        """Release bytes before absolute offset ``pos``."""
+        cut = pos - self.base
+        if cut > 0:
+            self.buf = self.buf[cut:]
+            self.base = pos
+
+    def at(self, pos: int, n: int) -> bytes:
+        self.ensure(pos + n)
+        return self.buf[pos - self.base : pos - self.base + n]
+
+    def find(self, needle: bytes, pos: int, limit: int) -> int:
+        """Absolute offset of ``needle`` at/after ``pos``, scanning at
+        most to absolute ``limit``; -1 if absent."""
+        self.ensure(min(limit, self.size))
+        i = self.buf.find(needle, pos - self.base, limit - self.base)
+        return -1 if i < 0 else self.base + i
+
+
+def _parse_header_at(win: _Window, pos: int):
+    """Try to parse a WARC header block starting at absolute ``pos``.
+    Returns (fields, body_start, content_length) or None if this is not
+    a valid record start."""
+    if win.at(pos, 5) != b"WARC/":
+        return None
+    win.ensure(min(pos + _MAX_HEADER, win.size))
+    head_end = win.find(b"\r\n\r\n", pos, min(pos + _MAX_HEADER, win.size))
+    if head_end < 0:
+        return None
+    header = win.at(pos, head_end - pos).decode("utf-8", "replace")
+    lines = header.split("\r\n")
+    if not lines[0].startswith("WARC/"):
+        return None
+    fields = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        fields[k.strip().lower()] = v.strip()
+    try:
+        clen = int(fields["content-length"])
+    except (KeyError, ValueError):
+        return None
+    return fields, head_end + 4, clen
+
+
+def _record_at(win: _Window, pos: int):
+    """Parse the record at a KNOWN-good start. Returns (row_tuple,
+    next_pos). Raises ValueError on broken framing (loud — after sync,
+    errors are damage, not ambiguity)."""
+    parsed = _parse_header_at(win, pos)
+    if parsed is None:
+        raise ValueError(f"broken WARC framing at offset {pos}")
+    fields, body_start, clen = parsed
+    if body_start + clen > win.size:
+        raise ValueError("truncated WARC payload")
+    payload = win.at(body_start, clen)
+    http_body = None
+    if fields.get("content-type", "").startswith("application/http"):
+        sep = payload.find(b"\r\n\r\n")
+        http_body = payload[sep + 4 :] if sep >= 0 else payload
+    row = (
+        fields.get("warc-record-id", ""),
+        fields.get("warc-type", ""),
+        fields.get("warc-target-uri", ""),
+        clen,
+        payload,
+        http_body,
+    )
+    nxt = body_start + clen
+    while win.at(nxt, 2) == b"\r\n":
+        nxt += 2
+    return row, nxt
+
+
+def _sync_plain(win: _Window, start: int, end: int):
+    """First valid record start in [start, end) of an uncompressed WARC,
+    or None. Chain-validated: the candidate's record must END at another
+    valid record start (or EOF)."""
+    pos = start
+    while pos < end:
+        # search limit extends len(marker)-1 past end: a record STARTING
+        # at end-1 belongs to this range, even though its marker bytes
+        # spill past it (bytes.find needs the needle inside the limit)
+        cand = win.find(b"WARC/", pos, min(end + 4, win.size))
+        if cand < 0 or cand >= end:
+            return None
+        parsed = _parse_header_at(win, cand)
+        if parsed is not None:
+            _fields, body_start, clen = parsed
+            nxt = body_start + clen
+            if nxt <= win.size:
+                while win.at(nxt, 2) == b"\r\n":
+                    nxt += 2
+                if nxt >= win.size or _parse_header_at(win, nxt) is not None:
+                    return cand
+        pos = cand + 1
+    return None
+
+
+def _gzip_member_at(win: _Window, pos: int, validate: bool):
+    """Decompress one gzip member at absolute ``pos``. Returns
+    (plaintext, consumed_bytes) or None if ``validate`` and the bytes
+    are not a real member (or not WARC plaintext)."""
+    d = zlib.decompressobj(wbits=31)
+    out = []
+    fed = 0
+    first = True
+    while True:
+        chunk = win.at(pos + fed, _CHUNK)
+        if not chunk:
+            if validate:
+                return None
+            raise ValueError("truncated gzip member")
+        try:
+            out.append(d.decompress(chunk))
+        except zlib.error:
+            if validate:
+                return None
+            raise
+        if first and validate and out[0] and not out[0].startswith(b"WARC/"):
+            return None
+        if out[0]:
+            first = False
+        fed += len(chunk)
+        if d.eof:
+            consumed = fed - len(d.unused_data)
+            plain = b"".join(out)
+            if validate and not plain.startswith(b"WARC/"):
+                return None
+            return plain, consumed
+
+
+def _sync_gzip(win: _Window, start: int, end: int):
+    """First gzip member start in [start, end), validated by an actual
+    one-member decompression whose plaintext is WARC."""
+    pos = start
+    while pos < end:
+        # limit extended 2 bytes past end so a member starting at end-1
+        # is still claimed by THIS range (see _sync_plain)
+        cand = win.find(_GZIP_MAGIC, pos, min(end + 2, win.size))
+        if cand < 0 or cand >= end:
+            return None
+        if _gzip_member_at(win, cand, validate=True) is not None:
+            return cand
+        pos = cand + 1
+    return None
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, size: int, start: int, end: int, gz: bool):
+        self.path, self.size = path, size
+        self.start, self.end, self.gz = start, end, gz
+
+
+class SplitWarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc_split requires .option('path', ...)")
+        self.split_bytes = int(options.get("split_bytes", 64 * 1024 * 1024))
+        if self.split_bytes <= 0:
+            raise ValueError("split_bytes must be positive")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Driver-side planning is METADATA ONLY (file list + sizes):
+        one partition per split_bytes range of each file. A million
+        ranges is a million cheap task descriptors, never file reads."""
+        out: list[InputPartition] = []
+        for path, size in _list_warcs(self.path):
+            gz = path.endswith(".gz")
+            for lo in range(0, max(size, 1), self.split_bytes):
+                out.append(
+                    _RangePartition(
+                        path, size, lo, min(lo + self.split_bytes, size), gz
+                    )
+                )
+        return out
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        p = partition
+        f = _open_file(p.path)
+        try:
+            win = _Window(f, p.size, p.start)
+            if p.gz:
+                pos = 0 if p.start == 0 else _sync_gzip(win, p.start, p.end)
+                while pos is not None and pos < p.end:
+                    plain, consumed = _gzip_member_at(win, pos, validate=False)
+                    # one member may carry several records (non-CC writers)
+                    mwin = _Window(None, len(plain), 0)
+                    mwin.buf = plain
+                    mpos = 0
+                    while mpos < len(plain):
+                        row, mpos = _record_at(mwin, mpos)
+                        yield (p.path, *row)
+                    pos += consumed
+                    win.drop_before(pos)
+            else:
+                pos = 0 if p.start == 0 else _sync_plain(win, p.start, p.end)
+                while pos is not None and pos < p.end:
+                    row, nxt = _record_at(win, pos)
+                    yield (p.path, *row)
+                    win.drop_before(nxt)
+                    pos = nxt
+        finally:
+            f.close()
+
+
+class SplitWarcDataSource(DataSource):
+    """``spark.read.format("warc_split")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_split"
+
+    def schema(self) -> str:
+        return _WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> SplitWarcReader:
+        return SplitWarcReader(self.options)

@@ -28,7 +28,7 @@ def test_pack_capacity_completeness_determinism(spark, sized):
         total = sum(r.n_tokens for r in members)
         assert all(r.bin_fill == total for r in members)
         if any(r.oversize for r in members):
-            assert len(members) == 1 and total >= L
+            assert len(members) == 1 and total > L
         else:
             assert total <= L
     # deterministic across invocations
@@ -54,6 +54,25 @@ def test_pack_efficiency_bound(spark, sized):
     n_bins = len({r.bin_id for r in regular})
     lower = math.ceil(sum(r.n_tokens for r in regular) / L)
     assert n_bins <= math.ceil(1.6 * lower)
+
+
+def test_pack_exact_fit_is_full_bin_not_oversize(spark, sized):
+    """Boundary pin (r7 ADVICE): a doc of exactly context_len tokens is
+    a perfect zero-padding fit — it must pack into a full, UNFLAGGED
+    singleton bin, never the oversize isolate branch. The fixture
+    contains one such doc (i=115 → 1 + 115*37 % 400 == 256)."""
+    df, lens = sized
+    L = 256
+    exact = [i for i, ln in lens.items() if ln == L]
+    assert exact, "fixture must contain an exact-fit doc"
+    out = pack_sequences(df, "doc_id", "n_tokens", L, shards=8).collect()
+    rows = {r.id: r for r in out}
+    for i in exact:
+        r = rows[i]
+        assert not r.oversize
+        assert r.bin_fill == L  # alone in a bin filled to capacity
+    # and strictly-longer docs still isolate with the flag
+    assert all(r.oversize for r in out if r.n_tokens > L)
 
 
 def test_pack_rejects_bad_context(spark, sized):

@@ -1,0 +1,166 @@
+"""Range-split WARC reading: exactly-once record claims at every split
+size, parity with the whole-file reader, and real per-range parallelism
+— the giant-archive straggler story, proven instead of prosed."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+
+from .test_archives import _warc_record
+
+
+def _corpus():
+    """~60 records with payloads from tiny to multi-KB (records that
+    span several small splits), http responses with bodies, and one
+    payload that CONTAINS the sync marker text (must not double-count)."""
+    recs = []
+    for i in range(60):
+        if i % 7 == 3:
+            payload = (f"filler {i} ".encode()) * 400  # ~3.6 KB, spans splits
+        else:
+            payload = f"payload number {i} ".encode() * (1 + i % 5)
+        if i % 5 == 0:
+            body = b"<html><body>doc %d</body></html>" % i
+            payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            recs.append(
+                _warc_record(
+                    f"r{i:03d}", "response", f"http://ex.com/{i}", payload,
+                    content_type="application/http; msgtype=response",
+                )
+            )
+        elif i == 17:
+            # adversarial: marker bytes inside a payload — header parse +
+            # chain validation must reject this as a record start
+            payload = b"quoted crawl log:\r\nWARC/1.0\r\nnot a real header\r\n" * 20
+            recs.append(
+                _warc_record(f"r{i:03d}", "metadata", f"http://ex.com/{i}", payload)
+            )
+        else:
+            recs.append(
+                _warc_record(f"r{i:03d}", "metadata", f"http://ex.com/{i}", payload)
+            )
+    return recs
+
+
+def _key(row):
+    return (
+        row.record_id,
+        row.warc_type,
+        row.target_uri,
+        row.content_length,
+        hashlib.md5(bytes(row.payload)).hexdigest(),
+        hashlib.md5(bytes(row.http_body) if row.http_body is not None else b"").hexdigest(),
+    )
+
+
+@pytest.fixture(scope="module")
+def warc_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("split_warcs")
+    recs = _corpus()
+    plain = d / "big.warc"
+    plain.write_bytes(b"".join(recs))
+    percc = d / "big_cc.warc.gz"  # Common-Crawl: one gzip member PER record
+    percc.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    mono = d / "mono.warc.gz"  # one gzip stream for the whole file
+    mono.write_bytes(gzip.compress(b"".join(recs)))
+    return d, plain, percc, mono, len(recs)
+
+
+@pytest.fixture()
+def registered(spark):
+    from amsterdam_map_data_wrangling_spark.sources.warc_split import (
+        SplitWarcDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SplitWarcDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark
+
+
+def _read_split(spark, path, split_bytes):
+    return (
+        spark.read.format("warc_split")
+        .option("path", str(path))
+        .option("split_bytes", split_bytes)
+        .load()
+    )
+
+
+@pytest.mark.parametrize("split_bytes", [512, 1777, 4096, 1 << 20])
+def test_split_plain_exactly_once_any_split(registered, warc_files, split_bytes):
+    spark = registered
+    d, plain, _percc, _mono, n = warc_files
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    baseline = sorted(_key(r) for r in read_warc_records(spark, str(plain)).collect())
+    assert len(baseline) == n
+    got = _read_split(spark, plain, split_bytes).collect()
+    # exactly once: COUNT equality catches double-claims, key equality drops
+    assert len(got) == n
+    assert sorted(_key(r) for r in got) == baseline
+
+
+@pytest.mark.parametrize("split_bytes", [512, 1777, 4096, 1 << 20])
+def test_split_percc_gzip_exactly_once_any_split(
+    registered, warc_files, split_bytes
+):
+    spark = registered
+    d, plain, percc, _mono, n = warc_files
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    baseline = sorted(_key(r) for r in read_warc_records(spark, str(plain)).collect())
+    got = _read_split(spark, percc, split_bytes).collect()
+    assert len(got) == n
+    assert sorted(_key(r) for r in got) == baseline
+
+
+def test_split_partition_count_is_range_math(registered, warc_files):
+    """The parallelism claim itself: one partition per split_bytes range
+    — a 100 GB WARC at 64 MB splits is ~1600 independent tasks, not one
+    straggler."""
+    spark = registered
+    _d, plain, _percc, _mono, _n = warc_files
+    size = plain.stat().st_size
+    split = 1024
+    df = _read_split(spark, plain, split)
+    expected = -(-size // split)  # ceil
+    assert df.rdd.getNumPartitions() == expected
+    assert expected > 20  # the fixture is genuinely multi-range
+
+
+def test_monolithic_gzip_degrades_to_one_worker_not_wrong(
+    registered, warc_files
+):
+    """A single-stream .warc.gz is not splittable by construction; the
+    correct behavior is one range does all records (the others find no
+    sync point) — parity intact, no duplicates."""
+    spark = registered
+    _d, plain, _percc, mono, n = warc_files
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+
+    baseline = sorted(_key(r) for r in read_warc_records(spark, str(plain)).collect())
+    got = _read_split(spark, mono, 2048).collect()
+    assert len(got) == n
+    assert sorted(_key(r) for r in got) == baseline
+
+
+def test_split_dir_reads_all_files(registered, warc_files):
+    spark = registered
+    d, _plain, _percc, _mono, n = warc_files
+    # directory mode: big.warc + big_cc.warc.gz + mono.warc.gz = 3n records
+    got = _read_split(spark, d, 4096).collect()
+    assert len(got) == 3 * n
+    assert {r.archive for r in got} == {
+        str(d / "big.warc"), str(d / "big_cc.warc.gz"), str(d / "mono.warc.gz")
+    }
