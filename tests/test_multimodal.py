@@ -1009,3 +1009,52 @@ def test_tiff_synthesize_decode_matches_closed_form(spark):
             assert got[(mid, ch)] == (
                 w * h, sum(vals), max(vals), sum(vals[:w])
             )
+
+
+def test_lossy_adapter_without_pillow_fails_loud(spark):
+    """The decode_stub closure (r7 VERDICT #6): in a container without
+    Pillow, the lossy-image path must raise the documented
+    NotImplementedError on FIRST TOUCH — through the full Spark plumbing,
+    not just the helper — never silently pretend to decode."""
+    import pytest as _pytest
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _pillow,
+        decode_lossy_image,
+        extract_lossy_image_stats,
+    )
+
+    if _pillow() is not None:
+        _pytest.skip("Pillow present — covered by the decode test below")
+    with _pytest.raises(NotImplementedError):
+        decode_lossy_image(b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), "image/jpeg")],
+        "media_id long, payload binary, mime string",
+    )
+    with _pytest.raises(Exception, match="lossy-codec decode requires"):
+        extract_lossy_image_stats(df).collect()
+
+
+def test_lossy_adapter_with_pillow_decodes():
+    """Runs only where Pillow exists (env-dependent, recorded like the
+    protobuf/avro skips): a synthetic JPEG round-trips through the
+    adapter with plausible stats."""
+    import pytest as _pytest
+
+    from amsterdam_map_data_wrangling_spark.operators.multimodal import (
+        _pillow,
+        decode_lossy_image,
+    )
+
+    image_mod = _pillow()
+    if image_mod is None:
+        _pytest.skip("Pillow not in this container (recorded env skip)")
+    import io
+
+    im = image_mod.new("RGB", (8, 4), (200, 100, 50))
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=95)
+    w, h, n, means = decode_lossy_image(buf.getvalue(), "image/jpeg")
+    assert (w, h, n) == (8, 4, 32)
+    assert abs(means[0] - 200) < 10 and abs(means[2] - 50) < 12
