@@ -108,10 +108,24 @@ def _load_all() -> None:
 #: ever appears, RETIRE a weak query for its slot rather than exceed
 #: the ceiling.
 #:
+#: RETIREMENT, exercised once at r08 (the mechanism above, made real):
+#: the r7 verdict asked for a driver-gated crawl-ingestion query
+#: "window permitting" — the window didn't permit, so the policy's
+#: escape hatch ran instead. `ilike_filter_count` (hash-green r01-r06;
+#: the lowest-marginal-evidence gate — a one-flag variant of
+#: like_filter_count, ILIKE semantics still pytest-compared in
+#: tests/test_retired.py) left the registry; `warc_roundtrip_stats`
+#: (plans/multimodal.py — the real _parse_warc against a string-algebra
+#: oracle) took a front slot; N stays exactly 150. One queue pair
+#: (gap_log2_hist, whose event-gap family already holds the gated
+#: event_gap_stats) waits one round as the bounded never-gated overflow
+#: parked at slot 51 — the retirement freed exactly one r09 front slot
+#: for it (49 r06-greens + gap_log2_hist = 50).
+#:
 #: Standing 3-round cycle from here (each round's 50 slots are owed in
 #: full to the cohort whose verdicts turn 3 rounds old):
-#:   r08 front = 26 r05-parks + 24 first-ever queue registrations
-#:   r09 front = the 50 r06-greens (section (e) below, pre-written)
+#:   r08 front = 26 r05-parks + 23 queue + warc_roundtrip_stats
+#:   r09 front = gap_log2_hist + the 49 r06-greens (section (e), pre-written)
 #:   r10 front = the 50 r07-greens (unlisted tail below)
 #:   r11 front = the r08 front again, and so on.
 #: Changed-code queries always jump their cohort into the next front,
@@ -172,12 +186,16 @@ _GATE_PRIORITY: list[str] = [
     "daily_peak_concurrency",
     "revenue_concentration",
     "ab_test_zscore",
-    "gap_log2_hist",
+    # (c) the crawl-ingestion round-trip gate, slotted by RETIRING
+    #     ilike_filter_count (see RETIREMENT note above):
+    "warc_roundtrip_stats",
     # ---- window boundary (slot 50) ----
-    # (e) park: the 50 r06-green queries, verdicts age 2 at r08 → they
-    #     are r09's entire front (pre-written here per r07 verdict ask
-    #     #7 so the next rotation is one mechanical move: swap sections
-    #     (a)+(b) with (e), snapshot ORACLE_HASHES "9"):
+    # (e) park: gap_log2_hist (never-gated bounded overflow — displaced
+    #     from the front by warc_roundtrip_stats) then the 49 r06-green
+    #     queries (verdicts age 2 at r08) → together they are r09's
+    #     entire front (pre-written per r07 verdict ask #7: swap
+    #     sections (a)+(b)+(c) with (e), snapshot ORACLE_HASHES "9"):
+    "gap_log2_hist",
     "tumbling_window_stats",
     "count_global",
     "distinct_users_union",
@@ -187,7 +205,6 @@ _GATE_PRIORITY: list[str] = [
     "topk_group_count",
     "topk_order_limit",
     "like_filter_count",
-    "ilike_filter_count",
     "scan_filter_project",
     "pct_shares",
     "semi_join_active_customers",

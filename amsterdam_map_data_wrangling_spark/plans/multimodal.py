@@ -9,6 +9,8 @@ computed through the Python path bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from amsterdam_map_data_wrangling_spark.operators.multimodal import (
     _MVHD_TAIL_HEX,
     as_media_table,
@@ -427,3 +429,92 @@ def image_pixel_stats(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     return extract_image_pixels(synthesize_bmp_payloads(documents, "doc_id"))
+
+
+def _warc_record_cols(doc_id_str, text, j: int, nrec):
+    """One synthesized WARC record as a Column (empty string when this
+    slot exceeds the document's record count): ISO 28500 framing around
+    an application/http response whose body is md5(text:j) + ':' +
+    length(text) — pure ASCII, so Content-Length in characters equals
+    octets and both engines agree without byte/char games."""
+    j_str = F.lit(str(j))
+    body = F.concat(
+        F.md5(F.concat(text, F.lit(":"), j_str).cast("binary")),
+        F.lit(":"),
+        F.length(text).cast("string"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nX-Doc: "),
+        doc_id_str,
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+        doc_id_str,
+        F.lit("-"),
+        j_str,
+        F.lit(">\r\nWARC-Target-URI: http://synth/"),
+        doc_id_str,
+        F.lit("/"),
+        j_str,
+        F.lit("\r\nContent-Type: application/http; msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.when(
+        F.lit(j) < nrec, F.concat(header, payload, F.lit("\r\n\r\n"))
+    ).otherwise(F.lit(""))
+
+
+@query(
+    "warc_roundtrip_stats",
+    """
+    WITH m AS (
+      SELECT doc_id, text, 1 + doc_id % 3 AS nrec FROM documents
+    ), r AS (
+      SELECT doc_id,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'X-Doc: '
+               || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+               || chr(13) || chr(10)
+               || md5(text || ':' || CAST(i.i AS VARCHAR)) || ':'
+               || CAST(length(text) AS VARCHAR) AS payload,
+             md5(md5(text || ':' || CAST(i.i AS VARCHAR)) || ':'
+               || CAST(length(text) AS VARCHAR)) AS body_md5
+      FROM m, unnest(range(0, nrec)) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(length(payload)) AS BIGINT) AS sum_clen,
+           CAST(SUM(('0x' || substr(body_md5, 1, 12))::BIGINT) AS BIGINT)
+             AS body_md5_sum
+    FROM r GROUP BY doc_id
+    """,
+    "Crawl-ingestion gate (r7 VERDICT #4's driver-gateable clause, via "
+    "the audio_levels pattern): complete multi-record WARC files are "
+    "synthesized engine-side from the documents table (1-3 "
+    "application/http response records per doc, bodies derived from "
+    "md5(text)), and the REAL WARC parser — the same _parse_warc that "
+    "backs read_warc_records — shreds them in an Arrow-batched kernel "
+    "down to exact integers: record count, Content-Length sum, and an "
+    "http-body md5 checksum sum. The DuckDB oracle reconstructs the "
+    "SAME integers from string algebra alone (no WARC parsing), so a "
+    "framing bug, a Content-Length bug, or an http-header/body split "
+    "bug in the parser mismatches the gate. Scale: narrow per-doc map "
+    "+ map-only Arrow pass; payload bytes never shuffle; 4 integers "
+    "per document out.",
+)
+def warc_roundtrip_stats(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        warc_stats_from_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    doc_id_str = F.col("doc_id").cast("string")
+    nrec = F.lit(1) + F.col("doc_id") % 3
+    blob = F.concat(
+        *[_warc_record_cols(doc_id_str, F.col("text"), j, nrec) for j in range(3)]
+    ).cast("binary")
+    media = documents.select(F.col("doc_id"), blob.alias("warc_bytes"))
+    return warc_stats_from_payloads(media, "doc_id", "warc_bytes")
