@@ -69,35 +69,31 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-7 evidence policy: the 5 never-driver-gated overflow queries,
-    # the oracle-changed trio + changed-internals trio (r6 VERDICT #1/
-    # ADVICE #2), and every r07 registration must sit inside the 50-slot
-    # gated window. (The general freshness invariant is asserted
-    # mechanically in tests/test_gate_freshness.py — this list pins only
-    # the current round's specific obligations.)
-    for name in (
-        # first-ever verdicts
-        "gap_sessionization", "variant_json_stats", "null_semantics_audit",
-        "xml_roundtrip_stats", "nation_volume_shipping",
-        # oracle-changed / changed-internals (fresh definitions re-gate)
-        "pii_redaction_stats", "star_join_customers_by_region",
-        "range_join_balance_bands", "dedup_clusters", "ann_ivf",
-        "ann_ivf_probe2",
-        # r07 registrations (the graduated queue + decontamination)
-        "sparse_cosine_pairs", "sparse_cosine_topk", "bloom_vocab_overlap",
-        "decontaminate_stats", "winsorize_price_stats",
-        "robust_z_by_priority", "unigram_lm_scores",
-        "uniform_sample_per_group", "weighted_sample_per_group",
-        "sorted_neighborhood_window", "near_dup_transitivity",
-        # r07 new operators: full PCM WAV + BMP pixel content decodes
-        "audio_levels", "image_pixel_stats",
-        # r07 new operators: time-grid resample + LOCF; BM25 search
-        "resample_locf_daily", "bm25_search",
-        # r07 new operators: bounded PageRank; SQ8-compressed ANN
-        "near_dup_pagerank", "ann_sq8_rerank",
-        # r07 new operators: PQ-ADC ANN; RANGE-frame trailing window
-        "ann_pq_adc", "trailing_window_revenue",
-        # r07 new operators: grouped OLS; incremental-ingestion dedup
-        "ols_price_trend_by_priority", "incremental_dedup_stats",
-    ):
-        assert ordered.index(name) < 50, name
+    # round-8 evidence policy: the 26 r05-parked queries (verdicts at
+    # the 3-round hard ceiling), the 23 fronted r08-queue registrations,
+    # and the retirement-slotted crawl gate must sit inside the 50-slot
+    # window; gap_log2_hist is the single bounded never-gated overflow
+    # parked at slot 50 (0-indexed) — r09's first front name. (The
+    # general freshness invariant is asserted mechanically in
+    # tests/test_gate_freshness.py — this pins only the current round's
+    # specific obligations.)
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r05 = set(json.loads((repo / "CORRECTNESS_r05.json").read_text()))
+    r06 = set(json.loads((repo / "CORRECTNESS_r06.json").read_text()))
+    r07 = set(json.loads((repo / "CORRECTNESS_r07.json").read_text()))
+    parks26 = sorted(r05 - r06 - r07 - {"ilike_filter_count"})
+    front = set(ordered[:50])
+    for name in parks26:
+        assert name in front, f"r05-park {name} missed the r08 window"
+    from amsterdam_map_data_wrangling_spark.plans.r08_queue import QUEUE
+
+    for name in QUEUE:
+        if name == "gap_log2_hist":
+            assert ordered.index(name) == 50  # bounded overflow, r09 front
+        else:
+            assert ordered.index(name) < 50, name
+    assert ordered.index("warc_roundtrip_stats") < 50
+    assert "ilike_filter_count" not in ordered  # retired at r08
