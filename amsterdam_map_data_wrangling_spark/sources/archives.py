@@ -10,9 +10,11 @@ Scale: archives never aggregate anywhere — each executor opens only its
 own partition's archives from memory (BytesIO, no temp files), so the
 pattern handles any number of archives; per-archive size is bounded by
 executor memory (the binaryFile source's contract). For the opposite
-shape — ONE giant WARC that would otherwise be a single straggler task
-— use ``sources/warc_split.py``: byte-range partitions with record
-boundary synchronization, the input-format answer. Corrupt archives
+shape — ONE giant archive that would otherwise be a single straggler
+task — use ``sources/warc_split.py`` (byte-range partitions with record
+boundary synchronization) or ``sources/zip_split.py`` (exact member
+ranges from the zip central directory), the input-format answers.
+Corrupt archives
 either fail loudly (default) or, with ``skip_bad=True``, drop with a
 WARNING — the crawl-ingest reality where a few truncated zips must not
 kill a 100 TB backfill."""

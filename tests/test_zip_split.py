@@ -1,0 +1,123 @@
+"""Central-directory-ranged ZIP reading: parity with the whole-archive
+reader, partition math, CRC integrity, and format-edge rejection."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def big_zip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("split_zips")
+    p = d / "bundle.zip"
+    expected = {}
+    with zipfile.ZipFile(p, "w") as zf:
+        for m in range(120):
+            name = f"shard/{m:03d}.bin"
+            # mix compressibility and sizes; every 9th member stored raw
+            data = (f"member {m} ".encode() * (50 + (m * 37) % 400)) + bytes(
+                [m % 256]
+            ) * (m % 97)
+            method = zipfile.ZIP_STORED if m % 9 == 0 else zipfile.ZIP_DEFLATED
+            zf.writestr(zipfile.ZipInfo(name), data, compress_type=method)
+            expected[name] = data
+        zf.writestr("dir/", b"")  # directory entry must be skipped
+    return d, p, expected
+
+
+@pytest.fixture()
+def registered(spark):
+    from amsterdam_map_data_wrangling_spark.sources.zip_split import (
+        SplitZipDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SplitZipDataSource)
+    except Exception:
+        pass
+    return spark
+
+
+def _read(spark, path, target_bytes):
+    return (
+        spark.read.format("zip_split")
+        .option("path", str(path))
+        .option("target_bytes", target_bytes)
+        .load()
+    )
+
+
+@pytest.mark.parametrize("target_bytes", [4 * 1024, 64 * 1024, 1 << 26])
+def test_zip_split_parity_any_target(registered, big_zip, target_bytes):
+    spark = registered
+    _d, p, expected = big_zip
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_zip_members,
+    )
+
+    baseline = {
+        r.member: bytes(r.payload)
+        for r in read_zip_members(spark, str(p)).collect()
+    }
+    assert baseline == expected
+    rows = _read(spark, p, target_bytes).collect()
+    assert len(rows) == len(expected)  # exactly once
+    assert {r.member: bytes(r.payload) for r in rows} == expected
+    assert all(r.size == len(bytes(r.payload)) for r in rows)
+
+
+def test_zip_split_partition_math(registered, big_zip):
+    """Partition count follows the uncompressed-size packing: a giant
+    zip becomes many independent member-range tasks."""
+    spark = registered
+    _d, p, expected = big_zip
+    total = sum(len(v) for v in expected.values())
+    target = 32 * 1024
+    df = _read(spark, p, target)
+    nparts = df.rdd.getNumPartitions()
+    assert nparts >= total // (2 * target)  # genuinely multi-task
+    assert nparts > 4
+
+
+def test_zip_split_crc_catches_corruption(registered, big_zip, tmp_path):
+    """Flip one byte inside member data (central directory intact):
+    the inflate+CRC check must fail LOUDLY, never yield silent garbage."""
+    spark = registered
+    _d, p, _expected = big_zip
+    blob = bytearray(p.read_bytes())
+    # corrupt a byte well inside the first member's compressed data
+    blob[60] ^= 0xFF
+    bad = tmp_path / "corrupt.zip"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(Exception, match="CRC/size mismatch|invalid|Error"):
+        _read(spark, bad, 1 << 26).collect()
+
+
+def test_zip_split_rejects_encrypted_and_exotic(registered, tmp_path):
+    from amsterdam_map_data_wrangling_spark.sources.zip_split import (
+        _plan_members,
+    )
+
+    p = tmp_path / "exotic.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        try:
+            zf.writestr("x.bin", b"data" * 100, compress_type=zipfile.ZIP_BZIP2)
+        except RuntimeError:
+            pytest.skip("bz2 not available to build the fixture")
+    with pytest.raises(ValueError, match="unsupported compression"):
+        _plan_members(str(p))
+
+
+def test_zip_split_directory_mode(registered, big_zip, tmp_path_factory):
+    spark = registered
+    d, p, expected = big_zip
+    # second archive next to the first
+    q = d / "second.zip"
+    if not q.exists():
+        with zipfile.ZipFile(q, "w") as zf:
+            zf.writestr("only.txt", b"second archive payload")
+    rows = _read(spark, d, 1 << 26).collect()
+    assert len(rows) == len(expected) + 1
+    assert {r.archive.replace("file:", "") for r in rows} == {str(p), str(q)}
