@@ -199,16 +199,11 @@ def _parse_warc(content: bytes) -> list[tuple[str, str, str, int, bytes, bytes |
     return out
 
 
-def read_warc_records(
-    spark: SparkSession, path: str, skip_bad: bool = False
-) -> DataFrame:
-    """WARC ingestion — the Common-Crawl wire format: every record of
-    every ``*.warc`` / ``*.warc.gz`` under ``path`` as a row
-    (archive, record_id, warc_type, target_uri, content_length,
-    payload, http_body). Same distribution shape and error contract as
-    :func:`read_zip_members`: one binaryFile row per archive, stdlib
-    parsing in an Arrow-batched pass, loud-or-skip on damage."""
-    bins = spark.read.format("binaryFile").load(path)
+def _warc_shredder(skip_bad: bool):
+    """The Arrow-batched (path, content) → WARC-record-rows kernel,
+    shared by the batch reader and the streaming twin
+    (``streaming/ingest.stream_warc_records``) so both paths parse
+    identically by construction."""
 
     def shred(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -244,7 +239,22 @@ def read_warc_records(
             )
             yield pd.DataFrame(cols)
 
-    return bins.select("path", "content").mapInPandas(shred, _WARC_SCHEMA)
+    return shred
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, skip_bad: bool = False
+) -> DataFrame:
+    """WARC ingestion — the Common-Crawl wire format: every record of
+    every ``*.warc`` / ``*.warc.gz`` under ``path`` as a row
+    (archive, record_id, warc_type, target_uri, content_length,
+    payload, http_body). Same distribution shape and error contract as
+    :func:`read_zip_members`: one binaryFile row per archive, stdlib
+    parsing in an Arrow-batched pass, loud-or-skip on damage."""
+    bins = spark.read.format("binaryFile").load(path)
+    return bins.select("path", "content").mapInPandas(
+        _warc_shredder(skip_bad), _WARC_SCHEMA
+    )
 
 
 WARC_STATS_SCHEMA = (

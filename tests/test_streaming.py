@@ -1171,3 +1171,67 @@ def test_streaming_scd2_multi_batch_e2e_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_warc_ingest_equals_batch_and_tracks_new_files(spark, tmp_path):
+    """Streaming crawl ingestion (streaming/ingest.py): shards shredded
+    via the SAME kernel as the batch reader, exactly-once across
+    restarts — batch 1 commits, new shards land, a resumed query picks
+    up ONLY the new files, and the union equals the batch read."""
+    import hashlib
+
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        read_warc_records,
+    )
+    from amsterdam_map_data_wrangling_spark.streaming.ingest import (
+        stream_warc_records,
+    )
+
+    from .test_archives import _warc_record
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def shard(a, n):
+        (land / f"shard_{a:02d}.warc").write_bytes(
+            b"".join(
+                _warc_record(f"s{a}r{i}", "metadata", f"http://s{a}/{i}",
+                             f"payload {a}:{i}".encode())
+                for i in range(n)
+            )
+        )
+
+    def drain():
+        # parquet sink: fault-tolerant, so the second start RESUMES the
+        # same checkpoint (a memory sink cannot recover from one)
+        q = (
+            stream_warc_records(spark, str(land), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.record_id, hashlib.md5(bytes(r.payload)).hexdigest())
+            for r in spark.read.parquet(out).collect()
+        }
+
+    shard(0, 3)
+    shard(1, 4)
+    first = drain()
+    assert len(first) == 7
+
+    shard(2, 5)  # lands after the first drain committed
+    both = drain()  # resumes from the SAME checkpoint
+    assert len(both) == 12  # only the new shard added — no re-shredding
+
+    batch = {
+        (r.record_id, hashlib.md5(bytes(r.payload)).hexdigest())
+        for r in read_warc_records(spark, str(land)).collect()
+    }
+    assert both == batch and first < both
