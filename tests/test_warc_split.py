@@ -164,3 +164,74 @@ def test_split_dir_reads_all_files(registered, warc_files):
     assert {r.archive for r in got} == {
         str(d / "big.warc"), str(d / "big_cc.warc.gz"), str(d / "mono.warc.gz")
     }
+
+
+# ---------------------------------------------------------------------------
+# Property hardening: random corpora x random split sizes -> exactly once.
+# The reader logic runs WITHOUT Spark (DataSourceReader called directly),
+# so Hypothesis can afford real example counts.
+# ---------------------------------------------------------------------------
+import gzip as _gzip
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_adversarial = st.one_of(
+    st.binary(min_size=0, max_size=200),
+    # payload fragments that look like sync markers
+    st.just(b"\r\nWARC/1.0\r\nnot: a header"),
+    st.just(b"\x1f\x8b\x08 fake gzip magic"),
+    st.just(b"WARC/"),
+    st.just(b"\r\n\r\nWARC/9.9\r\n"),
+)
+
+
+def _mk_record(i: int, payload: bytes) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        f"WARC-Record-ID: <urn:uuid:p{i}>\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _read_all(path: str, split_bytes: int):
+    from amsterdam_map_data_wrangling_spark.sources.warc_split import (
+        SplitWarcReader,
+    )
+
+    reader = SplitWarcReader({"path": path, "split_bytes": str(split_bytes)})
+    return [
+        row for part in reader.partitions() for row in reader.read(part)
+    ]
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    payloads=st.lists(_adversarial, min_size=1, max_size=12),
+    split_bytes=st.integers(min_value=16, max_value=4096),
+    gz=st.booleans(),
+)
+def test_split_exactly_once_property(tmp_path_factory, payloads, split_bytes, gz):
+    """For ANY record payloads (including embedded sync-marker bytes)
+    and ANY split size, every record is claimed exactly once and
+    byte-identically."""
+    import hashlib
+
+    d = tmp_path_factory.mktemp("prop")
+    recs = [_mk_record(i, p) for i, p in enumerate(payloads)]
+    if gz:
+        f = d / "x.warc.gz"
+        f.write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    else:
+        f = d / "x.warc"
+        f.write_bytes(b"".join(recs))
+    rows = _read_all(str(f), split_bytes)
+    got = sorted(
+        (r[1], r[4], hashlib.md5(r[5]).hexdigest()) for r in rows
+    )  # (record_id, clen, payload md5)
+    want = sorted(
+        (f"<urn:uuid:p{i}>", len(p), hashlib.md5(p).hexdigest())
+        for i, p in enumerate(payloads)
+    )
+    assert got == want
