@@ -122,79 +122,31 @@ def _load_all() -> None:
 #: parked at slot 51 — the retirement freed exactly one r09 front slot
 #: for it (49 r06-greens + gap_log2_hist = 50).
 #:
-#: Standing 3-round cycle from here (each round's 50 slots are owed in
-#: full to the cohort whose verdicts turn 3 rounds old):
+#: Standing 3-round cycle (each round's 50 slots are owed in full to
+#: the cohort whose verdicts turn 3 rounds old):
 #:   r08 front = 26 r05-parks + 23 queue + warc_roundtrip_stats
-#:   r09 front = gap_log2_hist + the 49 r06-greens (section (e), pre-written)
-#:   r10 front = the 50 r07-greens (unlisted tail below)
-#:   r11 front = the r08 front again, and so on.
+#:   r09 front = (OWED: gap_log2_hist + 49 r06-greens — round 9
+#:               stalled with zero commits, so the driver re-gated the
+#:               r08 front verbatim; CORRECTNESS_r09 == CORRECTNESS_r08
+#:               key-for-key)
+#:   r10 front = the owed r09 front, one round late (section (e) below)
+#:   r11 front = the 50 r07-greens (section (f) park, slots 51-100)
+#:   r12 front = the r08 front again (unlisted tail), and so on.
+#: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
+#: in wall-clock rounds; recovery is the fastest mathematically
+#: possible (oldest cohort first, the other parked immediately behind).
+#: tests/test_gate_freshness.py encodes the stalled-round recovery
+#: clause: a duplicated artifact collapses to one rotation window, so
+#: the ceiling is measured in distinct gate windows.
 #: Changed-code queries always jump their cohort into the next front,
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 8 rotation: front (slots 1-50) ----
-    # (a) the 26 r05-green parks — their r05 verdicts hit the 3-round
-    #     hard ceiling this round (r07 verdict deduction #1):
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "frame_sample_stats",
-    "pricing_summary",
-    "join_revenue_by_priority",
-    "ordered_position_per_group",
-    "topn_per_group",
-    "running_revenue_per_customer",
-    "rollup_revenue",
-    "eav_pivot_wide",
-    "window_function_zoo",
-    "bag_set_ops",
-    "cube_revenue",
-    "embedding_label_stats",
-    "embedding_norm_zscores",
-    "doc_rolling_fingerprint",
-    "stratified_sample_counts",
-    "quality_scores",
-    "quality_components",
-    "chunk_documents",
-    "normalize_phone_lengths",
-    "normalize_postcode_formats",
-    "split_tag_keys_agg",
-    "eav_unpivot_topk",
-    "table_stats",
-    "salted_user_event_stats",
-    # (b) the 24 r08-queue registrations (plans/r08_queue.py) — first
-    #     driver verdicts; oracle-validated at both SFs since r07:
-    "dataset_split_stats",
-    "embedding_label_centroids",
-    "minhash_recall_curve",
-    "dedup_cluster_size_hist",
-    "event_transition_counts",
-    "scd2_state_durations",
-    "cohort_retention",
-    "ks_split_drift",
-    "chi2_type_weekday",
-    "vocab_jaccard_sources",
-    "equal_freq_deciles",
-    "spearman_autocorr_daily_revenue",
-    "minmax_scale_bins",
-    "token_diversity_by_source",
-    "nearest_centroid_confusion",
-    "rfm_segment_counts",
-    "dq_audit_star",
-    "neardup_degree_hist",
-    "spatial_radius_pairs",
-    "basket_lift_pairs",
-    "daily_peak_concurrency",
-    "revenue_concentration",
-    "ab_test_zscore",
-    # (c) the crawl-ingestion round-trip gate, slotted by RETIRING
-    #     ilike_filter_count (see RETIREMENT note above):
-    "warc_roundtrip_stats",
-    # ---- window boundary (slot 50) ----
-    # (e) park: gap_log2_hist (never-gated bounded overflow — displaced
-    #     from the front by warc_roundtrip_stats) then the 49 r06-green
-    #     queries (verdicts age 2 at r08) → together they are r09's
-    #     entire front (pre-written per r07 verdict ask #7: swap
-    #     sections (a)+(b)+(c) with (e), snapshot ORACLE_HASHES "9"):
+    # ---- round 10 rotation: front (slots 1-50) ----
+    # (e) gap_log2_hist (never-gated bounded overflow, first verdict
+    #     owed since r08) + the 49 r06-green queries (verdicts now 4
+    #     wall-clock rounds old after the r09 stall — oldest cohort,
+    #     so they take the whole front):
     "gap_log2_hist",
     "tumbling_window_stats",
     "count_global",
@@ -245,9 +197,66 @@ _GATE_PRIORITY: list[str] = [
     "dup_span_coverage",
     "dedup_edit_refine",
     "map_ops_surface",
-    # (f) the 50 r07-green queries are deliberately unlisted — they
-    #     append in registration order behind the park (verdict age 1),
-    #     and become r10's front.
+    # ---- window boundary (slot 50) ----
+    # (f) park: the 50 r07-green queries, in registration order —
+    #     their r07 verdicts are 3 distinct gate windows old (4
+    #     wall-clock rounds after the r09 stall), covered by the
+    #     stalled-round recovery clause; parked immediately past the
+    #     window so they are r11's entire front:
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_minhash_portable_pairs",
+    "dedup_simhash_bands",
+    "sorted_neighborhood_window",
+    "near_dup_transitivity",
+    "near_dup_pagerank",
+    "incremental_dedup_stats",
+    "winsorize_price_stats",
+    "robust_z_by_priority",
+    "unigram_lm_scores",
+    "uniform_sample_per_group",
+    "weighted_sample_per_group",
+    "ols_price_trend_by_priority",
+    "multimodal_features",
+    "multimodal_dims",
+    "audio_levels",
+    "image_pixel_stats",
+    "star_join_customers_by_region",
+    "range_join_balance_bands",
+    "gap_sessionization",
+    "nation_volume_shipping",
+    "knn_cosine_brute",
+    "ann_sign_lsh",
+    "ann_rand_lsh",
+    "ann_ivf",
+    "ann_ivf_probe2",
+    "embedding_near_dup_pairs",
+    "ann_sq8_rerank",
+    "ann_pq_adc",
+    "sketch_users_by_type",
+    "sketch_value_quantiles",
+    "sparse_cosine_pairs",
+    "sparse_cosine_topk",
+    "bloom_vocab_overlap",
+    "decontaminate_stats",
+    "bm25_search",
+    "quality_filter_pipeline",
+    "token_budget_pack",
+    "tfidf_top_terms",
+    "token_budget_pack_sharded",
+    "pii_redaction_stats",
+    "resample_locf_daily",
+    "trailing_window_revenue",
+    "salted_join_hot_customer",
+    "variant_json_stats",
+    "null_semantics_audit",
+    "xml_roundtrip_stats",
+    # (g) the 50 r08-front queries (26 r05-parks + 23 queue +
+    #     warc_roundtrip_stats) are deliberately unlisted — they append
+    #     in registration order behind the park (verdicts r09, age 1),
+    #     and become r12's front.
 ]
 
 
