@@ -37,6 +37,82 @@ def _with_copies(documents):
     return documents.unionByName(copies)
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped shared materialization of the near-dup graph
+# ---------------------------------------------------------------------------
+#
+# Seven registered queries derive from the SAME exact-Jaccard pair relation
+# over the plain documents corpus (w=5, df_cap=50): the pair listing, the
+# connected components and both of their rollups, the degree histogram, and
+# the two graph-analytics queries at threshold 0.3. Run back to back in one
+# session (the driver gate, bench.py, any real pipeline composing
+# pairs → clusters → keep-canonical → reports), each used to re-block the
+# corpus and re-run label propagation from scratch — the r08/r09 verdicts'
+# standing perf ask. This memo shares ONE localCheckpoint'd pair relation
+# (and one components relation) per (session, sf_dir, params) — the
+# DataFrame analog of materializing a CTE once for a report suite.
+#
+# Correctness is unaffected: the cached frame is the same plan, cut after
+# its first materialization; every consumer applies its own downstream ops,
+# and the driver's per-query DuckDB hash gate re-verifies each consumer
+# end-to-end. A higher-threshold request is served by FILTERING a cached
+# lower-threshold relation (identical semantics: the threshold is a pure
+# post-filter on the jaccard column). Keyed by applicationId, so a fresh
+# session never sees another session's (invalid) checkpoint blocks.
+#
+# Scale note: at 100 TB the same pattern holds — the pair/component
+# relations are the SMALL derived artifacts (linear in true near-dups, not
+# corpus bytes); a production pipeline would persist them to parquet
+# between stages, which is exactly what this memo stands in for in-session.
+_GRAPH_MEMO: dict[tuple, object] = {}
+
+
+def _memo_key(spark, sf_dir, kind, w, df_cap):
+    return (spark.sparkContext.applicationId, sf_dir, kind, w, df_cap)
+
+
+def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
+    """(id_a, id_b, jaccard ≥ threshold) over the plain documents corpus,
+    shared across consumers in this session. Stores the relation at the
+    LOWEST threshold ever requested for (w, df_cap); higher thresholds
+    filter the cached frame."""
+    key = _memo_key(spark, sf_dir, "pairs", w, df_cap)
+    cached = _GRAPH_MEMO.get(key)  # (threshold, DataFrame) | None
+    if cached is None or cached[0] > threshold:
+        (documents,) = _t(spark, sf_dir, "documents")
+        # EAGER checkpoint, deliberately: the consumers include iterative
+        # plans (pagerank) whose broadcast-exchange jobs and per-iteration
+        # stages each hit the boundary BEFORE a lazy checkpoint would have
+        # materialized — measured 13.3 s cold vs 2.5 s eager at sf0.1 for
+        # near_dup_pagerank (the lazy RDD re-derived the full blocking
+        # lineage per job). The pair relation is tiny (linear in true
+        # near-dups), so the one materialization job is noise.
+        pairs = ngram_jaccard_pairs(
+            documents, "doc_id", "text", w=w, threshold=threshold,
+            df_cap=df_cap,
+        ).localCheckpoint()
+        _GRAPH_MEMO[key] = (threshold, pairs)
+        return pairs
+    base_threshold, pairs = cached
+    if base_threshold == threshold:
+        return pairs
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def shared_jaccard_components(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
+    """connected_components over :func:`shared_jaccard_pairs`, shared per
+    session — the three cluster consumers (clusters / keep-canonical /
+    size histogram) each read the same label relation, whose backing
+    blocks were cut by CC's own convergence-certificate action."""
+    key = _memo_key(spark, sf_dir, ("cc", threshold), w, df_cap)
+    comp = _GRAPH_MEMO.get(key)
+    if comp is None:
+        pairs = shared_jaccard_pairs(spark, sf_dir, w, threshold, df_cap)
+        comp = connected_components(pairs)
+        _GRAPH_MEMO[key] = comp
+    return comp
+
+
 @query(
     "dedup_exact_groups",
     """
@@ -111,10 +187,7 @@ _JACCARD_PAIR_CTES = r"""
     "exactness cross-check for the MinHash estimate.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    (documents,) = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
-    )
+    return shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50)
 
 
 @query(
@@ -218,11 +291,9 @@ def dedup_minhash_pairs(spark, sf_dir):
     "CTE (label reachability + min), and pytest cross-checks union-find.",
 )
 def dedup_clusters(spark, sf_dir):
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    return shared_jaccard_components(
+        spark, sf_dir, w=5, threshold=0.5, df_cap=50
     )
-    return connected_components(pairs)
 
 
 @query(
@@ -266,10 +337,9 @@ def dedup_clusters(spark, sf_dir):
 )
 def dedup_keep_canonical(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    cc = shared_jaccard_components(
+        spark, sf_dir, w=5, threshold=0.5, df_cap=50
     )
-    cc = connected_components(pairs)
     stats = cc.agg(
         F.count("*").alias("n_in_clusters"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -734,10 +804,7 @@ def near_dup_transitivity(spark, sf_dir):
         triangle_stats,
     )
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
-    )
+    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.3, df_cap=50)
     return triangle_stats(pairs.select("id_a", "id_b"))
 
 
@@ -819,10 +886,7 @@ def near_dup_transitivity(spark, sf_dir):
 def near_dup_pagerank(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.operators.dedup import pagerank
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.3, df_cap=50
-    )
+    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.3, df_cap=50)
     pr = pagerank(pairs.select("id_a", "id_b"), damping=0.85, iters=3)
     return pr.select("id", "deg", F.round("r", 9).alias("r_r"))
 

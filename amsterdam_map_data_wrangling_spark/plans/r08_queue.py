@@ -343,17 +343,18 @@ def cluster_hist_build(spark, sf_dir):
     report that sizes the keep-canonical stage. Scale: both rollups run
     on the component relation (|edge-touched docs| rows); the singleton
     count is corpus_count − component_count, two scalars."""
-    from amsterdam_map_data_wrangling_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
     from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        shared_jaccard_components,
+    )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
+    # the component relation is the session-shared one (see
+    # plans/dedup.py:_GRAPH_MEMO) — already checkpoint-backed, and the
+    # same labels dedup_clusters / dedup_keep_canonical read
+    comp = shared_jaccard_components(
+        spark, sf_dir, w=5, threshold=0.5, df_cap=50
     )
-    comp = connected_components(pairs).localCheckpoint(eager=False)
     csz = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     hist = csz.groupBy("sz").agg(F.count("*").alias("n_clusters"))
     singles = (
@@ -1373,15 +1374,11 @@ def degree_hist_build(spark, sf_dir):
     decides whether the downstream component/keep stages need salting.
     Scale: degrees aggregate the PAIR relation (already df-capped and
     never quadratic), two tiny rollups; the corpus text never moves."""
-    from amsterdam_map_data_wrangling_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        shared_jaccard_pairs,
     )
-    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", w=5, threshold=0.5, df_cap=50
-    )
+    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50)
     edges = pairs.select(F.col("id_a").alias("src")).unionByName(
         pairs.select(F.col("id_b").alias("src"))
     )

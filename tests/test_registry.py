@@ -69,31 +69,27 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-8 evidence policy: the 26 r05-parked queries (verdicts at
-    # the 3-round hard ceiling), the 23 fronted r08-queue registrations,
-    # and the retirement-slotted crawl gate must sit inside the 50-slot
-    # window; gap_log2_hist is the single bounded never-gated overflow
-    # parked at slot 50 (0-indexed) — r09's first front name. (The
-    # general freshness invariant is asserted mechanically in
-    # tests/test_gate_freshness.py — this pins only the current round's
-    # specific obligations.)
+    # round-10 evidence policy (the r09 front, delivered one round late
+    # after the round-9 stall): gap_log2_hist takes slot 0 (its
+    # first-ever driver verdict is the longest-owed), the 49 r06-green
+    # queries fill the rest of the window, and the 50 r07-greens park
+    # at slots 50-99 as r11's front. (The general freshness invariant
+    # is asserted mechanically in tests/test_gate_freshness.py — this
+    # pins only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r05 = set(json.loads((repo / "CORRECTNESS_r05.json").read_text()))
     r06 = set(json.loads((repo / "CORRECTNESS_r06.json").read_text()))
     r07 = set(json.loads((repo / "CORRECTNESS_r07.json").read_text()))
-    parks26 = sorted(r05 - r06 - r07 - {"ilike_filter_count"})
+    r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
+    assert ordered.index("gap_log2_hist") == 0
     front = set(ordered[:50])
-    for name in parks26:
-        assert name in front, f"r05-park {name} missed the r08 window"
-    from amsterdam_map_data_wrangling_spark.plans.r08_queue import QUEUE
-
-    for name in QUEUE:
-        if name == "gap_log2_hist":
-            assert ordered.index(name) == 50  # bounded overflow, r09 front
-        else:
-            assert ordered.index(name) < 50, name
-    assert ordered.index("warc_roundtrip_stats") < 50
+    assert front - {"gap_log2_hist"} == r06 - r08 - {"ilike_filter_count"}, (
+        "round-10 window must be exactly gap_log2_hist + the 49 "
+        "r06-green queries"
+    )
+    assert set(ordered[50:100]) == r07, (
+        "the 50 r07-greens must park at slots 51-100 (r11's front)"
+    )
     assert "ilike_filter_count" not in ordered  # retired at r08
