@@ -1829,6 +1829,11 @@ def decode_lossy_image(payload: bytes, mime: str):
     image_mod = _pillow()
     if image_mod is None:
         decode_stub(payload, mime)  # raises NotImplementedError, documented
+        # decode_stub's contract is to raise; if it ever stops, fail HERE
+        # rather than falling through to image_mod.open on None
+        raise NotImplementedError(
+            f"no codec available for {mime} and decode_stub returned"
+        )
     import io
 
     with image_mod.open(io.BytesIO(payload)) as im:

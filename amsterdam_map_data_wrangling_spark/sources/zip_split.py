@@ -103,18 +103,28 @@ class SplitZipReader(DataSourceReader):
 
         if "://" in self.path:
             fs, p = pafs.FileSystem.from_uri(self.path)
-            scheme = self.path.split("://")[0] + "://"
         else:
-            fs, p, scheme = pafs.LocalFileSystem(), self.path, ""
+            fs, p = pafs.LocalFileSystem(), self.path
         info = fs.get_file_info(p)
         if info.type == pafs.FileType.File:
             return [self.path]
         sel = pafs.FileSelector(p, recursive=True)
-        out = [
-            scheme + f.path
-            for f in fs.get_file_info(sel)
-            if f.type == pafs.FileType.File and f.path.endswith(".zip")
-        ]
+        # children rebuild as <original URI> + <tail relative to the
+        # listing base>: re-prefixing the scheme alone onto the fs-native
+        # child path drops the URI authority (hdfs://namenode:8020/d →
+        # hdfs:///d/x) — same fix as warc_split._list_warcs
+        base = p.rstrip("/")
+        prefix = self.path.rstrip("/")
+        out = []
+        for f in fs.get_file_info(sel):
+            if f.type != pafs.FileType.File or not f.path.endswith(".zip"):
+                continue
+            tail = (
+                f.path[len(base):].lstrip("/")
+                if f.path.startswith(base)
+                else f.path.lstrip("/")
+            )
+            out.append(prefix + "/" + tail if "://" in self.path else f.path)
         if not out:
             raise FileNotFoundError(f"no *.zip under {self.path}")
         return sorted(out)

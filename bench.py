@@ -18,6 +18,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from amsterdam_map_data_wrangling_spark.plans.dedup import (  # noqa: E402
+    clear_graph_memo,
+)
 from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES  # noqa: E402
 from amsterdam_map_data_wrangling_spark.session import get_spark  # noqa: E402
 
@@ -45,6 +48,14 @@ def main() -> None:
     # undecidable from min-of-3 without the spread).
     passes: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(3):
+        # session-shared graph relations (plans/dedup._GRAPH_MEMO) reset
+        # per PASS, not per query: each pass pays the near-dup pair build
+        # once — the cost of running the suite once — and the consumers
+        # measure the shared-read path they actually run in a composed
+        # pipeline. (Per-query reset would un-share what the queries
+        # deliberately share; no reset would hide the build in the warm
+        # pass and never time it.)
+        clear_graph_memo()
         for name, spec in QUERIES.items():
             # a few operators persist() self-join hubs; drop those cache
             # entries so every timed run re-executes its full lineage

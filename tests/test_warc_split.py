@@ -235,3 +235,70 @@ def test_split_exactly_once_property(tmp_path_factory, payloads, split_bytes, gz
         for i, p in enumerate(payloads)
     )
     assert got == want
+
+
+def test_directory_listing_preserves_uri_authority(tmp_path, monkeypatch):
+    """r8 ADVICE: directory mode re-prefixed children with the SCHEME
+    alone, so hdfs://namenode:8020/dir listed children as hdfs:///dir/x
+    — silently losing the authority. The listing must rebuild every
+    child as <original URI> + <tail relative to the listing base>.
+    (Driver-side planning only: executors re-open by the returned URI,
+    so a wrong prefix here is a wrong cluster connection there.)"""
+    import pyarrow.fs as pafs
+
+    from amsterdam_map_data_wrangling_spark.sources.warc_split import (
+        _list_warcs,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.warc").write_bytes(b"x")
+    (tmp_path / "sub" / "b.warc.gz").write_bytes(b"x")
+
+    class _FakeFS:  # pafs.FileSystem is an immutable C type — shim it
+        @staticmethod
+        def from_uri(uri):
+            assert uri.startswith("mock://nn:8020/")
+            return pafs.LocalFileSystem(), uri[len("mock://nn:8020"):]
+
+    monkeypatch.setattr(pafs, "FileSystem", _FakeFS)
+    uri = "mock://nn:8020" + str(tmp_path)
+    got = sorted(p for p, _ in _list_warcs(uri))
+    assert got == [
+        f"mock://nn:8020{tmp_path}/a.warc",
+        f"mock://nn:8020{tmp_path}/sub/b.warc.gz",
+    ]
+
+
+def test_sync_rejects_parseable_fake_header_inside_payload(
+    registered, tmp_path_factory
+):
+    """A payload embedding a fully PARSEABLE fake WARC header (valid
+    version line + Content-Length pointing at in-file garbage) must be
+    rejected by chain validation at every split size — this drives the
+    bounded probe path (the fake's claimed end parses as nothing)."""
+    import hashlib
+
+    d = tmp_path_factory.mktemp("fakehdr")
+    fake = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:fake>\r\nContent-Length: 64\r\n\r\n"
+    )
+    payloads = [
+        b"A" * 300 + fake + b"B" * 300,   # fake header mid-payload
+        b"plain second payload " * 30,
+        fake + b"C" * 500,                # fake header at payload START
+        b"tail payload",
+    ]
+    recs = [_mk_record(i, p) for i, p in enumerate(payloads)]
+    f = d / "fake.warc"
+    f.write_bytes(b"".join(recs))
+    for split in (64, 128, 256, 1024):
+        rows = _read_all(str(f), split)
+        got = sorted(
+            (r[1], r[4], hashlib.md5(r[5]).hexdigest()) for r in rows
+        )
+        want = sorted(
+            (f"<urn:uuid:p{i}>", len(p), hashlib.md5(p).hexdigest())
+            for i, p in enumerate(payloads)
+        )
+        assert got == want, f"split={split}"

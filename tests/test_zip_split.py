@@ -121,3 +121,32 @@ def test_zip_split_directory_mode(registered, big_zip, tmp_path_factory):
     rows = _read(spark, d, 1 << 26).collect()
     assert len(rows) == len(expected) + 1
     assert {r.archive.replace("file:", "") for r in rows} == {str(p), str(q)}
+
+
+def test_zip_listing_preserves_uri_authority(tmp_path, monkeypatch):
+    """Twin of the warc_split authority test (r8 ADVICE): directory mode
+    must rebuild children as <original URI> + <relative tail>, keeping
+    scheme AND authority."""
+    import pyarrow.fs as pafs
+
+    from amsterdam_map_data_wrangling_spark.sources.zip_split import (
+        SplitZipReader,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.zip").write_bytes(b"x")
+    (tmp_path / "sub" / "b.zip").write_bytes(b"x")
+
+    class _FakeFS:
+        @staticmethod
+        def from_uri(uri):
+            assert uri.startswith("mock://nn:8020/")
+            return pafs.LocalFileSystem(), uri[len("mock://nn:8020"):]
+
+    monkeypatch.setattr(pafs, "FileSystem", _FakeFS)
+    uri = "mock://nn:8020" + str(tmp_path)
+    reader = SplitZipReader({"path": uri})
+    assert sorted(reader._zips()) == [
+        f"mock://nn:8020{tmp_path}/a.zip",
+        f"mock://nn:8020{tmp_path}/sub/b.zip",
+    ]
