@@ -303,14 +303,32 @@ def embedding_label_stats(spark, sf_dir):
     "dedup run would use ≥ 0.9.",
 )
 def embedding_near_dup_pairs(spark, sf_dir):
+    import math
+
     from amsterdam_map_data_wrangling_spark.operators.similarity import sign_lsh_code
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    # norms precomputed once per row — computing them inside the pair
-    # predicate would triple the per-pair flops
+    # DATA-ADAPTIVE code width (r10 sf1 soak finding): with a fixed
+    # 6-bit code the in-bucket pair expansion is Σ C(load, 2) —
+    # quadratic in corpus size over a constant 64 buckets (measured
+    # 54x cost at 10x vectors). Target ~32 vectors per bucket:
+    # bits = max(6, ceil(log2(n/32))), capped at 20 — exactly 6 at the
+    # gate SFs (200 and 2k vectors), so the DuckDB oracle's literal
+    # 6-bit code stays value-identical where it gates; above that the
+    # hash space grows with the corpus and cost stays ~linear. The
+    # price is the documented sign-LSH recall curve (more bits = fewer
+    # low-cosine collisions) — the operator is exact-at-gate,
+    # approximate-blocking at scale, like every LSH method. The count
+    # is one columnar metadata-cheap action, same class as the IVF
+    # seed sample.
+    n = embeddings.count()
+    bits = min(20, max(6, math.ceil(math.log2(max(n, 2) / 32))))
     coded = embeddings.select(
-        "vec_id", v.alias("v"), l2_norm(v).alias("nrm"), sign_lsh_code(v, 6).alias("code")
+        "vec_id",
+        v.alias("v"),
+        l2_norm(v).alias("nrm"),
+        sign_lsh_code(v, bits).alias("code"),
     )
     a, b = coded.alias("a"), coded.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))

@@ -52,8 +52,18 @@ from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 )
 def normalize_phone_lengths(spark, sf_dir):
     (customer,) = _t(spark, sf_dir, "customer")
+    # decimal(38,0) widening, not bigint: key*987654321 overflows int64
+    # for keys above ~9.3e9 (snowflake-scale surrogate IDs; found by the
+    # r10 sf1 soak's shifted key domain). DuckDB widens the same product
+    # to HUGEINT, so the decimal path keeps the two engines value-equal
+    # on EVERY key domain instead of only small ones; scale-0 decimals
+    # render as plain digit strings, identical to the bigint cast
+    # in-domain.
     d = F.substring(
-        (F.col("c_custkey") * 987654321 + 1234567890123).cast("string"),
+        (
+            F.col("c_custkey").cast("decimal(38,0)") * 987654321
+            + 1234567890123
+        ).cast("string"),
         F.lit(1),
         (7 + F.col("c_custkey") % 7).cast("int"),
     )
