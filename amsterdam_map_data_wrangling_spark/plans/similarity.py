@@ -28,6 +28,17 @@ _COSINE_CTE = _E_CTE + """
 """
 
 
+def _adaptive_sign_bits(n: int, target_bucket: int = 32) -> int:
+    """Sign-LSH code width for an n-vector corpus: target ~target_bucket
+    vectors per bucket, floor 6 (the gate SFs' literal oracle width —
+    200 and 2,000 vectors both resolve to exactly 6), cap 20. See
+    embedding_near_dup_pairs for the quadratic-in-bucket-load rationale
+    (r10 sf1 soak: fixed 6 bits cost 54× at 10× vectors)."""
+    import math
+
+    return min(20, max(6, math.ceil(math.log2(max(n, 2) / target_bucket))))
+
+
 @query(
     "knn_cosine_brute",
     _COSINE_CTE
@@ -303,8 +314,6 @@ def embedding_label_stats(spark, sf_dir):
     "dedup run would use ≥ 0.9.",
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    import math
-
     from amsterdam_map_data_wrangling_spark.operators.similarity import sign_lsh_code
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -323,7 +332,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
     # is one columnar metadata-cheap action, same class as the IVF
     # seed sample.
     n = embeddings.count()
-    bits = min(20, max(6, math.ceil(math.log2(max(n, 2) / 32))))
+    bits = _adaptive_sign_bits(n)
     coded = embeddings.select(
         "vec_id",
         v.alias("v"),

@@ -361,3 +361,22 @@ def test_spatial_radius_pairs_matches_brute_force(spark):
             if d2 <= 2000 * 2000:
                 want[(a, b)] = d2
     assert got == want
+
+
+def test_adaptive_sign_bits_pins_gate_widths():
+    """The sf1 scale fix must NEVER change the gate: both shipped gate
+    SFs (200 and 2,000 vectors) resolve to exactly the oracle's literal
+    6-bit code; bigger corpora grow the hash space ~linearly with n;
+    the cap bounds driver planning."""
+    from amsterdam_map_data_wrangling_spark.plans.similarity import (
+        _adaptive_sign_bits,
+    )
+
+    assert _adaptive_sign_bits(200) == 6
+    assert _adaptive_sign_bits(2_000) == 6
+    assert _adaptive_sign_bits(2_048) == 6
+    assert _adaptive_sign_bits(2_049) == 7
+    assert _adaptive_sign_bits(20_000) == 10
+    assert _adaptive_sign_bits(2_000_000) == 16
+    assert _adaptive_sign_bits(10**12) == 20  # cap
+    assert _adaptive_sign_bits(0) == 6  # degenerate corpus
