@@ -66,6 +66,19 @@ def _with_copies(documents):
 # between stages, which is exactly what this memo stands in for in-session.
 _GRAPH_MEMO: dict[tuple, object] = {}
 
+#: bounded memo: a long-lived session touching many sf_dirs (pytest,
+#: notebooks) must not pin an unbounded set of checkpointed relations
+#: in the block manager — insertion-ordered dicts make FIFO eviction
+#: one line, and the evicted frames' blocks are reclaimed by the
+#: ContextCleaner once unreferenced.
+_GRAPH_MEMO_MAX = 8
+
+
+def _memo_put(key: tuple, value: object) -> None:
+    while len(_GRAPH_MEMO) >= _GRAPH_MEMO_MAX:
+        _GRAPH_MEMO.pop(next(iter(_GRAPH_MEMO)))
+    _GRAPH_MEMO[key] = value
+
 
 def clear_graph_memo() -> None:
     """Drop every memoized graph relation (checkpoint blocks are
@@ -101,7 +114,7 @@ def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
             documents, "doc_id", "text", w=w, threshold=threshold,
             df_cap=df_cap,
         ).localCheckpoint()
-        _GRAPH_MEMO[key] = (threshold, pairs)
+        _memo_put(key, (threshold, pairs))
         return pairs
     base_threshold, pairs = cached
     if base_threshold == threshold:
@@ -119,7 +132,7 @@ def shared_jaccard_components(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
     if comp is None:
         pairs = shared_jaccard_pairs(spark, sf_dir, w, threshold, df_cap)
         comp = connected_components(pairs)
-        _GRAPH_MEMO[key] = comp
+        _memo_put(key, comp)
     return comp
 
 

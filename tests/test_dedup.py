@@ -456,3 +456,26 @@ def test_pagerank_matches_pure_python_power_iteration(spark):
         assert abs(got[v][1] - r[v]) < 1e-12, v
     # ranks are a probability distribution (no dangling mass leak)
     assert abs(sum(x[1] for x in got.values()) - 1.0) < 1e-9
+
+
+def test_graph_memo_is_bounded(spark):
+    """The session-shared graph memo must not pin an unbounded set of
+    checkpointed relations: FIFO eviction holds the size at
+    _GRAPH_MEMO_MAX regardless of how many (sf_dir, params) keys a
+    long-lived session touches."""
+    from amsterdam_map_data_wrangling_spark.plans import dedup as D
+
+    D.clear_graph_memo()
+    try:
+        for i in range(D._GRAPH_MEMO_MAX + 5):
+            # distinct cache keys via distinct df_cap values; the builds
+            # are lazy apart from the eager pair checkpoint on tiny data
+            D.shared_jaccard_pairs(
+                spark, "/root/testdata/sf0.001", w=5, threshold=0.5,
+                df_cap=50 + i,
+            )
+            assert len(D._GRAPH_MEMO) <= D._GRAPH_MEMO_MAX
+        # most-recent key survives
+        assert any(k[-1] == 50 + D._GRAPH_MEMO_MAX + 4 for k in D._GRAPH_MEMO)
+    finally:
+        D.clear_graph_memo()
