@@ -26,13 +26,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def tfidf_weights(
-    df: DataFrame, id_col: str, text_col: str, df_cap: int = 50
-) -> DataFrame:
-    """(id, term hash ``t``, weight ``w``) with w = tf · idf,
-    idf = ln((N+1)/(df+1)) + 1 (smoothed; exact-integer inputs so both
-    engines/references compute identical doubles), stop-terms with
-    df > df_cap dropped."""
+def term_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, t, tf): per-document counts of md5-hashed whitespace tokens —
+    the base relation of the whole lexical family (TF-IDF weights and
+    cosine pairs, BM25). Token strings are hashed to longs in the same
+    projection that tokenizes, so no string ever reaches a shuffle."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -44,7 +42,24 @@ def tfidf_weights(
             )
         ).alias("t"),
     )
-    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    return toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+
+
+def tfidf_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_cap: int = 50,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """(id, term hash ``t``, weight ``w``) with w = tf · idf,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed; exact-integer inputs so both
+    engines/references compute identical doubles), stop-terms with
+    df > df_cap dropped. Pass a precomputed :func:`term_tf` relation via
+    ``tf`` to share the tokenize+hash pass across consumers (see
+    plans/sparse.shared_term_tf)."""
+    if tf is None:
+        tf = term_tf(df, id_col, text_col)
     # document frequency per term + corpus size as a 1-row broadcast
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     n_docs = df.select(
@@ -76,12 +91,14 @@ def sparse_cosine_pairs(
     text_col: str,
     threshold: float = 0.3,
     df_cap: int = 50,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with TF-IDF cosine ≥ threshold:
     (id_a, id_b, cosine). Pairs are generated ONLY through shared
     surviving terms (term-key self-join) — disjoint-vocabulary docs are
-    never considered."""
-    w = tfidf_weights(df, id_col, text_col, df_cap=df_cap)
+    never considered. ``tf`` optionally shares a precomputed
+    :func:`term_tf` relation."""
+    w = tfidf_weights(df, id_col, text_col, df_cap=df_cap, tf=tf)
     norms = w.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -113,13 +130,18 @@ def sparse_cosine_topk_per_doc(
     text_col: str,
     k: int = 3,
     df_cap: int = 50,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k most-similar partners per document (row_number over the
     symmetric pair relation; ties broken by partner id for a total
-    order)."""
-    pairs = sparse_cosine_pairs(
-        df, id_col, text_col, threshold=0.0, df_cap=df_cap
-    )
+    order). ``pairs`` optionally shares a precomputed THRESHOLD-0
+    (id_a, id_b, cosine) relation — top-k needs the unthresholded
+    pairs, so a thresholded relation here would silently drop
+    partners."""
+    if pairs is None:
+        pairs = sparse_cosine_pairs(
+            df, id_col, text_col, threshold=0.0, df_cap=df_cap
+        )
     sym = pairs.select(
         F.col("id_a").alias("id"),
         F.col("id_b").alias("partner"),
@@ -268,6 +290,8 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    docs_grams: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Remove training documents sharing an exact word n-gram with a
     benchmark set — the REMOVAL stage on top of the detection query
@@ -283,10 +307,17 @@ def decontaminate(
     (count gates + a literal-0 residual overlap, the pii residual-0
     contract)."""
 
-    bench_grams = gram_hashes(bench, id_col, text_col, n).select("h").distinct()
+    # callers holding a session-shared (id, h) gram relation (see
+    # plans/sparse.shared_gram5) pass the pre-split legs in; the hashes
+    # are the same portable md5 anchor either way
+    if bench_grams is None:
+        bench_grams = (
+            gram_hashes(bench, id_col, text_col, n).select("h").distinct()
+        )
+    if docs_grams is None:
+        docs_grams = gram_hashes(docs, id_col, text_col, n)
     contaminated = (
-        gram_hashes(docs, id_col, text_col, n)
-        .join(F.broadcast(bench_grams), "h")
+        docs_grams.join(F.broadcast(bench_grams), "h")
         .select("id")
         .distinct()
     )
@@ -303,6 +334,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval over the corpus for a small fixed
     query set — the search primitive on top of the same hashed-term
@@ -324,23 +356,16 @@ def bm25_topk(
     exactly once."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                    "long"
-                ),
-            )
-        ).alias("t"),
-    )
-    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    if tf is None:
+        tf = term_tf(df, id_col, text_col)
+    # dl (tokens per doc, with multiplicity) and n_toks are exact-integer
+    # rollups of tf — a shared tf relation replaces the token scan for
+    # ALL of them, not just the tf legs
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     stats = df.agg(
         F.countDistinct(F.col(id_col)).alias("n_docs")
-    ).crossJoin(toks.agg(F.count("*").alias("n_toks")))
+    ).crossJoin(tf.agg(F.sum("tf").alias("n_toks")))
 
     qrows = [(qid, term) for qid, q in queries.items() for term in set(q.split())]
     qdf = (

@@ -64,14 +64,27 @@ def _with_copies(documents):
 # relations are the SMALL derived artifacts (linear in true near-dups, not
 # corpus bytes); a production pipeline would persist them to parquet
 # between stages, which is exactly what this memo stands in for in-session.
+#
+# The memo also hosts the OTHER session-shared derived relations that
+# clear the materialization bar (the TF-IDF cosine pair relation,
+# plans/sparse.shared_sparse_pairs) — one reset point (clear_graph_memo)
+# covers all of them, so bench.py's once-per-pass reset stays a single
+# call. Relations that do NOT clear the bar are deliberately absent:
+# token-proportional streams (term_tf, gram hashes) and the tiny
+# portable-signature relation all measured SLOWER read back from a
+# row-based checkpoint than recomputed under whole-stage codegen
+# (PLANS.md round-10 "what does NOT pay to share").
 _GRAPH_MEMO: dict[tuple, object] = {}
 
 #: bounded memo: a long-lived session touching many sf_dirs (pytest,
 #: notebooks) must not pin an unbounded set of checkpointed relations
 #: in the block manager — insertion-ordered dicts make FIFO eviction
 #: one line, and the evicted frames' blocks are reclaimed by the
-#: ContextCleaner once unreferenced.
-_GRAPH_MEMO_MAX = 8
+#: ContextCleaner once unreferenced. 16 = ample headroom above the ~6
+#: distinct (kind, params) keys one full catalog pass touches for a
+#: single sf_dir, so FIFO never evicts mid-pass (an eviction inside a
+#: pass would silently re-pay a build the sharing exists to avoid).
+_GRAPH_MEMO_MAX = 16
 
 
 def _memo_put(key: tuple, value: object) -> None:

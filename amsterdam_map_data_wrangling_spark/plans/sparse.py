@@ -21,6 +21,57 @@ from amsterdam_map_data_wrangling_spark.operators.sparse import (
 )
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 
+# ---------------------------------------------------------------------------
+# Session-shared TF-IDF cosine pair relation (the plans/dedup._GRAPH_MEMO
+# pattern extended to the lexical family). The pair relation is the ONLY
+# lexical intermediate that clears the materialization bar: it is small
+# (bounded by the df-cap blocking) and expensive to build (term self-join
+# + dot aggregation), and two gates consume it. The token-proportional
+# relations (term_tf, the 5-gram stream) were measured SLOWER through a
+# row-based checkpoint than recomputed under whole-stage codegen, so
+# those stay per-query — see PLANS.md round-10 "what does NOT pay to
+# share". bench.py's once-per-pass clear_graph_memo() resets this too.
+# ---------------------------------------------------------------------------
+
+
+def shared_sparse_pairs(spark, sf_dir, df_cap=50):
+    """Session-shared TF-IDF cosine pair relation at THRESHOLD 0 —
+    the two cosine gates used to run the term self-join + dot
+    aggregation twice (pairs at 0.3, top-k at 0.0). Stored
+    unthresholded (cosines are non-negative: tf·idf weights are
+    positive), so the 0.3 gate is a pure post-filter of the cached
+    frame — the shared_jaccard_pairs lowest-threshold rule, fixed at
+    its floor."""
+    from amsterdam_map_data_wrangling_spark.operators.sparse import (
+        sparse_cosine_pairs,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        _GRAPH_MEMO,
+        _memo_key,
+        _memo_put,
+    )
+
+    key = _memo_key(spark, sf_dir, "sparse_pairs", None, df_cap)
+    pairs = _GRAPH_MEMO.get(key)
+    if pairs is None:
+        (documents,) = _t(spark, sf_dir, "documents")
+        # tf is built INLINE from the parquet scan, not via a shared
+        # checkpoint: the token-proportional relations (term_tf, grams)
+        # measured SLOWER through a row-based checkpoint than recomputed
+        # under whole-stage codegen — only the small, join-expensive pair
+        # relation clears the materialization bar (see PLANS.md round-10
+        # "what does NOT pay to share").
+        pairs = sparse_cosine_pairs(
+            documents.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            threshold=0.0,
+            df_cap=df_cap,
+        ).localCheckpoint()
+        _memo_put(key, pairs)
+    return pairs
+
+
 _SPARSE_COSINE_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -67,14 +118,14 @@ _SPARSE_COSINE_ORACLE = r"""
     "the stop-shingle bound in ngram_jaccard_pairs.",
 )
 def sparse_cosine_pairs_gate(spark, sf_dir):
-    (documents,) = _t(spark, sf_dir, "documents")
-    return sparse_cosine_pairs(
-        documents.select("doc_id", "text"),
-        "doc_id",
-        "text",
-        threshold=0.3,
-        df_cap=50,
-    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+    # threshold 0.3 = post-filter of the shared threshold-0 relation
+    # (same dot/norm algebra, same doubles — the filter is on the
+    # already-computed cosine column)
+    return (
+        shared_sparse_pairs(spark, sf_dir, df_cap=50)
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+    )
 
 
 #: the top-k oracle rewraps the pair oracle's CTE chain as a subquery —
@@ -117,7 +168,12 @@ _SPARSE_TOPK_ORACLE = (
 def sparse_cosine_topk_gate(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     return sparse_cosine_topk_per_doc(
-        documents.select("doc_id", "text"), "doc_id", "text", k=3, df_cap=50
+        documents.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        k=3,
+        df_cap=50,
+        pairs=shared_sparse_pairs(spark, sf_dir, df_cap=50),
     ).select(
         "id",
         "partner",
@@ -235,12 +291,16 @@ def decontaminate_stats(spark, sf_dir):
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
-    # residual: re-run DETECTION on the CLEANED corpus as part of the
-    # returned plan (no driver-side count) — 0 by construction, and any
-    # removal bug becomes a nonzero count against the oracle's literal 0
     bench_grams = (
         gram_hashes(bench, "doc_id", "text", n=5).select("h").distinct()
     )
+    # residual: re-run DETECTION on the CLEANED corpus as part of the
+    # returned plan (no driver-side count) — 0 by construction, and any
+    # removal bug becomes a nonzero count against the oracle's literal 0.
+    # DELIBERATELY re-grammed from the surviving TEXT (never derived
+    # from the relation the removal decision came from — that would
+    # make the literal-0 gate circular). This corpus-scale gram pass is
+    # the price of an independent check.
     residual = (
         gram_hashes(clean, "doc_id", "text", n=5)
         .join(F.broadcast(bench_grams), "h")

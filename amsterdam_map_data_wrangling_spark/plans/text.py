@@ -1075,6 +1075,12 @@ def benchmark_contamination(spark, sf_dir):
     # (measured 9.2 s inline vs 1.0 s staged at sf0.1); element_at over
     # the staged column, never slice() (slice copies a fresh 5-element
     # array per gram).
+    #
+    # NOT shared with decontaminate_stats' gram build: a session-shared
+    # checkpoint of this token-proportional relation was measured 2.6x
+    # SLOWER than recomputing it under codegen (row-based checkpoint
+    # scan vs fused parquet scan — PLANS.md round-10 "what does NOT pay
+    # to share").
     toked = documents.select("doc_id", tokens(F.col("text")).alias("l"))
     # 5-gram start positions 1..len-4; sequence() would count DOWN for
     # len < 5, so gate it (filter() can't: empty-array transform is fine

@@ -23,8 +23,10 @@ BNLJ_WHITELIST = {
     # ---- r07 queue graduates (all broadcast 1-row scalar stitches) ----
     "winsorize_price_stats",  # broadcast 1-row percentile cut points
     "unigram_lm_scores",  # broadcast 1-row (n_total, n_vocab) model totals
-    "sparse_cosine_pairs",  # broadcast 1-row corpus size (tfidf idf term)
-    "sparse_cosine_topk",  # same tfidf 1-row corpus-size stitch
+    # (sparse_cosine_pairs / sparse_cosine_topk: the tfidf 1-row
+    # corpus-size stitch now happens inside the session-shared pair
+    # build — plans/sparse.shared_sparse_pairs — so their gate plans
+    # read a checkpointed relation and show no BNLJ of their own)
     "near_dup_transitivity",  # three 1-row graph aggregates → one row
     "decontaminate_stats",  # corpus/clean/residual 1-row counts → one row
     "bm25_search",  # broadcast 1-row (n_docs, n_toks) statistics stitch
