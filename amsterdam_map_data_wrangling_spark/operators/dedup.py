@@ -112,6 +112,56 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def with_minhash_sigs(
+    df: DataFrame, id_col: str, text_col: str, w: int = 3, k: int = 16
+) -> DataFrame:
+    """``df`` plus per-ROW MinHash signature columns h0..h{k-1} —
+    value-identical to :func:`shingle_hashes` + :func:`minhash_signatures`
+    (same xxhash64 shingle hashes, same seeded families, min over the
+    same set) but computed as array expressions WITHIN each row:
+    ``array_min`` over the per-shingle family hashes, no explode, no
+    shuffle. That narrowness is the point: a streaming pipeline cannot
+    run the batch construction's groupBy (a mid-stream stateful
+    aggregation), while a per-row projection composes with any source —
+    see streaming/neardup.py. ``array_distinct`` is deliberately absent
+    (min is multiset-insensitive). Docs shorter than ``w`` tokens get
+    NULL components (array_min of an empty array) — callers must treat
+    null-signature docs as un-bandable, exactly like the batch path
+    where such docs emit no signature row.
+
+    Two staged projections, per the generator-fusion rules (PLANS.md):
+    the token array and shingle-hash array are each NAMED columns, so
+    Catalyst cannot re-inline the tokenizer into every one of the k
+    family expressions."""
+    hl_col, sh_col = f"__mh_hl_{w}", f"__mh_sh_{w}"
+    staged = df.withColumn(
+        hl_col,
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
+    ).withColumn(
+        sh_col,
+        F.when(
+            F.size(F.col(hl_col)) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(hl_col)) - (w - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col(hl_col), i + j) for j in range(w)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    return staged.select(
+        *df.columns,
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(sh_col), lambda s: F.xxhash64(F.lit(i), s)
+                )
+            ).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+
+
 def _band_hash_portable(cols: list) -> "F.Column":
     """md5-anchored band hash: identical on any engine (the same
     ``'0x' || substr(md5(...), 1, 15)`` trick DuckDB can run), over the
