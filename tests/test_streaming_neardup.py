@@ -183,3 +183,45 @@ def test_bucket_state_survives_checkpoint_restart(spark, tmp_path):
         r.doc_id: r.dup_of for r in hits.select("doc_id", "dup_of").collect()
     }
     assert flagged == {100 + i: i for i in range(1, 5)}
+
+
+def test_state_ttl_expires_idle_buckets(spark, tmp_path):
+    """With a processing-time TTL, an idle bucket's representatives are
+    dropped: a duplicate arriving after expiry is RE-ADMITTED as the new
+    representative instead of flagged (the bounded-horizon trade the
+    module doc prescribes: streaming dedup within the horizon, batch
+    jobs beyond it). Timers fire on the next micro-batch after expiry,
+    so an unrelated middle batch advances the clock."""
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    originals, _ = _corpus()
+
+    def land(rows):
+        time.sleep(1.1)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            near_dup_hits_stream(stream, threshold=0.5, state_ttl_ms=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    land(originals[:1])              # batch 1: doc 1 registered, timer 1 ms
+    land([(300, _text(99))])         # batch 2: expires doc 1's bucket
+    land([(101, originals[0][1])])   # batch 3: exact copy — NOT flagged
+    assert drain().count() == 0
