@@ -36,6 +36,16 @@ Ordering note: within a micro-batch, rows of one bucket are compared in
 ``doc_id`` order (deterministic given the batch); across micro-batches,
 arrival order decides representatives — inherent to ANY streaming
 first-wins dedup, exact ones included.
+
+TTL x trigger caveat: ``state_ttl_ms`` uses ``ProcessingTimeTimeout``,
+whose timers are evaluated against the BATCH timestamp. Under
+``trigger(availableNow=True)`` that clock stops advancing once the
+input is exhausted, so pending timers never fire AND their existence
+makes Spark schedule empty micro-batches forever — the query never
+terminates (observed: 1,491 no-data batches over 41 min). Use the TTL
+only with processing-time / continuous triggers; drain-style batch
+replays should pass ``state_ttl_ms=None``. The expiry branch itself is
+pinned by handler-level tests (tests/test_streaming_neardup.py).
 """
 
 from __future__ import annotations

@@ -185,43 +185,99 @@ def test_bucket_state_survives_checkpoint_restart(spark, tmp_path):
     assert flagged == {100 + i: i for i in range(1, 5)}
 
 
-def test_state_ttl_expires_idle_buckets(spark, tmp_path):
+class _FakeState:
+    """Minimal GroupState double for direct handler invocation (the
+    test_scd2_handler_* pattern). A stream-level TTL test is NOT
+    runnable under ``trigger(availableNow=True)``: processing-time
+    timers are evaluated against the batch clock, which availableNow
+    stops advancing once data is exhausted, so pending timers never
+    fire and Spark schedules no-data micro-batches forever (observed:
+    1,491 batches / 41 min before a kill). See the module doc of
+    streaming/neardup.py."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_state_ttl_expires_idle_buckets():
     """With a processing-time TTL, an idle bucket's representatives are
     dropped: a duplicate arriving after expiry is RE-ADMITTED as the new
     representative instead of flagged (the bounded-horizon trade the
     module doc prescribes: streaming dedup within the horizon, batch
-    jobs beyond it). Timers fire on the next micro-batch after expiry,
-    so an unrelated middle batch advances the clock."""
-    in_dir = str(tmp_path / "in")
-    out = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
-    originals, _ = _corpus()
+    jobs beyond it). Asserted at the handler level — the timed-out
+    branch cleans state, and a post-expiry copy starts a fresh bucket."""
+    import pandas as pd
 
-    def land(rows):
-        time.sleep(1.1)
-        spark.createDataFrame(
-            rows, "doc_id long, text string"
-        ).coalesce(1).write.mode("append").parquet(in_dir)
+    from amsterdam_map_data_wrangling_spark.streaming.neardup import (
+        _make_update,
+    )
 
-    def drain():
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        q = (
-            near_dup_hits_stream(stream, threshold=0.5, state_ttl_ms=1)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return spark.read.parquet(out)
+    k, ttl = 4, 7
+    update = _make_update(k=k, threshold=0.5, cap=64, ttl_ms=ttl)
+    cols = {"doc_id": [1], "h0": [10], "h1": [20], "h2": [30], "h3": [40]}
+    st = _FakeState()
 
-    land(originals[:1])              # batch 1: doc 1 registered, timer 1 ms
-    land([(300, _text(99))])         # batch 2: expires doc 1's bucket
-    land([(101, originals[0][1])])   # batch 3: exact copy — NOT flagged
-    assert drain().count() == 0
+    # batch 1: doc 1 is admitted as the bucket's representative and the
+    # TTL timer is (re)armed.
+    out1 = pd.concat(list(update((0, 99), iter([pd.DataFrame(cols)]), st)))
+    assert len(out1) == 0
+    assert st.exists and st.get == ([1], [10, 20, 30, 40])
+    assert st.timeout_ms == ttl
+
+    # sanity: WITHOUT expiry an identical copy is flagged, est = 1.0
+    copy = pd.DataFrame({**cols, "doc_id": [101]})
+    out2 = pd.concat(list(update((0, 99), iter([copy]), st)))
+    assert out2.to_dict("records") == [
+        {"doc_id": 101, "band_idx": 0, "dup_of": 1, "est_jaccard": 1.0}
+    ]
+
+    # the timer fires: Spark invokes the handler with hasTimedOut=True
+    # and no data — the bucket's state must be removed, nothing emitted.
+    st.hasTimedOut = True
+    out3 = pd.concat(list(update((0, 99), iter([]), st)))
+    assert len(out3) == 0
+    assert not st.exists
+
+    # post-expiry: the same copy is RE-ADMITTED, not flagged.
+    st.hasTimedOut = False
+    out4 = pd.concat(list(update((0, 99), iter([copy]), st)))
+    assert len(out4) == 0
+    assert st.exists and st.get == ([101], [10, 20, 30, 40])
+    assert st.timeout_ms == ttl
+
+
+def test_ttl_timeout_output_schema_matches_hits_schema():
+    """The timed-out branch's empty frame must carry the exact dtypes of
+    HITS_SCHEMA or Arrow conversion fails at runtime."""
+    import pandas as pd
+
+    from amsterdam_map_data_wrangling_spark.streaming.neardup import (
+        _make_update,
+    )
+
+    st = _FakeState()
+    st.hasTimedOut = True
+    update = _make_update(k=4, threshold=0.5, cap=64, ttl_ms=1)
+    (out,) = list(update((0, 99), iter([]), st))
+    assert list(out.columns) == ["doc_id", "band_idx", "dup_of", "est_jaccard"]
+    assert [str(t) for t in out.dtypes] == [
+        "int64", "int32", "int64", "float64"
+    ]
