@@ -142,67 +142,10 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 10 rotation: front (slots 1-50) ----
-    # (e) gap_log2_hist (never-gated bounded overflow, first verdict
-    #     owed since r08) + the 49 r06-green queries (verdicts now 4
-    #     wall-clock rounds old after the r09 stall — oldest cohort,
-    #     so they take the whole front):
-    "gap_log2_hist",
-    "tumbling_window_stats",
-    "count_global",
-    "distinct_users_union",
-    "custkeys_intersect",
-    "custkeys_except",
-    "topk_group_distinct",
-    "topk_group_count",
-    "topk_order_limit",
-    "like_filter_count",
-    "scan_filter_project",
-    "pct_shares",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "event_gap_stats",
-    "asof_last_click_before_error",
-    "above_avg_orders_per_customer",
-    "segment_event_counts",
-    "text_stats",
-    "term_freq_topk",
-    "bigram_topk",
-    "lang_id_confusion",
-    "sliding_window_by_type",
-    "session_window_per_user",
-    "interval_join_click_error",
-    "json_props_stats",
-    "value_percentiles_by_type",
-    "audio_dims",
-    "video_dims",
-    "runtime_bloom_filter_join",
-    "funnel_conversion",
-    "key_skew_profile",
-    "zorder_layout_stats",
-    "dedup_keep_canonical",
-    "cms_heavy_hitters",
-    "equi_depth_histogram",
-    "expectations_report",
-    "python_datasource_stats",
-    "chunk_documents_udtf",
-    "interval_overlap_balances",
-    "local_supplier_volume",
-    "weekly_cohort_retention",
-    "nested_json_shred",
-    "repetition_stats",
-    "benchmark_contamination",
-    "mixture_proportional_sample",
-    "snapshot_table_diff",
-    "dup_span_coverage",
-    "dedup_edit_refine",
-    "map_ops_surface",
-    # ---- window boundary (slot 50) ----
-    # (f) park: the 50 r07-green queries, in registration order —
-    #     their r07 verdicts are 3 distinct gate windows old (4
-    #     wall-clock rounds after the r09 stall), covered by the
-    #     stalled-round recovery clause; parked immediately past the
-    #     window so they are r11's entire front:
+    # ---- round 11 rotation: front (slots 1-50) ----
+    # (h) the 50 r07-green queries (pre-parked at r10's slots 51-100 for
+    #     exactly this rotation; their verdicts are the oldest cohort —
+    #     3 distinct gate windows back after the r09 stall collapse):
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
@@ -253,10 +196,67 @@ _GATE_PRIORITY: list[str] = [
     "variant_json_stats",
     "null_semantics_audit",
     "xml_roundtrip_stats",
-    # (g) the 50 r08-front queries (26 r05-parks + 23 queue +
-    #     warc_roundtrip_stats) are deliberately unlisted — they append
-    #     in registration order behind the park (verdicts r09, age 1),
-    #     and become r12's front.
+    # ---- window boundary (slot 50) ----
+    # (i) park: the 50 r08-front queries (26 r05-parks + 23 queue +
+    #     warc_roundtrip_stats), in registration order — their freshest
+    #     DISTINCT verdict window is r08 (the r09 artifact duplicated it
+    #     key-for-key), i.e. 2 distinct windows back after this round's
+    #     front gates; parked immediately past the window so they are
+    #     r12's entire front:
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "frame_sample_stats",
+    "warc_roundtrip_stats",
+    "pricing_summary",
+    "join_revenue_by_priority",
+    "ordered_position_per_group",
+    "topn_per_group",
+    "running_revenue_per_customer",
+    "rollup_revenue",
+    "eav_pivot_wide",
+    "window_function_zoo",
+    "bag_set_ops",
+    "cube_revenue",
+    "dataset_split_stats",
+    "embedding_label_centroids",
+    "minhash_recall_curve",
+    "dedup_cluster_size_hist",
+    "event_transition_counts",
+    "scd2_state_durations",
+    "cohort_retention",
+    "ks_split_drift",
+    "chi2_type_weekday",
+    "vocab_jaccard_sources",
+    "equal_freq_deciles",
+    "spearman_autocorr_daily_revenue",
+    "minmax_scale_bins",
+    "token_diversity_by_source",
+    "nearest_centroid_confusion",
+    "rfm_segment_counts",
+    "dq_audit_star",
+    "neardup_degree_hist",
+    "spatial_radius_pairs",
+    "basket_lift_pairs",
+    "daily_peak_concurrency",
+    "revenue_concentration",
+    "ab_test_zscore",
+    "embedding_label_stats",
+    "embedding_norm_zscores",
+    "doc_rolling_fingerprint",
+    "stratified_sample_counts",
+    "quality_scores",
+    "quality_components",
+    "chunk_documents",
+    "normalize_phone_lengths",
+    "normalize_postcode_formats",
+    "split_tag_keys_agg",
+    "eav_unpivot_topk",
+    "table_stats",
+    "salted_user_event_stats",
+    # (j) the 50 r10-front queries (gap_log2_hist + the 49 re-gated
+    #     r06-greens) are deliberately unlisted — they append in
+    #     registration order behind the park (verdicts r10, the
+    #     freshest cohort) and become r13's front.
 ]
 
 

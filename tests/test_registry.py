@@ -69,27 +69,28 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-10 evidence policy (the r09 front, delivered one round late
-    # after the round-9 stall): gap_log2_hist takes slot 0 (its
-    # first-ever driver verdict is the longest-owed), the 49 r06-green
-    # queries fill the rest of the window, and the 50 r07-greens park
-    # at slots 50-99 as r11's front. (The general freshness invariant
-    # is asserted mechanically in tests/test_gate_freshness.py — this
-    # pins only the current round's specific obligations.)
+    # round-11 evidence policy: the 50 r07-green queries (the oldest
+    # cohort — their last distinct verdict window is r07, three windows
+    # back) take the whole front; the r08-front cohort (last distinct
+    # window r08 — the r09 artifact duplicated it) parks at slots
+    # 51-100 as r12's front; the freshly-gated r10 cohort appends
+    # unlisted at 101-150 (r13's front). (The general freshness
+    # invariant is asserted mechanically in tests/test_gate_freshness.py
+    # — this pins only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r06 = set(json.loads((repo / "CORRECTNESS_r06.json").read_text()))
     r07 = set(json.loads((repo / "CORRECTNESS_r07.json").read_text()))
     r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
-    assert ordered.index("gap_log2_hist") == 0
-    front = set(ordered[:50])
-    assert front - {"gap_log2_hist"} == r06 - r08 - {"ilike_filter_count"}, (
-        "round-10 window must be exactly gap_log2_hist + the 49 "
-        "r06-green queries"
+    r10 = set(json.loads((repo / "CORRECTNESS_r10.json").read_text()))
+    assert set(ordered[:50]) == r07, (
+        "round-11 window must be exactly the 50 r07-green queries"
     )
-    assert set(ordered[50:100]) == r07, (
-        "the 50 r07-greens must park at slots 51-100 (r11's front)"
+    assert set(ordered[50:100]) == r08 - r07 - r10, (
+        "the r08-front cohort must park at slots 51-100 (r12's front)"
+    )
+    assert set(ordered[100:]) == r10, (
+        "the freshly-gated r10 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
