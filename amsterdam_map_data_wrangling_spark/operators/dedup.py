@@ -132,7 +132,18 @@ def with_minhash_sigs(
     Two staged projections, per the generator-fusion rules (PLANS.md):
     the token array and shingle-hash array are each NAMED columns, so
     Catalyst cannot re-inline the tokenizer into every one of the k
-    family expressions."""
+    family expressions.
+
+    ``id_col`` does not shape the computation (signatures are pure
+    per-row functions of ``text_col``; every input column passes
+    through) — it is validated here so the shared call signature with
+    the batch helpers stays honest (r10 ADVICE: an accepted-but-ignored
+    parameter implies a dependency that doesn't exist)."""
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"with_minhash_sigs: column(s) {missing} not in {df.columns}"
+        )
     hl_col, sh_col = f"__mh_hl_{w}", f"__mh_sh_{w}"
     staged = df.withColumn(
         hl_col,

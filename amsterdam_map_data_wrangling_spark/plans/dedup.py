@@ -103,8 +103,41 @@ def clear_graph_memo() -> None:
     _GRAPH_MEMO.clear()
 
 
-def _memo_key(spark, sf_dir, kind, w, df_cap):
-    return (spark.sparkContext.applicationId, sf_dir, kind, w, df_cap)
+def _table_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap driver-side identity of a table's bytes: the
+    (name, size, mtime_ns) listing of <table>.parquet (file or
+    directory). Part of every memo key so a session that REWRITES the
+    data under an sf_dir between consumers misses the memo instead of
+    being served a checkpoint of the old bytes (r10 verdict hygiene
+    note — gate/bench inputs are read-only, but the memo should not
+    depend on that). Pure os.scandir metadata: no Spark job, ~µs."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            )
+        st = os.stat(path)
+        return ((f"{table}.parquet", st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return ()  # non-local / missing: fall back to sf_dir-only keying
+
+
+def _memo_key(spark, sf_dir, kind, w, df_cap, table="documents"):
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _table_fingerprint(sf_dir, table),
+        kind,
+        w,
+        df_cap,
+    )
 
 
 def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):

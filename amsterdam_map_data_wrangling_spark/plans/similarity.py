@@ -28,6 +28,26 @@ _COSINE_CTE = _E_CTE + """
 """
 
 
+def _corpus_count(spark, sf_dir, embeddings) -> int:
+    """Memoized embeddings row count (drives the adaptive sign-LSH code
+    width). Lives in the shared _GRAPH_MEMO so (a) plan re-builds don't
+    re-pay the count action, (b) the key carries the data fingerprint
+    (a rewritten corpus re-counts), and (c) bench.py's per-pass
+    clear_graph_memo() keeps the bench honest — one count per pass."""
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        _GRAPH_MEMO,
+        _memo_key,
+        _memo_put,
+    )
+
+    key = _memo_key(spark, sf_dir, "emb_count", None, None, table="embeddings")
+    n = _GRAPH_MEMO.get(key)
+    if n is None:
+        n = embeddings.count()
+        _memo_put(key, n)
+    return n
+
+
 def _adaptive_sign_bits(n: int, target_bucket: int = 32) -> int:
     """Sign-LSH code width for an n-vector corpus: target ~target_bucket
     vectors per bucket, floor 6 (the gate SFs' literal oracle width —
@@ -330,8 +350,12 @@ def embedding_near_dup_pairs(spark, sf_dir):
     # low-cosine collisions) — the operator is exact-at-gate,
     # approximate-blocking at scale, like every LSH method. The count
     # is one columnar metadata-cheap action, same class as the IVF
-    # seed sample.
-    n = embeddings.count()
+    # seed sample — and MEMOIZED per (session, sf_dir, data
+    # fingerprint) so merely re-BUILDING the plan (plan-invariant
+    # tests, catalog tooling) doesn't re-pay a Spark action (r10
+    # ADVICE); clear_graph_memo() resets it with the other shared
+    # relations, so bench passes each pay it exactly once.
+    n = _corpus_count(spark, sf_dir, embeddings)
     bits = _adaptive_sign_bits(n)
     coded = embeddings.select(
         "vec_id",

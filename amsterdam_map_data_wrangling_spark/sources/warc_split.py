@@ -255,14 +255,21 @@ def _sync_plain(win: _Window, start: int, end: int):
 _SYNC_VALIDATE_CAP = 8 * 1024 * 1024
 
 
+#: validate-cap acceptance marker: truthy and deliberately NOT a
+#: (plaintext, consumed) tuple, so a future caller that tries to
+#: advance by ``consumed`` gets an immediate TypeError instead of a
+#: silent zero-advance infinite loop (r10 ADVICE).
+_SYNC_VALIDATED = "gzip-member-validated-capped"
+
+
 def _gzip_member_at(win: _Window, pos: int, validate: bool):
     """Decompress one gzip member at absolute ``pos``. Returns
     (plaintext, consumed_bytes) or None if ``validate`` and the bytes
     are not a real member (or not WARC plaintext). In validate mode the
     drain is capped (``_SYNC_VALIDATE_CAP``): once the plaintext prefix
     is confirmed and the cap is reached error-free, the candidate is
-    accepted with a ``(b"", 0)`` sentinel (sync callers only test for
-    None)."""
+    accepted with the ``_SYNC_VALIDATED`` marker (sync callers only
+    test for None; the marker is unusable as a tuple by design)."""
     d = zlib.decompressobj(wbits=31)
     out = []
     fed = 0
@@ -287,7 +294,7 @@ def _gzip_member_at(win: _Window, pos: int, validate: bool):
         if out[0]:
             first = False
         if validate and not first and total_out >= _SYNC_VALIDATE_CAP:
-            return b"", 0
+            return _SYNC_VALIDATED
         fed += len(chunk)
         if d.eof:
             consumed = fed - len(d.unused_data)

@@ -63,7 +63,23 @@ def stream_warc_records(
     wedging a task. Pass ``max_file_bytes=None`` only for landing
     zones with an upstream size guarantee; for zones that legitimately
     receive giant shards, use :func:`start_ranged_warc_ingest`, which
-    routes every shard through ``warc_split`` byte ranges."""
+    routes every shard through ``warc_split`` byte ranges.
+
+    RESIDUAL OOM WINDOW (r10 ADVICE, documented rather than closed):
+    the guard reads ``length`` inside mapInPandas, AFTER the binaryFile
+    scan has materialized the oversized shard's bytes into its row —
+    binaryFile offers no per-read size option and evaluates expressions
+    only post-materialization, so a shard large enough to OOM the
+    executor can die before the ValueError fires. The guard's value is
+    the diagnosis when memory survives the load (the common case: a
+    32 GB-heap executor loudly rejects a 2 GB shard rather than
+    straggling on it). Deployments that need a CONTENT-FREE hard stop
+    should set ``spark.sql.sources.binaryFile.maxLength`` (session
+    conf; the scan then refuses oversized files from file STATUS,
+    before any byte is read) — deliberately not set here because it is
+    session-global and would silently constrain every other binaryFile
+    read in the application — or use :func:`start_ranged_warc_ingest`,
+    whose metadata-only file stream never loads whole shards at all."""
     reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

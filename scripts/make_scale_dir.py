@@ -70,11 +70,15 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     for c in SHIFT_COLS[table]:
         rep = rep.withColumn(c, F.col(c) + F.col("_r") * F.lit(KEY_STRIDE))
     if table == "documents":
+        # tag AFTER every whitespace RUN (\s+, not the literal space:
+        # tab/newline-separated tokens must get the prefix too or they
+        # stay shared across replicas — r10 ADVICE) and once up front
         tag = F.concat(F.lit("r"), F.col("_r").cast("string"), F.lit("_"))
         rep = rep.withColumn(
             "text",
             F.concat(
-                tag, F.regexp_replace("text", " ", F.concat(F.lit(" "), tag))
+                tag,
+                F.regexp_replace("text", r"(\s+)", F.concat(F.lit("$1"), tag)),
             ),
         )
     if table == "embeddings":

@@ -479,3 +479,49 @@ def test_graph_memo_is_bounded(spark):
         assert any(k[-1] == 50 + D._GRAPH_MEMO_MAX + 4 for k in D._GRAPH_MEMO)
     finally:
         D.clear_graph_memo()
+
+
+def test_graph_memo_misses_when_data_rewritten(spark, tmp_path):
+    """Rewriting the documents table under an sf_dir must MISS the memo
+    (r10 verdict hygiene note): the key carries a driver-side
+    (name, size, mtime) fingerprint of documents.parquet, so a stale
+    checkpoint of the old bytes is never served."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.plans import dedup as D
+    from amsterdam_map_data_wrangling_spark.sources import registry
+
+    sf_dir = str(tmp_path)
+    src = "/root/testdata/sf0.001"
+    shutil.copy(f"{src}/documents.parquet", f"{tmp_path}/documents.parquet")
+
+    D.clear_graph_memo()
+    try:
+        first = D.shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5)
+        n_first = first.count()
+        assert len(D._GRAPH_MEMO) == 1
+        # same data → HIT (no new entry, same object back)
+        again = D.shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5)
+        assert again is first and len(D._GRAPH_MEMO) == 1
+
+        # rewrite: keep only half the docs — a correct consumer must see
+        # the shrunken pair relation, not the checkpoint of the old one
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        (tmp_path / "documents.parquet").unlink()
+        half.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        # the registry's DataFrame cache and Spark's file-status cache
+        # have their own documented rewrite contracts (registry.clear_cache
+        # / refreshByPath) — the layer under test here is the memo, which
+        # previously had NO data-change detection at all.
+        registry.clear_cache()
+        spark.catalog.refreshByPath(f"{tmp_path}/documents.parquet")
+
+        fresh = D.shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5)
+        assert fresh is not first, "memo served a stale checkpoint"
+        assert len(D._GRAPH_MEMO) == 2  # old + new fingerprint keys
+        assert fresh.count() <= n_first
+    finally:
+        D.clear_graph_memo()
