@@ -70,6 +70,7 @@ def _load_all() -> None:
     from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
         dedup,
         features,
+        geo,
         multimodal,
         queries,
         r08_queue,
@@ -174,14 +175,19 @@ _GATE_PRIORITY: list[str] = [
     "ann_sign_lsh",
     "ann_rand_lsh",
     "ann_ivf",
-    "ann_ivf_probe2",
+    # ann_ivf_probe2 RETIRED r11 (saturation policy; see
+    # plans/similarity.py + tests/test_retired.py) — its slot goes to
+    # the new geospatial family, which has no verdict yet:
+    "geo_haversine_radius",
     "embedding_near_dup_pairs",
     "ann_sq8_rerank",
     "ann_pq_adc",
     "sketch_users_by_type",
     "sketch_value_quantiles",
     "sparse_cosine_pairs",
-    "sparse_cosine_topk",
+    # sparse_cosine_topk RETIRED r11 (saturation policy; see
+    # plans/sparse.py + tests/test_retired.py) — slot to geospatial:
+    "geo_nn_on_sphere",
     "bloom_vocab_overlap",
     "decontaminate_stats",
     "bm25_search",

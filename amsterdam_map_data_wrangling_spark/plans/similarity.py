@@ -255,20 +255,19 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3)
 
 
-@query(
-    "ann_ivf_probe2",
-    _ivf_learned_sql(2, 64, 3, nprobe=2),
-    "IVF ANN at nprobe=2 — the standard recall/cost dial, gated: each "
-    "query searches its TOP-2 cells by centroid similarity (sim desc, "
-    "c_id asc tie-break, identical lexsort/window order on both engines), "
-    "exercising the multi-cell broadcast join that nprobe=1 never builds. "
-    "Recall is monotone in nprobe (pytest-pinned) because probed cell "
-    "sets are nested and corpus vectors live in exactly one cell — no "
-    "duplicate candidates, no extra dedup stage. Scale: the broadcast "
-    "query side carries nprobe rows per query (an IN-list in relational "
-    "form); the corpus still shuffles ONCE on the cell key, so the dial "
-    "costs candidates, not shuffles.",
-)
+#: ann_ivf_probe2 — RETIRED from the gate registry at round 11 (the
+#: N=150 saturation policy's retirement mechanism, third use after
+#: ilike_filter_count and sparse_cosine_topk) to free a front slot for
+#: the geospatial family (plans/geo.py). It was the lowest-marginal-
+#: evidence ANN gate: a one-knob variant (nprobe=2) of ann_ivf running
+#: the SAME ivf_topk code path — the dial's semantics (nested probe
+#: sets, monotone recall) stay pinned by tests/test_similarity.py and
+#: the full oracle compare lives on in tests/test_retired.py; the
+#: multi-cell broadcast plan shape stays pinned in
+#: tests/test_plan_shapes.py. Gate history: hash-green r07.
+ANN_IVF_PROBE2_ORACLE = _ivf_learned_sql(2, 64, 3, nprobe=2)
+
+
 def ann_ivf_probe2(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return ivf_topk(embeddings, "vec_id", "embedding", _QUERY_IDS, 3, nprobe=2)

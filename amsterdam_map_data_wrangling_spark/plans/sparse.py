@@ -154,17 +154,17 @@ _SPARSE_TOPK_ORACLE = (
 )
 
 
-@query(
-    "sparse_cosine_topk",
-    _SPARSE_TOPK_ORACLE,
-    "Per-document top-3 most-similar partners by TF-IDF cosine — the "
-    "k-nearest-lexical-neighbors view of sparse_cosine_pairs "
-    "(symmetrized pair relation, row_number per doc, ties broken by "
-    "partner id for a total order). Same never-all-pairs shape plus "
-    "one window shuffle on the doc id. The oracle is built by "
-    "rewrapping the pair oracle's CTE chain, so the weight/dot algebra "
-    "has one source of truth on the DuckDB side too.",
-)
+#: sparse_cosine_topk — RETIRED from the gate registry at round 11 (the
+#: N=150 saturation policy's retirement mechanism) to free a front slot
+#: for the geospatial family (plans/geo.py). It was a low-marginal-
+#: evidence gate: a row_number window over the SAME shared pair
+#: relation sparse_cosine_pairs gates (since r10 they literally share
+#: the memoized threshold-0 relation), and per-group top-k windows are
+#: independently gated by topn_per_group / window_function_zoo /
+#: sparse_cosine_pairs' own ranked consumers. The full oracle compare
+#: lives on in tests/test_retired.py; the operator itself
+#: (sparse_cosine_topk_per_doc) keeps its unit tests. Gate history:
+#: hash-green r07.
 def sparse_cosine_topk_gate(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     return sparse_cosine_topk_per_doc(

@@ -16,6 +16,10 @@ from .conftest import SF_ORACLE
 
 
 def _plan(spark, name: str) -> str:
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _load_all
+
+    _load_all()  # registration is import-driven; -k runs must not rely
+    # on another test having imported every plan module
     df = QUERIES[name].build(spark, SF_ORACLE)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -152,8 +156,12 @@ def test_ivf_probe2_broadcasts_probes_never_corpus(spark):
     """nprobe=2 must add broadcast (qid, qcell) rows, NOT plan shape: the
     corpus-side assignment feeds one BroadcastHashJoin on the cell key
     (corpus never broadcast, never cartesian), and the only corpus
-    exchange remains the per-query rank merge."""
-    plan = _plan(spark, "ann_ivf_probe2")
+    exchange remains the per-query rank merge. (Retired from the gate
+    registry r11 — the plan-shape pin stays.)"""
+    from amsterdam_map_data_wrangling_spark.plans.similarity import ann_ivf_probe2
+
+    df = ann_ivf_probe2(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -294,3 +302,28 @@ def test_q7_shape_broadcasts_dims_and_shuffles_facts(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_broadcasts_probes_zero_corpus_exchange(spark):
+    """geo_haversine_radius: the 27-row (landmark x 3x3 offset) probe
+    relation must broadcast into an EQUI hash join on the cell id — the
+    point corpus is never shuffled, never range-joined, never crossed."""
+    plan = _plan(spark, "geo_haversine_radius")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_geo_nn_equi_join_one_corpus_shuffle_plus_window(spark):
+    """geo_nn_on_sphere: the 3x3 neighborhood must be an EQUI join on
+    the exploded cell id (never a BETWEEN-range BNLJ / cartesian); the
+    only hash exchanges are the join's (when not broadcast at this SF)
+    and the per-point rank window."""
+    plan = _plan(spark, "geo_nn_on_sphere")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -8,6 +8,14 @@ from amsterdam_map_data_wrangling_spark.plans.queries import (
     ILIKE_FILTER_ORACLE,
     ilike_filter_count,
 )
+from amsterdam_map_data_wrangling_spark.plans.similarity import (
+    ANN_IVF_PROBE2_ORACLE,
+    ann_ivf_probe2,
+)
+from amsterdam_map_data_wrangling_spark.plans.sparse import (
+    _SPARSE_TOPK_ORACLE,
+    sparse_cosine_topk_gate,
+)
 
 from .conftest import SF_ORACLE
 from .oracle import compare, duckdb_con
@@ -21,8 +29,36 @@ def test_retired_ilike_filter_count_still_matches_oracle(spark):
         con.close()
 
 
-def test_ilike_is_not_registered(spark):
+def test_retired_ann_ivf_probe2_still_matches_oracle(spark):
+    """Retired r11 (slot went to geo_haversine_radius): the nprobe=2
+    dial's full output still matches the exact-integer IVF oracle."""
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(ann_ivf_probe2(spark, SF_ORACLE), con, ANN_IVF_PROBE2_ORACLE)
+    finally:
+        con.close()
+
+
+def test_retired_sparse_cosine_topk_still_matches_oracle(spark):
+    """Retired r11 (slot went to geo_nn_on_sphere): the per-doc top-3
+    window over the shared TF-IDF pair relation still matches the
+    rewrapped pair oracle."""
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            sparse_cosine_topk_gate(spark, SF_ORACLE), con, _SPARSE_TOPK_ORACLE
+        )
+    finally:
+        con.close()
+
+
+def test_retired_are_not_registered(spark):
     from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
 
-    assert "ilike_filter_count" not in QUERIES
-    assert "warc_roundtrip_stats" in QUERIES  # the slot's new occupant
+    for retired, occupant in [
+        ("ilike_filter_count", "warc_roundtrip_stats"),
+        ("ann_ivf_probe2", "geo_haversine_radius"),
+        ("sparse_cosine_topk", "geo_nn_on_sphere"),
+    ]:
+        assert retired not in QUERIES
+        assert occupant in QUERIES  # the slot's new occupant
