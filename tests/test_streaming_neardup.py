@@ -185,6 +185,69 @@ def test_bucket_state_survives_checkpoint_restart(spark, tmp_path):
     assert flagged == {100 + i: i for i in range(1, 5)}
 
 
+def test_recall_vs_admission_cap_is_monotone(spark):
+    """Quantifies the first-wins admission cap's recall trade (r10
+    verdict ask: turn the module-doc claim into evidence). Corpus: 48
+    seeded near-dup groups (1 original + 2 exact copies) over a 4-word
+    vocabulary with k=4 / bands=4 (r=1), so single-component band
+    buckets SATURATE and originals can be denied admission in every
+    band — the regime where the cap costs recall. Recall (flagged
+    copies / planted copies) must be monotone in the cap, and the
+    pinned curve is the number the module doc's 'documented recall
+    degradation' actually means: 66/96 at cap 1, 84/96 at 2, 94/96 at
+    4, 96/96 at 16 (deterministic: seeded corpus, one micro-batch,
+    doc_id-ordered comparisons)."""
+    import random
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    rng = random.Random(11)
+    rows, texts = [], set()
+    for g in range(48):
+        while True:
+            text = " ".join(rng.choice(vocab) for _ in range(12))
+            if text not in texts:
+                texts.add(text)
+                break
+        rows.append((g + 1, text))
+        for c in range(2):
+            rows.append((1000 + g * 10 + c, text))
+    dups = {i for i, _ in rows if i >= 1000}
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".tmp", "neardup_recall"
+    )
+    flagged_by_cap = {}
+    for cap in (1, 2, 4, 16):
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        )
+        name = f"t_neardup_recall_{cap}"
+        (
+            near_dup_hits_stream(
+                stream, w=3, k=4, bands=4, threshold=0.99,
+                max_reps_per_bucket=cap,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        flagged = {r.doc_id for r in spark.table(name).collect()}
+        flagged_by_cap[cap] = len(flagged & dups)
+
+    assert flagged_by_cap == {1: 66, 2: 84, 4: 94, 16: 96}, flagged_by_cap
+    counts = [flagged_by_cap[c] for c in (1, 2, 4, 16)]
+    assert counts == sorted(counts)  # monotone in the cap
+    assert flagged_by_cap[16] == len(dups)  # saturation-free = full recall
+
+
 class _FakeState:
     """Minimal GroupState double for direct handler invocation (the
     test_scd2_handler_* pattern). A stream-level TTL test is NOT
