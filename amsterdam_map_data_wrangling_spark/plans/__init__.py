@@ -3,6 +3,7 @@
 from amsterdam_map_data_wrangling_spark.plans import (  # noqa: F401
     dedup,
     features,
+    geo,
     multimodal,
     queries,
     r08_queue,

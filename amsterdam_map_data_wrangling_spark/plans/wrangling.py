@@ -20,6 +20,9 @@ from amsterdam_map_data_wrangling_spark.functions.cleaning import (
     normalize_postcode,
     split_tag_key,
 )
+from amsterdam_map_data_wrangling_spark.operators.layout import (
+    cpu_parallel_floor,
+)
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 
 # ---------------------------------------------------------------------------
@@ -257,6 +260,8 @@ def table_stats(spark, sf_dir):
 )
 def json_props_stats(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
+    # per-row JSON parse — CPU-dense opt-in (events is not loader-floored)
+    events = cpu_parallel_floor(events)
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (
         events.select("event_type", k.alias("k"))
@@ -589,6 +594,10 @@ def python_datasource_stats(spark, sf_dir):
 )
 def nested_json_shred(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
+    # JSON synthesis + parse is CPU-dense per input byte — opt in to the
+    # scan-parallelism floor (orders is not floored by the loader; its
+    # other consumers are IO-thin star aggregates).
+    orders = cpu_parallel_floor(orders)
     js = F.concat(
         F.lit('{"id": '),
         F.col("o_orderkey").cast("string"),
@@ -602,9 +611,18 @@ def nested_json_shred(spark, sf_dir):
     )
     schema = "id BIGINT, items ARRAY<STRUCT<q: BIGINT>>, tag STRING"
     parsed = orders.select(F.from_json(js, schema).alias("doc"))
+    # explode_OUTER, deliberately: InferFiltersFromGenerate adds a
+    # `size(input) > 0 AND isnotnull(input)` filter under a non-outer
+    # Generate, and because the generator input is a field of the
+    # from_json result, that inferred filter RE-PARSES the JSON twice
+    # more per row (3 from_json calls in the optimized plan; measured
+    # ~2x the whole query at the 10x scale point). The rule skips outer
+    # generates. Semantics are identical here — items is never empty or
+    # null by construction (always exactly 2 elements), so the outer
+    # branch's null-emitting row can't occur; gate hashes unchanged.
     items = parsed.select(
         F.col("doc.tag").alias("tag"),
-        F.explode("doc.items").alias("item"),
+        F.explode_outer("doc.items").alias("item"),
     )
     return (
         items.groupBy("tag")
@@ -765,6 +783,8 @@ def snapshot_table_diff(spark, sf_dir):
 )
 def map_ops_surface(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
+    # per-row map build + explode fan-out — CPU-dense opt-in
+    orders = cpu_parallel_floor(orders)
     m = F.map_concat(
         F.create_map(
             F.lit("status"),
@@ -824,6 +844,8 @@ def map_ops_surface(spark, sf_dir):
 )
 def variant_json_stats(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
+    # same CPU-dense opt-in as nested_json_shred: parse_json per row
+    orders = cpu_parallel_floor(orders)
     js = F.concat(
         F.lit('{"id": '),
         F.col("o_orderkey").cast("string"),

@@ -99,3 +99,34 @@ def test_gate_priority_orders_catalog():
         "the freshly-gated r10 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
+
+
+def test_package_init_registers_every_query_module():
+    """bench.py (and any `from ...plans.queries import QUERIES` user)
+    relies on the package __init__'s import list for registration side
+    effects; catalog._load_all is the other copy of that list. They must
+    name the SAME modules — round 11 found `geo` present in _load_all but
+    missing from __init__, silently shrinking bench.py's catalog to 148."""
+    import ast
+    import inspect
+
+    from amsterdam_map_data_wrangling_spark import plans
+    from amsterdam_map_data_wrangling_spark.plans import catalog
+
+    def imported_names(source: str) -> set[str]:
+        names: set[str] = set()
+        for node in ast.walk(ast.parse(source)):
+            if (
+                isinstance(node, ast.ImportFrom)
+                and node.module == "amsterdam_map_data_wrangling_spark.plans"
+            ):
+                names |= {a.name for a in node.names}
+        return names
+
+    init_mods = imported_names(inspect.getsource(plans))
+    load_all_mods = imported_names(
+        inspect.getsource(catalog._load_all)
+    )
+    assert load_all_mods <= init_mods, (
+        f"plans/__init__.py is missing {load_all_mods - init_mods}"
+    )
