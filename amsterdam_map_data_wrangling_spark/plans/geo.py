@@ -83,7 +83,9 @@ def _coord(tag: str, key: Column) -> Column:
 
 
 def _points(spark, sf_dir, cell_units: int) -> DataFrame:
-    """(id, lat, lon, cy, cx) for every customer point."""
+    """(id, y, x, lat, lon, cy, cx) for every customer point — the
+    integer unit coords (y, x) ride along so consumers can bbox-prune
+    candidate pairs with integer compares before paying any trig."""
     (customer,) = _t(spark, sf_dir, "customer")
     key = F.col("c_custkey")
     return customer.select(
@@ -92,6 +94,8 @@ def _points(spark, sf_dir, cell_units: int) -> DataFrame:
         _coord("lon", key).alias("x"),
     ).select(
         "id",
+        "y",
+        "x",
         (F.lit(_LAT0) + F.col("y") * F.lit(_LAT_STEP)).alias("lat"),
         (F.lit(_LON0) + F.col("x") * F.lit(_LON_STEP)).alias("lon"),
         F.expr(f"y div {cell_units}").alias("cy"),
@@ -238,6 +242,20 @@ def geo_haversine_radius(spark, sf_dir):
 )
 def geo_nn_on_sphere(spark, sf_dir):
     pts = _points(spark, sf_dir, cell_units=1600)
+    # materialize the documented "ONE shuffle of the corpus on the cell
+    # key" explicitly: without it AQE broadcast-converts both (tiny,
+    # single-split) sides and the whole candidate emission — ~9 x
+    # points-per-cell rows per probe row, the quadratic-in-density part —
+    # runs inside the UNSPLIT scan stage (one task on a 1-row-group
+    # file; 34 s at the sf1 scale point). Hash-partitioning the probe
+    # side on the cell id is the same plan a cell-partitioned production
+    # layout gives for free, and parallelizes the emission at any input
+    # layout. (The 4 MiB cpu_parallel_floor window is the wrong guard
+    # here: customer's bytes are tiny — the blow-up is the join fan-out,
+    # which this plan knows about and the loader cannot.)
+    pts = pts.repartition(
+        spark.sparkContext.defaultParallelism, "cy", "cx"
+    )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     # explode the CANDIDATE side into its 9 neighbor cells: the join on
     # (cy, cx) is then pure equi and each true pair matches exactly once
@@ -245,6 +263,8 @@ def geo_nn_on_sphere(spark, sf_dir):
     cand_side = (
         pts.select(
             F.col("id").alias("id_b"),
+            F.col("y").alias("y_b"),
+            F.col("x").alias("x_b"),
             F.col("lat").alias("lat_b"),
             F.col("lon").alias("lon_b"),
             F.col("cy").alias("cy_b"),
@@ -252,30 +272,53 @@ def geo_nn_on_sphere(spark, sf_dir):
             F.explode(off).alias("dy"),
         )
         .select(
-            "id_b", "lat_b", "lon_b",
+            "id_b", "y_b", "x_b", "lat_b", "lon_b",
             (F.col("cy_b") + F.col("dy")).alias("cy"),
             "cx_b",
             F.explode(off).alias("dx"),
         )
         .select(
-            "id_b", "lat_b", "lon_b", "cy",
+            "id_b", "y_b", "x_b", "lat_b", "lon_b", "cy",
             (F.col("cx_b") + F.col("dx")).alias("cx"),
         )
     )
+    # integer bounding-box prune BEFORE any trig — found by the sf1 scale
+    # pass (10x point density made the fixed-size cells hold ~10x the
+    # points, so the 3x3 candidate set densified to ~340 pairs/point and
+    # 51M haversine evals + a 13M-row window sort ran 36 s). The prune is
+    # conservative (false keeps allowed, false drops impossible): a pair
+    # farther than 250 m in the N-S arc alone has |dy| > 1499 units
+    # (1 y-unit = 1.5e-6 deg = 0.16679 m of meridian), and farther in the
+    # E-W arc alone has |dx| > 1230 units at the bbox's narrowest
+    # (1 x-unit >= 3e-6 deg x cos(52.43) = 0.20329 m); 1520/1320 carry
+    # ~2-7% slack on top. Cuts candidates to ~1/3 of the neighborhood
+    # with two integer compares per pair.
+    bbox = (F.abs(F.col("y") - F.col("y_b")) <= 1520) & (
+        F.abs(F.col("x") - F.col("x_b")) <= 1320
+    )
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("lat_b"), F.col("lon_b"))
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("custkey").orderBy(F.round("dist_m", 2), "nn_custkey")
+    # top-1 per point via min(struct(round(dist), id)) — identical
+    # (rounded-distance, id) tie-break as the oracle's row_number, but
+    # partial-aggregatable: the map side reduces each point's candidates
+    # to ONE row before the shuffle, where the former window shuffled and
+    # sorted EVERY in-radius pair (output densifies linearly with point
+    # density, so at 10x density that sort was 13M rows).
+    best = F.min(F.struct(F.col("d"), F.col("nn_custkey"))).alias("m")
     return (
         pts.join(cand_side, ["cy", "cx"])
-        .filter(F.col("id") != F.col("id_b"))
+        .filter(bbox & (F.col("id") != F.col("id_b")))
         .select(
             F.col("id").alias("custkey"),
             F.col("id_b").alias("nn_custkey"),
             dist.alias("dist_m"),
         )
         .filter(F.col("dist_m") <= 250.0)
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("custkey", "nn_custkey", F.round("dist_m", 2).alias("dist_m"))
+        .select("custkey", "nn_custkey", F.round("dist_m", 2).alias("d"))
+        .groupBy("custkey")
+        .agg(best)
+        .select(
+            "custkey",
+            F.col("m.nn_custkey").alias("nn_custkey"),
+            F.col("m.d").alias("dist_m"),
+        )
     )
