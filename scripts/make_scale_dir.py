@@ -109,7 +109,16 @@ def main() -> None:
         if table in SHIFT_COLS:
             df = _replicate(df, table, args.factor)
         out = os.path.join(args.dst, f"{table}.parquet")
-        df.coalesce(max(1, args.factor)).write.mode("overwrite").parquet(out)
+        # repartition, NOT coalesce: the source is a single-split file, so
+        # the replicated frame has 1 partition and coalesce(N) cannot
+        # RAISE that — r10's scale dirs silently came out as one file /
+        # one row group per table, which serializes every scan stage onto
+        # one core and made the r10 sf1 numbers measure a degenerate
+        # layout no real N-executor writer produces (a real sfN table is
+        # written wide). Scaled tables get ~factor files; untouched dims
+        # keep their source layout.
+        files = max(1, args.factor) if table in SHIFT_COLS else 1
+        df.repartition(files).write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(f"{table}: {n} rows -> {out}", flush=True)
     spark.stop()
