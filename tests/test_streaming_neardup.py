@@ -344,3 +344,68 @@ def test_ttl_timeout_output_schema_matches_hits_schema():
     assert [str(t) for t in out.dtypes] == [
         "int64", "int32", "int64", "float64"
     ]
+
+
+def test_state_ttl_expires_idle_buckets_e2e(spark, tmp_path):
+    """The handler-level TTL tests above prove the timed-out branch;
+    this proves the ENGINE actually drives it: under a real
+    processing-time trigger (the one trigger whose batch clock advances
+    while idle — availableNow's does not, see the module doc), an
+    original is admitted, the bucket sits idle past the TTL, and an
+    exact copy arriving after expiry is RE-ADMITTED instead of flagged.
+    Every wait is deadline-bounded and the query is stopped in a
+    finally — the suite can never hang here (the r10 regression this
+    test family replaced)."""
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, _text(1))], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hits = near_dup_hits_stream(stream, threshold=0.5, state_ttl_ms=1500)
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("t_neardup_ttl_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+
+    def _rows_in() -> int:
+        return sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+
+    try:
+        deadline = time.time() + 90
+        while _rows_in() < 1 and time.time() < deadline:
+            time.sleep(0.25)
+        assert _rows_in() >= 1, "original never consumed before deadline"
+
+        # idle past the TTL: processing-time batches keep running while
+        # timers are pending, so the expiry fires during this window
+        time.sleep(4.0)
+
+        spark.createDataFrame([(2, _text(1))], schema).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+        deadline = time.time() + 90
+        while _rows_in() < 2 and time.time() < deadline:
+            time.sleep(0.25)
+        assert _rows_in() >= 2, "copy never consumed before deadline"
+        # a couple more trigger intervals so the copy's batch commits
+        time.sleep(1.0)
+    finally:
+        q.stop()
+
+    # state expired during the idle gap -> the exact copy re-seeded the
+    # bucket instead of hitting (the no-TTL twin, first-wins test above,
+    # proves copies ARE flagged when state persists)
+    assert spark.table("t_neardup_ttl_e2e").count() == 0
