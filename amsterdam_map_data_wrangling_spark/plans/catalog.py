@@ -160,7 +160,10 @@ _GATE_PRIORITY: list[str] = [
     "winsorize_price_stats",
     "robust_z_by_priority",
     "unigram_lm_scores",
-    "uniform_sample_per_group",
+    # uniform_sample_per_group RETIRED r11 (saturation policy; see
+    # plans/features.py + tests/test_retired.py) — its slot goes to the
+    # new duplicate-span REMOVAL transform, which has no verdict yet:
+    "dup_span_removal",
     "weighted_sample_per_group",
     "ols_price_trend_by_priority",
     "multimodal_features",
@@ -192,7 +195,12 @@ _GATE_PRIORITY: list[str] = [
     "decontaminate_stats",
     "bm25_search",
     "quality_filter_pipeline",
-    "token_budget_pack",
+    # token_budget_pack RETIRED r11 (saturation policy; see
+    # plans/text.py + tests/test_retired.py — token_budget_pack_sharded
+    # value-gates the byte-identical oracle through the scale-safe
+    # 2-level plan) — its slot goes to the new cluster-atomic
+    # train/holdout split, which has no verdict yet:
+    "leakage_free_split",
     "tfidf_top_terms",
     "token_budget_pack_sharded",
     "pii_redaction_stats",

@@ -1041,3 +1041,132 @@ def incremental_dedup_stats(spark, sf_dir):
         .alias("dup_within_shard"),
         F.col("admitted").cast("bigint").alias("admitted"),
     )
+
+
+@query(
+    "leakage_free_split",
+    "WITH RECURSIVE "
+    + _JACCARD_PAIR_CTES
+    + """
+    , pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    ), units AS (
+      -- strlen = BYTE length of a VARCHAR in DuckDB (octet_length there
+      -- is BLOB-only); pairs with Spark's octet_length
+      SELECT d.doc_id, strlen(d.text) AS nb,
+             COALESCE(c.cluster_id, d.doc_id) AS unit
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), assigned AS (
+      SELECT doc_id, nb, unit,
+             CASE WHEN CAST(('0x' || substr(md5('split|'
+                         || CAST(unit AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10 < 8
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM units
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes,
+           CAST(0 AS BIGINT) AS leaked_pairs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    "Leakage-free train/holdout split — the eval-hygiene step a "
+    "training-data pipeline runs AFTER near-dup detection: the unit of "
+    "assignment is the near-dup CLUSTER (connected component of the "
+    "exact 5-gram Jaccard pairs; singletons are their own unit), hashed "
+    "whole into train (80%) or holdout, so two near-duplicate documents "
+    "can never land on opposite sides of the split and leak eval "
+    "content into training. The gate pins per-split doc/unit/byte "
+    "censuses AND a leaked-pairs count the oracle emits as a LITERAL 0 "
+    "(the decontaminate_stats contract style): the Spark side RE-JOINS "
+    "the near-dup pair relation against the final assignment and "
+    "counts pairs straddling the split — an assignment bug (e.g. "
+    "hashing doc ids instead of cluster ids) becomes a nonzero count "
+    "against the oracle's 0, it cannot hide in a recomputed value. "
+    "Scale: reuses the session-shared pair/component materialization "
+    "(linear in true near-dups); assignment is one md5 per doc; the "
+    "leak audit joins the tiny pair relation twice against a "
+    "(doc, split) projection — no corpus shuffle beyond the shared "
+    "relation's own build.",
+)
+def leakage_free_split(spark, sf_dir):
+    comp = shared_jaccard_components(
+        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+    )
+    pairs = shared_jaccard_pairs(
+        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+    ).select("id_a", "id_b")
+    (documents,) = _t(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id", F.octet_length("text").alias("nb")
+    )
+    units = (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "nb",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("unit"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split|"), F.col("unit").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    assigned = units.select(
+        "doc_id",
+        "nb",
+        "unit",
+        F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("unit").alias("n_units"),
+        F.sum("nb").alias("n_bytes"),
+    )
+    # the leak audit: every near-dup pair must sit inside one split —
+    # computed from the ASSIGNMENT (never from the unit construction,
+    # which would make the literal-0 gate circular)
+    sa = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count("*").alias("leaked_pairs"))
+    )
+    return (
+        per_split.crossJoin(leaks)
+        .select("split", "n_docs", "n_units", "n_bytes", "leaked_pairs")
+        .orderBy("split")
+    )

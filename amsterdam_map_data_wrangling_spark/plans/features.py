@@ -169,9 +169,16 @@ def unigram_lm_scores(spark, sf_dir):
     )
 
 
-@query(
-    "uniform_sample_per_group",
-    """
+#: uniform_sample_per_group — RETIRED from the gate registry at round 11
+#: (the N=150 saturation policy's retirement mechanism) to free a front
+#: slot for dup_span_removal (plans/text.py). Lowest marginal evidence
+#: in the sampler family: it is the weight==const special case of the
+#: still-gated weighted_sample_per_group (same portable hash-rank
+#: machinery, same window plan), with systematic and rate-based
+#: sampling independently gated (stratified_sample_counts,
+#: mixture_proportional_sample, dataset_split_stats). The full oracle
+#: compare lives on in tests/test_retired.py.
+UNIFORM_SAMPLE_ORACLE = """
     WITH ranked AS (
       SELECT source, doc_id,
              row_number() OVER (
@@ -182,18 +189,9 @@ def unigram_lm_scores(spark, sf_dir):
       FROM documents
     )
     SELECT source, doc_id FROM ranked WHERE rnk <= 5
-    """,
-    "Exact-k uniform sample per group — the 'k examples per class' "
-    "eval-set builder: rank each group on the portable md5 hash of "
-    "(seed, id) and keep the first 5. Deterministic and retry-stable "
-    "(rand() is per-task nondeterministic under retries; a hash rank "
-    "is a pure function of the row), so the gate is EXACT — both "
-    "engines derive the identical sample. Scale: one shuffle on the "
-    "group key for the window rank; heavy groups can pre-filter on a "
-    "hash threshold before ranking (operator docstring). Completes the "
-    "sampler family: systematic (stratified_sample_counts), rate-based "
-    "(mixture_proportional_sample), exact-count (here).",
-)
+    """
+
+
 def uniform_sample_per_group(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     return hash_rank_sample_per_group(

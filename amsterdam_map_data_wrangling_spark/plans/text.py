@@ -517,9 +517,15 @@ def chunk_documents(spark, sf_dir):
     )
 
 
-@query(
-    "token_budget_pack",
-    r"""
+#: token_budget_pack — RETIRED from the gate registry at round 11 (the
+#: N=150 saturation policy's retirement mechanism) to free a front slot
+#: for leakage_free_split (plans/dedup.py). It was the lowest-marginal-
+#: evidence gate standing: token_budget_pack_sharded value-gates the
+#: IDENTICAL oracle (byte-for-byte the same SQL) through the 2-level
+#: scale-safe plan, so this 1-level variant added a second verdict for
+#: the same output relation. The full oracle compare lives on in
+#: tests/test_retired.py.
+TOKEN_BUDGET_PACK_ORACLE = r"""
     WITH sized AS (
       SELECT lang, doc_id,
              len(string_split_regex(trim(text), '\s+')) AS n_tokens
@@ -535,14 +541,9 @@ def chunk_documents(spark, sf_dir):
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
     FROM cum WHERE cum_tokens <= 10000
     GROUP BY lang
-    """,
-    "Token-budget packing: per-language running token total (deterministic "
-    "doc_id order), cut at a 10k-token budget — the 'fill each language's "
-    "quota' step of training-data mixing. Scale: one shuffle on lang + an "
-    "in-order per-key scan; with many languages the partitions are "
-    "independent, and a 2-level (per-shard budget, then global trim) "
-    "variant removes even the per-lang ordering bottleneck.",
-)
+    """
+
+
 def token_budget_pack(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1361,6 +1362,160 @@ def dup_span_coverage(spark, sf_dir):
                 / F.col("tot_tokens").cast("double"),
                 6,
             ).alias("covered_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dup_span_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tpos, l[i] AS tok
+      FROM toks, unnest(range(1, len(l) + 1)) AS r(i)
+    ), g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(
+               list_aggregate(l[i:i+3], 'string_agg', ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(l) - 2)) AS r(i)
+    ), df AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.off AS tpos
+      FROM g JOIN df USING (h),
+           (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS o(off)
+    ), kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tok t LEFT JOIN cov c
+        ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+      WHERE c.doc_id IS NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY tpos) AS new_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(n_kept, 0) != len(l)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+           CAST(SUM(COALESCE(n_kept, 0)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(len(l) - COALESCE(n_kept, 0)) AS BIGINT)
+             AS tokens_removed,
+           min(md5(COALESCE(new_text, ''))) AS rebuilt_fp_min,
+           max(md5(COALESCE(new_text, ''))) AS rebuilt_fp_max
+    FROM toks LEFT JOIN rebuilt USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "Duplicate-span REMOVAL — the transform dup_span_coverage only "
+    "measures (Lee et al. 2022 exact-substring dedup, the step that "
+    "actually rewrites the training corpus): every token position "
+    "covered by a 4-gram that also appears in another document is "
+    "dropped, the survivors are rejoined in order, and the gate pins "
+    "per-source doc/token censuses PLUS min/max md5 of the rebuilt "
+    "texts — an order-insensitive content witness that the surgery "
+    "produced byte-identical output on both engines (the "
+    "pii_redaction_stats contract style). Whitespace is normalized to "
+    "single spaces by reconstruction ON BOTH SIDES (both rebuild from "
+    "the same token split), so the compare verifies the span algebra, "
+    "not whitespace trivia. Scale: gram census + df-filter is the "
+    "dup_span_coverage shape (df >= 2 on md5 longs, never strings); "
+    "coverage explodes each dup gram to its 4 positions (bounded "
+    "fan-out); the kept-token anti join and the per-doc rebuild "
+    "shuffle only (doc_id, pos, token) rows; one final tiny agg on "
+    "source. All relational — the rebuild is sort_array + concat_ws, "
+    "no UDF.",
+)
+def dup_span_removal(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    toked = documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("l")
+    )
+    # gram array built INLINE in the generator select; token array staged
+    # — the PLANS.md generator-fusion rules, same as dup_span_coverage
+    grams = F.when(
+        F.size("l") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 3),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("l", i + j) for j in range(4)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # one lazy checkpoint: g feeds the df census AND the dup-position join
+    g = (
+        toked.select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False)
+    )
+    dup_h = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        g.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 3)
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok = toked.select(
+        "doc_id",
+        F.posexplode("l").alias("t0", "tok"),
+    ).select("doc_id", (F.col("t0") + 1).alias("tpos"), "tok")
+    kept = tok.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("new_text"),
+        F.count("*").alias("n_kept"),
+    )
+    stats = toked.select("doc_id", "source", F.size("l").alias("n_tokens"))
+    joined = stats.join(rebuilt, "doc_id", "left")
+    fp = F.md5(F.coalesce(F.col("new_text"), F.lit("")))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                    != F.col("n_tokens"),
+                    1,
+                ).otherwise(0)
+            ).alias("docs_changed"),
+            F.sum(F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "tokens_kept"
+            ),
+            F.sum(
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("tokens_removed"),
+            F.min(fp).alias("rebuilt_fp_min"),
+            F.max(fp).alias("rebuilt_fp_max"),
         )
         .orderBy("source")
     )

@@ -33,6 +33,7 @@ BNLJ_WHITELIST = {
     "near_dup_pagerank",  # broadcast 1-row node-count teleport stitch
     "ann_sq8_rerank",  # tiny broadcast query-code set vs corpus scoring
     "incremental_dedup_stats",  # three 1-row census aggregates → one row
+    "leakage_free_split",  # 1-row leaked-pairs audit stitched to 2 rows
 }
 
 # r08-queue graduates: the 8 documented 1-row / fixed-size stitches,

@@ -84,13 +84,24 @@ def test_gate_priority_orders_catalog():
     r07 = set(json.loads((repo / "CORRECTNESS_r07.json").read_text()))
     r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
     r10 = set(json.loads((repo / "CORRECTNESS_r10.json").read_text()))
-    # two r07-greens were RETIRED at r11 (saturation policy, slots to
-    # the new never-gated geospatial pair — see tests/test_retired.py)
-    retired_r11 = {"ann_ivf_probe2", "sparse_cosine_topk"}
-    geo_r11 = {"geo_haversine_radius", "geo_nn_on_sphere"}
-    assert set(ordered[:50]) == (r07 - retired_r11) | geo_r11, (
-        "round-11 window must be the 48 surviving r07-greens + the two "
-        "new geo queries"
+    # four r07-greens were RETIRED at r11 (saturation policy, slots to
+    # the never-gated geospatial pair and the never-gated
+    # dup_span_removal / leakage_free_split pair — tests/test_retired.py)
+    retired_r11 = {
+        "ann_ivf_probe2",
+        "sparse_cosine_topk",
+        "uniform_sample_per_group",
+        "token_budget_pack",
+    }
+    new_r11 = {
+        "geo_haversine_radius",
+        "geo_nn_on_sphere",
+        "dup_span_removal",
+        "leakage_free_split",
+    }
+    assert set(ordered[:50]) == (r07 - retired_r11) | new_r11, (
+        "round-11 window must be the 46 surviving r07-greens + the four "
+        "new never-gated queries"
     )
     assert set(ordered[50:100]) == r08 - r07 - r10, (
         "the r08-front cohort must park at slots 51-100 (r12's front)"

@@ -12,9 +12,17 @@ from amsterdam_map_data_wrangling_spark.plans.similarity import (
     ANN_IVF_PROBE2_ORACLE,
     ann_ivf_probe2,
 )
+from amsterdam_map_data_wrangling_spark.plans.features import (
+    UNIFORM_SAMPLE_ORACLE,
+    uniform_sample_per_group,
+)
 from amsterdam_map_data_wrangling_spark.plans.sparse import (
     _SPARSE_TOPK_ORACLE,
     sparse_cosine_topk_gate,
+)
+from amsterdam_map_data_wrangling_spark.plans.text import (
+    TOKEN_BUDGET_PACK_ORACLE,
+    token_budget_pack,
 )
 
 from .conftest import SF_ORACLE
@@ -59,6 +67,38 @@ def test_retired_are_not_registered(spark):
         ("ilike_filter_count", "warc_roundtrip_stats"),
         ("ann_ivf_probe2", "geo_haversine_radius"),
         ("sparse_cosine_topk", "geo_nn_on_sphere"),
+        ("uniform_sample_per_group", "dup_span_removal"),
+        ("token_budget_pack", "leakage_free_split"),
     ]:
         assert retired not in QUERIES
         assert occupant in QUERIES  # the slot's new occupant
+
+
+def test_retired_uniform_sample_still_matches_oracle(spark):
+    """Retired r11 (slot went to dup_span_removal): the exact-k hash-rank
+    sample still matches its oracle — the weight==const special case of
+    the still-gated weighted_sample_per_group."""
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            uniform_sample_per_group(spark, SF_ORACLE),
+            con,
+            UNIFORM_SAMPLE_ORACLE,
+        )
+    finally:
+        con.close()
+
+
+def test_retired_token_budget_pack_still_matches_oracle(spark):
+    """Retired r11 (slot went to leakage_free_split): the 1-level packing
+    plan still matches the oracle that token_budget_pack_sharded gates
+    byte-identically through the 2-level plan."""
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            token_budget_pack(spark, SF_ORACLE),
+            con,
+            TOKEN_BUDGET_PACK_ORACLE,
+        )
+    finally:
+        con.close()
