@@ -88,3 +88,34 @@ def test_nested_json_shred_parses_once(spark):
 
     plan = _optimized(QUERIES["nested_json_shred"].build(spark, SF_ORACLE))
     assert plan.count("from_json") == 1
+
+
+def test_loader_floors_cpu_dense_table_inside_window(spark, tmp_path):
+    # the positive loader path: a documents table big enough to enter
+    # the window (> 4 MiB, single file) must come back repartitioned to
+    # cluster parallelism; a numeric star table of the same size must
+    # come back bare (table-class contract in sources/registry.py).
+    sf = str(tmp_path / "sfbig")
+    n = 60_000
+    # md5-derived tokens: incompressible, so the on-disk parquet actually
+    # clears the 4 MiB window (repeated literals compress to ~nothing)
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "concat('src', id % 4) AS source",
+        "concat_ws(' ', transform(sequence(1, 8),"
+        " i -> md5(concat(cast(id AS string), '|', cast(i AS string)))))"
+        " AS text",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    docs.selectExpr("doc_id AS o_orderkey", "text AS o_comment").coalesce(
+        1
+    ).write.parquet(f"{sf}/orders.parquet")
+    assert input_bytes_of_path(f"{sf}/documents.parquet") > DEFAULT_MIN_BYTES
+
+    loaded = load_tables(spark, sf, ["documents", "orders"])
+    assert "Repartition" in _optimized(loaded["documents"])
+    assert (
+        loaded["documents"].rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert "Repartition" not in _optimized(loaded["orders"])
