@@ -155,3 +155,26 @@ def test_memo_reuse_and_reset(spark):
     assert not plans_dedup._GRAPH_MEMO
     c = shared_sparse_pairs(spark, SF_SMALL, df_cap=50)
     assert c is not a, "reset must force a fresh build"
+
+
+def test_leakage_free_split_reuses_graph_memo(spark):
+    """leakage_free_split must READ the session-shared pair/component
+    relations, never rebuild the blocking: after one build primes the
+    memo, building the query again must add no new memo entries, and its
+    leaked-pairs audit must consume the same cached pair relation (the
+    plan shows checkpoint scans, not a fresh shingle aggregation)."""
+    import __spark_entry__  # noqa: F401
+    from amsterdam_map_data_wrangling_spark.plans import dedup as pd_mod
+    from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES
+
+    clear_graph_memo()
+    df = QUERIES["leakage_free_split"].build(spark, SF_SMALL)
+    n_entries = len(pd_mod._GRAPH_MEMO)
+    assert n_entries >= 2  # pairs + components primed by one build
+    df2 = QUERIES["leakage_free_split"].build(spark, SF_SMALL)
+    assert len(pd_mod._GRAPH_MEMO) == n_entries  # pure cache hits
+    plan = df2._jdf.queryExecution().optimizedPlan().toString()
+    # both graph inputs arrive as materialized scans; the only shingle
+    # work in the plan would betray a rebuild
+    assert "shingle" not in plan.lower()
+    assert df.collect() == df2.collect()
