@@ -130,9 +130,10 @@ def _load_all() -> None:
 #:               stalled with zero commits, so the driver re-gated the
 #:               r08 front verbatim; CORRECTNESS_r09 == CORRECTNESS_r08
 #:               key-for-key)
-#:   r10 front = the owed r09 front, one round late (section (e) below)
-#:   r11 front = the 50 r07-greens (section (f) park, slots 51-100)
-#:   r12 front = the r08 front again (unlisted tail), and so on.
+#:   r10 front = the owed r09 front, one round late
+#:   r11 front = the 50 r07-greens (pre-parked at r10's slots 51-100)
+#:   r12 front = the r08 front again (section (k) below)
+#:   r13 front = the r10 front again (section (l) park), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -143,80 +144,12 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 11 rotation: front (slots 1-50) ----
-    # (h) the 50 r07-green queries (pre-parked at r10's slots 51-100 for
-    #     exactly this rotation; their verdicts are the oldest cohort —
-    #     3 distinct gate windows back after the r09 stall collapse):
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_minhash_portable_pairs",
-    "dedup_simhash_bands",
-    "sorted_neighborhood_window",
-    "near_dup_transitivity",
-    "near_dup_pagerank",
-    "incremental_dedup_stats",
-    "winsorize_price_stats",
-    "robust_z_by_priority",
-    "unigram_lm_scores",
-    # uniform_sample_per_group RETIRED r11 (saturation policy; see
-    # plans/features.py + tests/test_retired.py) — its slot goes to the
-    # new duplicate-span REMOVAL transform, which has no verdict yet:
-    "dup_span_removal",
-    "weighted_sample_per_group",
-    "ols_price_trend_by_priority",
-    "multimodal_features",
-    "multimodal_dims",
-    "audio_levels",
-    "image_pixel_stats",
-    "star_join_customers_by_region",
-    "range_join_balance_bands",
-    "gap_sessionization",
-    "nation_volume_shipping",
-    "knn_cosine_brute",
-    "ann_sign_lsh",
-    "ann_rand_lsh",
-    "ann_ivf",
-    # ann_ivf_probe2 RETIRED r11 (saturation policy; see
-    # plans/similarity.py + tests/test_retired.py) — its slot goes to
-    # the new geospatial family, which has no verdict yet:
-    "geo_haversine_radius",
-    "embedding_near_dup_pairs",
-    "ann_sq8_rerank",
-    "ann_pq_adc",
-    "sketch_users_by_type",
-    "sketch_value_quantiles",
-    "sparse_cosine_pairs",
-    # sparse_cosine_topk RETIRED r11 (saturation policy; see
-    # plans/sparse.py + tests/test_retired.py) — slot to geospatial:
-    "geo_nn_on_sphere",
-    "bloom_vocab_overlap",
-    "decontaminate_stats",
-    "bm25_search",
-    "quality_filter_pipeline",
-    # token_budget_pack RETIRED r11 (saturation policy; see
-    # plans/text.py + tests/test_retired.py — token_budget_pack_sharded
-    # value-gates the byte-identical oracle through the scale-safe
-    # 2-level plan) — its slot goes to the new cluster-atomic
-    # train/holdout split, which has no verdict yet:
-    "leakage_free_split",
-    "tfidf_top_terms",
-    "token_budget_pack_sharded",
-    "pii_redaction_stats",
-    "resample_locf_daily",
-    "trailing_window_revenue",
-    "salted_join_hot_customer",
-    "variant_json_stats",
-    "null_semantics_audit",
-    "xml_roundtrip_stats",
-    # ---- window boundary (slot 50) ----
-    # (i) park: the 50 r08-front queries (26 r05-parks + 23 queue +
-    #     warc_roundtrip_stats), in registration order — their freshest
-    #     DISTINCT verdict window is r08 (the r09 artifact duplicated it
-    #     key-for-key), i.e. 2 distinct windows back after this round's
-    #     front gates; parked immediately past the window so they are
-    #     r12's entire front:
+    # ---- round 12 rotation: front (slots 1-50) ----
+    # (k) the 50 r08-front queries (26 r05-parks + 23 queue +
+    #     warc_roundtrip_stats; pre-parked at r11's slots 51-100 for
+    #     exactly this rotation — their freshest DISTINCT verdict window
+    #     is r08, three distinct windows back after this round's gates),
+    #     in registration order:
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "frame_sample_stats",
@@ -267,11 +200,70 @@ _GATE_PRIORITY: list[str] = [
     "eav_unpivot_topk",
     "table_stats",
     "salted_user_event_stats",
-    # (j) the 50 r10-front queries (gap_log2_hist + the 49 re-gated
-    #     r06-greens) are deliberately unlisted — they append in
-    #     registration order behind the park (verdicts r10, the
-    #     freshest cohort) and become r13's front.
+    # ---- window boundary (slot 50) ----
+    # (l) park: the 50 r10-front queries (gap_log2_hist + the 49
+    #     re-gated r06-greens), in registration order — their verdict
+    #     window is r10, 2 distinct windows back after this round's
+    #     front gates; parked immediately past the window so they are
+    #     r13's entire front:
+    "dedup_keep_canonical",
+    "dedup_edit_refine",
+    "audio_dims",
+    "video_dims",
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "runtime_bloom_filter_join",
+    "local_supplier_volume",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "event_gap_stats",
+    "weekly_cohort_retention",
+    "funnel_conversion",
+    "key_skew_profile",
+    "zorder_layout_stats",
+    "asof_last_click_before_error",
+    "interval_overlap_balances",
+    "above_avg_orders_per_customer",
+    "segment_event_counts",
+    "gap_log2_hist",
+    "cms_heavy_hitters",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    "chunk_documents_udtf",
+    "repetition_stats",
+    "benchmark_contamination",
+    "mixture_proportional_sample",
+    "dup_span_coverage",
+    "tumbling_window_stats",
+    "sliding_window_by_type",
+    "session_window_per_user",
+    "interval_join_click_error",
+    "json_props_stats",
+    "value_percentiles_by_type",
+    "equi_depth_histogram",
+    "expectations_report",
+    "python_datasource_stats",
+    "nested_json_shred",
+    "snapshot_table_diff",
+    "map_ops_surface",
+    # (m) the 50 r11-front queries (46 surviving r07-greens + the four
+    #     queries first gated at r11) are deliberately unlisted — they
+    #     append in registration order behind the park (verdicts r11,
+    #     the freshest cohort) and become r14's front:
+    #     dedup_exact_groups, dedup_ngram_jaccard, ...,
+    #     null_semantics_audit, xml_roundtrip_stats.
 ]
+
 
 
 

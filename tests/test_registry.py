@@ -69,45 +69,30 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-11 evidence policy: the 50 r07-green queries (the oldest
-    # cohort — their last distinct verdict window is r07, three windows
-    # back) take the whole front; the r08-front cohort (last distinct
-    # window r08 — the r09 artifact duplicated it) parks at slots
-    # 51-100 as r12's front; the freshly-gated r10 cohort appends
-    # unlisted at 101-150 (r13's front). (The general freshness
-    # invariant is asserted mechanically in tests/test_gate_freshness.py
-    # — this pins only the current round's specific obligations.)
+    # round-12 evidence policy: the 50 r08-front queries (the oldest
+    # cohort — their last DISTINCT verdict window is r08, three windows
+    # back; the r09 artifact duplicated it) take the whole front; the
+    # r10-front cohort (verdict window r10) parks at slots 51-100 as
+    # r13's front; the freshly-gated r11 cohort appends unlisted at
+    # 101-150 (r14's front). (The general freshness invariant is
+    # asserted mechanically in tests/test_gate_freshness.py — this pins
+    # only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r07 = set(json.loads((repo / "CORRECTNESS_r07.json").read_text()))
     r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
     r10 = set(json.loads((repo / "CORRECTNESS_r10.json").read_text()))
-    # four r07-greens were RETIRED at r11 (saturation policy, slots to
-    # the never-gated geospatial pair and the never-gated
-    # dup_span_removal / leakage_free_split pair — tests/test_retired.py)
-    retired_r11 = {
-        "ann_ivf_probe2",
-        "sparse_cosine_topk",
-        "uniform_sample_per_group",
-        "token_budget_pack",
-    }
-    new_r11 = {
-        "geo_haversine_radius",
-        "geo_nn_on_sphere",
-        "dup_span_removal",
-        "leakage_free_split",
-    }
-    assert set(ordered[:50]) == (r07 - retired_r11) | new_r11, (
-        "round-11 window must be the 46 surviving r07-greens + the four "
-        "new never-gated queries"
+    r11 = set(json.loads((repo / "CORRECTNESS_r11.json").read_text()))
+    assert set(ordered[:50]) == r08 - r10 - r11, (
+        "round-12 window must be the 50 r08-front queries (their r09 "
+        "artifact was a key-for-key duplicate)"
     )
-    assert set(ordered[50:100]) == r08 - r07 - r10, (
-        "the r08-front cohort must park at slots 51-100 (r12's front)"
+    assert set(ordered[50:100]) == r10, (
+        "the r10-front cohort must park at slots 51-100 (r13's front)"
     )
-    assert set(ordered[100:]) == r10, (
-        "the freshly-gated r10 cohort appends at slots 101-150"
+    assert set(ordered[100:]) == r11, (
+        "the freshly-gated r11 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
 
