@@ -45,10 +45,37 @@ from pyspark.sql import DataFrame
 DEFAULT_MIN_BYTES = 4 * 1024 * 1024
 
 
+#: byte-suffix multipliers as Spark's ByteUnit parses them (binary, and
+#: a bare number means bytes for this conf)
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+}
+
+
 def _max_partition_bytes(spark) -> int:
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    return int(digits) if digits else 134217728
+    """``spark.sql.files.maxPartitionBytes`` as bytes, honoring Spark's
+    unit suffixes ('128m', '1g', ...). An unparseable value falls back to
+    the 128 MiB default rather than being digit-stripped — '128m' read as
+    128 BYTES would permanently trip the upper guard and silently disable
+    the floor (round-11 ADVICE)."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    num = raw.rstrip("bkmgt")
+    suffix = raw[len(num):]
+    try:
+        return int(num) * _BYTE_SUFFIXES[suffix]
+    except (ValueError, KeyError):
+        return 134217728
 
 
 def input_bytes_of_path(path: str) -> int:
@@ -88,5 +115,13 @@ def cpu_parallel_floor(
     if input_bytes < min_bytes:
         return df
     if input_bytes >= target * _max_partition_bytes(spark):
+        return df
+    # Inside the window, the guards above are bytes-based only: a
+    # multi-file (or multi-row-group) input may ALREADY scan with >=
+    # target tasks, and an unconditional repartition would add a
+    # redundant shuffle (round-11 ADVICE). Asking the physical plan for
+    # its partition count costs one extra planning pass, paid only here
+    # — where the alternative was a shuffle.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

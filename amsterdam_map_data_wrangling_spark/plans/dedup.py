@@ -105,24 +105,29 @@ def clear_graph_memo() -> None:
 
 def _table_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
     """Cheap driver-side identity of a table's bytes: the
-    (name, size, mtime_ns) listing of <table>.parquet (file or
-    directory). Part of every memo key so a session that REWRITES the
-    data under an sf_dir between consumers misses the memo instead of
-    being served a checkpoint of the old bytes (r10 verdict hygiene
-    note — gate/bench inputs are read-only, but the memo should not
-    depend on that). Pure os.scandir metadata: no Spark job, ~µs."""
+    (relpath, size, mtime_ns) listing of <table>.parquet (file or
+    directory, RECURSIVE — a Hive-partitioned table keeps its data files
+    in subdirectories, and a top-level-only listing would let a
+    partition rewrite hit a stale memo entry; round-11 ADVICE). Part of
+    every memo key so a session that REWRITES the data under an sf_dir
+    between consumers misses the memo instead of being served a
+    checkpoint of the old bytes (r10 verdict hygiene note — gate/bench
+    inputs are read-only, but the memo should not depend on that). Pure
+    os metadata: no Spark job, ~µs."""
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
-            return tuple(
-                sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in os.scandir(path)
-                    if e.is_file()
-                )
-            )
+            entries = []
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                    )
+            return tuple(sorted(entries))
         st = os.stat(path)
         return ((f"{table}.parquet", st.st_size, st.st_mtime_ns),)
     except OSError:

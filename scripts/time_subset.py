@@ -29,11 +29,21 @@ from amsterdam_map_data_wrangling_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     passes = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--passes"):
-            passes = int(a.split("=")[1])
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--passes":  # space-separated form: --passes N
+            passes = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--passes="):  # equals form: --passes=N
+            passes = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     sf_dir, names = args[0], args[1:]
     if not names:
         names = list(QUERIES)

@@ -39,12 +39,23 @@ def test_floor_noop_at_cluster_scale(spark):
 
 
 def test_floor_fires_inside_window(spark):
-    df = spark.range(100)
+    # a genuinely under-split input (1 scan partition)
+    df = spark.range(100, numPartitions=1)
     target = spark.sparkContext.defaultParallelism
     out = cpu_parallel_floor(df, input_bytes=DEFAULT_MIN_BYTES)
     assert out is not df
     assert "Repartition" in _optimized(out)
     assert out.rdd.getNumPartitions() == target
+
+
+def test_floor_skips_already_parallel_input(spark):
+    # inside the byte window but the plan ALREADY scans with >= target
+    # tasks (multi-file / multi-row-group input): no redundant shuffle
+    # (round-11 ADVICE — the guard was bytes-only).
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000, numPartitions=target)
+    out = cpu_parallel_floor(df, input_bytes=DEFAULT_MIN_BYTES)
+    assert out is df
 
 
 def test_floor_preserves_pushdown_and_pruning(spark):
