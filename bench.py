@@ -24,6 +24,47 @@ from amsterdam_map_data_wrangling_spark.plans.dedup import (  # noqa: E402
 from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES  # noqa: E402
 from amsterdam_map_data_wrangling_spark.session import get_spark  # noqa: E402
 
+#: Host-drift canary (round-11 verdict #4): three rounds running, the
+#: headline delta was host drift proven only by a manual same-box
+#: worktree A/B. Instead, every bench run times this pinned set at the
+#: start AND end of each timed pass and reports the ratio of its medians
+#: to a quiet-window baseline, so BENCH_r{N} artifacts self-explain:
+#: canary_ratio ~1.0 → the box runs at baseline speed and cross-round
+#: deltas are real; ~1.3 → the box is 1.3x slow today and the headline
+#: must be read through value_normalized. The three queries are chosen
+#: stable (plans untouched since r07), CPU-meaningful (~1 s each at
+#: sf0.1 — timer noise is <5%), plan-diverse (window+agg / hash+shuffle
+#: / scan+broadcast), and NOT consumers of the shared graph memo (a
+#: canary must not pre-pay another query's build).
+CANARY_QUERIES = (
+    "robust_z_by_priority",
+    "dedup_simhash_bands",
+    "winsorize_price_stats",
+)
+#: Quiet-window medians from the round-11 close (73.4 s catalog total,
+#: noise 1.113, commit fc6ad4b) — the calibration constants the ratio is
+#: measured against. Valid for the default sf0.1 / local[32] config
+#: only; at any other sf the ratio is reported as null.
+CANARY_BASELINE_SEC = {
+    "robust_z_by_priority": 1.2796,
+    "dedup_simhash_bands": 1.0389,
+    "winsorize_price_stats": 0.9212,
+}
+
+
+def _run_canary(spark, sf_dir: str) -> dict[str, float]:
+    """One timed run of each canary query (cache cleared, noop sink) —
+    same measurement protocol as the main loop."""
+    out: dict[str, float] = {}
+    for name in CANARY_QUERIES:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +88,7 @@ def main() -> None:
     # alone (round-4 verdict: a +30% min-drift on untouched queries was
     # undecidable from min-of-3 without the spread).
     passes: dict[str, list[float]] = {name: [] for name in QUERIES}
+    canary_samples: dict[str, list[float]] = {n: [] for n in CANARY_QUERIES}
     for _ in range(3):
         # session-shared graph relations (plans/dedup._GRAPH_MEMO) reset
         # per PASS, not per query: each pass pays the near-dup pair build
@@ -56,6 +98,10 @@ def main() -> None:
         # deliberately share; no reset would hide the build in the warm
         # pass and never time it.)
         clear_graph_memo()
+        # canary sample at pass START (and again at pass end below):
+        # bracketing each pass catches drift that develops mid-run
+        for n, t in _run_canary(spark, sf_dir).items():
+            canary_samples[n].append(t)
         for name, spec in QUERIES.items():
             # a few operators persist() self-join hubs; drop those cache
             # entries so every timed run re-executes its full lineage
@@ -68,6 +114,9 @@ def main() -> None:
             # .count() would let Catalyst prune the payload and under-measure)
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.perf_counter() - t0, 4))
+        # canary sample at pass END
+        for n, t in _run_canary(spark, sf_dir).items():
+            canary_samples[n].append(t)
 
     timings = {name: min(ts) for name, ts in passes.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in passes.items()}
@@ -81,6 +130,22 @@ def main() -> None:
     noise_med_over_min = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
 
     total = round(sum(timings.values()), 4)
+    # canary ratio: median over the 3 canary queries of
+    # (median-of-6-samples / pinned quiet-window baseline). Baselines are
+    # sf0.1-specific, so at any other sf the ratio is null and
+    # value_normalized is omitted from interpretation.
+    canary_medians = {
+        n: sorted(ts)[len(ts) // 2] for n, ts in canary_samples.items()
+    }
+    if sf == "0.1":
+        rs = sorted(
+            canary_medians[n] / CANARY_BASELINE_SEC[n] for n in CANARY_QUERIES
+        )
+        canary_ratio = round(rs[len(rs) // 2], 3)
+        value_normalized = round(total / canary_ratio, 4)
+    else:
+        canary_ratio = None
+        value_normalized = None
     # Per-query time budget: one regressed query must fail LOUD instead of
     # silently eating the catalog-total slack. The heaviest steady-state
     # query at sf0.1 is dedup_clusters (5-gram Jaccard pair generation +
@@ -116,6 +181,15 @@ def main() -> None:
         "budget_sec": budget,
         "over_budget": over,
         "sf": sf,
+        "canary": {
+            "queries": list(CANARY_QUERIES),
+            "baseline_sec": CANARY_BASELINE_SEC,
+            "baseline_provenance": "r11 quiet-window close, commit fc6ad4b",
+            "samples": canary_samples,
+            "medians": canary_medians,
+            "ratio": canary_ratio,
+            "value_normalized": value_normalized,
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
@@ -136,6 +210,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 4),
                 "noise_med_over_min": noise_med_over_min,
+                "canary_ratio": canary_ratio,
+                "value_normalized": value_normalized,
                 "budget_sec": budget,
                 "over_budget": over,
                 "sf": sf,
