@@ -357,7 +357,12 @@ def bm25_topk(
     from pyspark.sql import Window
 
     if tf is None:
-        tf = term_tf(df, id_col, text_col)
+        # FOUR consumers read tf (scored join, dl, dfreq, n_toks); the
+        # r10 "token-proportional relations recompute faster than they
+        # checkpoint" rule is for 2 consumers — at 4, one materialized
+        # build beats four tokenize+hash+agg passes (measured at the
+        # 10x scale point, round 12; the index build was the bm25 tail)
+        tf = term_tf(df, id_col, text_col).localCheckpoint(eager=False)
     # dl (tokens per doc, with multiplicity) and n_toks are exact-integer
     # rollups of tf — a shared tf relation replaces the token scan for
     # ALL of them, not just the tf legs

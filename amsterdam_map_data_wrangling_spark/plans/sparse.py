@@ -265,50 +265,72 @@ def bloom_vocab_overlap_gate(spark, sf_dir):
     "detection gate (benchmark_contamination): LEFT ANTI join drops "
     "every training document sharing an exact 5-gram with the "
     "benchmark split (doc_id % 13 == 0 stands in for the eval suites), "
-    "then the detection pass RE-RUNS on the cleaned corpus and its "
-    "count is gated against a LITERAL 0 in the oracle (the "
-    "pii_redaction_stats residual-0 contract) — incomplete removal "
-    "flips the hash, it cannot hide in a recomputed value. Scale: "
-    "bench grams broadcast (eval suites are small by nature), corpus "
-    "grams stream map-side, the anti join keeps never-matching ids — "
-    "one distinct-doc shuffle, corpus text never moves for the "
-    "decision.",
+    "then detection RE-RUNS on the surviving docs over the SHARED "
+    "checkpointed gram census and its count is gated against a LITERAL "
+    "0 in the oracle (the pii_redaction_stats residual-0 contract) — "
+    "an anti-join wiring bug flips the residual nonzero, a census bug "
+    "flips the independently-recomputed DuckDB count hashes. Scale: "
+    "one corpus gram census built once, bench grams broadcast (eval "
+    "suites are small by nature), the anti join keeps never-matching "
+    "ids — corpus text never moves for the decision.",
 )
 def decontaminate_stats(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 13 == 0
     bench = documents.filter(is_bench).select("doc_id", "text")
-    # lazy checkpoints: corpus feeds removal + census; clean feeds its
-    # census AND the residual re-detection — without the cuts each
-    # consumer re-tokenizes and re-hashes the corpus
     corpus = (
         documents.filter(~is_bench)
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
-    clean = (
-        decontaminate(corpus, bench, "doc_id", "text", n=5)
-        .select("doc_id", "text")
+    # ONE corpus gram census (lazy checkpoint) feeds BOTH the removal
+    # decision and the residual re-detection — the r11 plan re-grammed
+    # the surviving text for the residual, a second full corpus-scale
+    # tokenize+hash pass (the measured sf1 tail, r11 verdict #2).
+    # Independence accounting for the shared census: a gram-COMPUTATION
+    # bug can no longer flip the literal-0 residual (both legs see the
+    # same census), but it cannot hide either — the DuckDB oracle
+    # recomputes corpus/removed/clean counts from raw text with its own
+    # census, so those hashes flip. What the literal-0 still guards
+    # non-circularly is the REMOVAL WIRING: an anti-join bug that keeps
+    # a contaminated doc leaves that doc's census grams matching the
+    # bench set, and the residual goes nonzero.
+    bench_grams = (
+        gram_hashes(bench, "doc_id", "text", n=5)
+        .select("h")
+        .distinct()
         .localCheckpoint(eager=False)
     )
-    bench_grams = (
-        gram_hashes(bench, "doc_id", "text", n=5).select("h").distinct()
+    corpus_grams = gram_hashes(
+        corpus, "doc_id", "text", n=5
+    ).localCheckpoint(eager=False)
+    clean_ids = (
+        decontaminate(
+            corpus,
+            bench,
+            "doc_id",
+            "text",
+            n=5,
+            docs_grams=corpus_grams,
+            bench_grams=bench_grams,
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
-    # residual: re-run DETECTION on the CLEANED corpus as part of the
-    # returned plan (no driver-side count) — 0 by construction, and any
-    # removal bug becomes a nonzero count against the oracle's literal 0.
-    # DELIBERATELY re-grammed from the surviving TEXT (never derived
-    # from the relation the removal decision came from — that would
-    # make the literal-0 gate circular). This corpus-scale gram pass is
-    # the price of an independent check.
+    # bench-matching grams first (rare → tiny relation), then keep only
+    # matches whose doc SURVIVED removal
     residual = (
-        gram_hashes(clean, "doc_id", "text", n=5)
-        .join(F.broadcast(bench_grams), "h")
+        corpus_grams.join(F.broadcast(bench_grams), "h")
+        .join(
+            clean_ids.withColumnRenamed("doc_id", "id"),
+            "id",
+            "left_semi",
+        )
         .agg(F.countDistinct("id").alias("residual_overlap_docs"))
     )
     counts = (
         corpus.agg(F.count("*").alias("corpus_docs"))
-        .crossJoin(clean.agg(F.count("*").alias("clean_docs")))
+        .crossJoin(clean_ids.agg(F.count("*").alias("clean_docs")))
         .crossJoin(residual)
     )
     return counts.select(
