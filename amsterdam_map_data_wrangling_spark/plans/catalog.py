@@ -182,7 +182,12 @@ _GATE_PRIORITY: list[str] = [
     "rfm_segment_counts",
     "dq_audit_star",
     "neardup_degree_hist",
-    "spatial_radius_pairs",
+    # spatial_radius_pairs RETIRED r12 (saturation policy; see
+    # plans/r08_queue.py + tests/test_retired.py — the r11 geo family
+    # gates the identical grid equi-join shape with trig on top) — its
+    # slot goes to the ordered way->node polyline gate, the reference's
+    # one distinctive structure without a driver verdict:
+    "geo_way_lengths",
     "basket_lift_pairs",
     "daily_peak_concurrency",
     "revenue_concentration",

@@ -205,6 +205,123 @@ def geo_haversine_radius(spark, sf_dir):
 
 
 @query(
+    "geo_way_lengths",
+    f"""
+    WITH nodes AS (
+      SELECT p_partkey AS ref,
+             ('0x' || substr(md5('geo-lat|spark-graft|'
+               || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT
+               % 100000 AS y,
+             ('0x' || substr(md5('geo-lon|spark-graft|'
+               || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT
+               % 100000 AS x
+      FROM part
+    ), pl AS (
+      SELECT l.l_orderkey AS way_id, l.l_linenumber AS pos, n.ref,
+             n.y, n.x,
+             52.28 + n.y * 1.5e-6 AS lat, 4.73 + n.x * 3e-6 AS lon
+      FROM lineitem l JOIN nodes n ON n.ref = l.l_partkey
+    ), seg AS (
+      SELECT way_id, y, x, lat, lon,
+             lag(lat) OVER (PARTITION BY way_id ORDER BY pos, ref)
+               AS plat,
+             lag(lon) OVER (PARTITION BY way_id ORDER BY pos, ref)
+               AS plon
+      FROM pl
+    ), agg AS (
+      SELECT way_id, COUNT(*) AS n_nodes,
+             SUM(CASE WHEN plat IS NULL THEN NULL ELSE
+               CAST(round({_haversine_sql("plat", "plon", "lat", "lon")}
+                          * 100) AS BIGINT) END) AS length_cm,
+             MIN(y) AS y_min, MAX(y) AS y_max,
+             MIN(x) AS x_min, MAX(x) AS x_max
+      FROM seg GROUP BY way_id HAVING COUNT(*) >= 2
+    )
+    SELECT way_id, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(length_cm AS BIGINT) AS length_cm,
+           y_min, y_max, x_min, x_max
+    FROM agg ORDER BY length_cm DESC, way_id LIMIT 500
+    """,
+    "Polyline length ON THE SPHERE per way + per-way integer bbox — the "
+    "reference's distinctive ordered structure "
+    "(amsterdam_map_data_wrangling.py:152-159: ways_nodes(way, "
+    "position, ref) JOIN nodes, traversed in position order) as a "
+    "driver-gated query over md5-portable synthetic ways: lineitem is "
+    "the ways_nodes relation (way = l_orderkey, position = "
+    "l_linenumber, ref = l_partkey), part is the nodes relation with "
+    "the portable md5 coordinate derivation, lag() over (way, "
+    "position) forms each segment, haversine gives its great-circle "
+    "length, and the per-way rollup gates EXACT-CM integer sums (each "
+    "segment rounded to cm before an integer SUM — no "
+    "accumulation-order float risk) plus the integer-unit bbox. Top "
+    "500 ways by (length_cm DESC, way_id) — a total tie-break at any "
+    "sf. Scale: one equi join ref->nodes (AQE broadcasts the dim at "
+    "this size, shuffles co-keyed at 100 TB), then ONE shuffle on "
+    "way_id serves both the lag window and the rollup (same key, "
+    "Catalyst reuses the partitioning), then TakeOrderedAndProject.",
+)
+def geo_way_lengths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    ref = F.col("p_partkey")
+    nodes = part.select(
+        ref.alias("ref"),
+        _coord("lat", ref).alias("y"),
+        _coord("lon", ref).alias("x"),
+    ).select(
+        "ref",
+        "y",
+        "x",
+        (F.lit(_LAT0) + F.col("y") * F.lit(_LAT_STEP)).alias("lat"),
+        (F.lit(_LON0) + F.col("x") * F.lit(_LON_STEP)).alias("lon"),
+    )
+    wn = lineitem.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("pos"),
+        F.col("l_partkey").alias("ref"),
+    )
+    # total traversal order: the synthetic lineitem does NOT keep
+    # (way, pos) unique (up to 6 rows per pair at sf0.01), so the
+    # position tie is broken by the node ref — remaining ties are exact
+    # duplicate rows whose coords are equal, leaving every aggregate
+    # deterministic on both engines
+    w = Window.partitionBy("way_id").orderBy("pos", "ref")
+    seg = wn.join(nodes, "ref").select(
+        "way_id",
+        "y",
+        "x",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    seg_cm = F.when(
+        F.col("plat").isNotNull(),
+        F.round(
+            haversine_m(
+                F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+            )
+            * 100
+        ).cast("bigint"),
+    )
+    return (
+        seg.groupBy("way_id")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(seg_cm).alias("length_cm"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+        .orderBy(F.desc("length_cm"), "way_id")
+        .limit(500)
+    )
+
+
+@query(
     "geo_nn_on_sphere",
     _PTS_CTE
     + f"""

@@ -1509,7 +1509,18 @@ def spatial_build(spark, sf_dir):
     )
 
 
-QUEUE["spatial_radius_pairs"] = (spatial_build, SPATIAL_ORACLE)
+# RETIRED r12 (saturation policy — N stays 150): spatial_radius_pairs'
+# integer-Euclidean grid pair join is fully shadowed by the r11 geo
+# family, which gates the IDENTICAL 3x3 cell-explode equi-join shape
+# twice over (geo_nn_on_sphere: corpus self-pairs + trig refine;
+# geo_haversine_radius: broadcast probe) on the same md5-portable
+# derivation. Its front slot goes to geo_way_lengths (plans/geo.py) —
+# the reference's ordered way->node polyline, the one distinctive
+# reference structure that had no driver gate. The (build, oracle) pair
+# stays exported: tests/test_retired.py compares the full semantics
+# every run, and tests/test_similarity.py keeps the brute-force
+# exhaustiveness proof.
+SPATIAL_RETIRED = (spatial_build, SPATIAL_ORACLE)
 
 
 #: queue plans whose physical plan legitimately contains a

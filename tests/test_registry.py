@@ -84,9 +84,13 @@ def test_gate_priority_orders_catalog():
     r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
     r10 = set(json.loads((repo / "CORRECTNESS_r10.json").read_text()))
     r11 = set(json.loads((repo / "CORRECTNESS_r11.json").read_text()))
-    assert set(ordered[:50]) == r08 - r10 - r11, (
-        "round-12 window must be the 50 r08-front queries (their r09 "
-        "artifact was a key-for-key duplicate)"
+    # one r08-front query was RETIRED at r12 (saturation policy, slot to
+    # the never-gated ordered way->node polyline — tests/test_retired.py)
+    retired_r12 = {"spatial_radius_pairs"}
+    new_r12 = {"geo_way_lengths"}
+    assert set(ordered[:50]) == (r08 - r10 - r11 - retired_r12) | new_r12, (
+        "round-12 window must be the 49 surviving r08-front queries + "
+        "the new never-gated polyline query"
     )
     assert set(ordered[50:100]) == r10, (
         "the r10-front cohort must park at slots 51-100 (r13's front)"

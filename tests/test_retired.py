@@ -20,6 +20,9 @@ from amsterdam_map_data_wrangling_spark.plans.sparse import (
     _SPARSE_TOPK_ORACLE,
     sparse_cosine_topk_gate,
 )
+from amsterdam_map_data_wrangling_spark.plans.r08_queue import (
+    SPATIAL_RETIRED,
+)
 from amsterdam_map_data_wrangling_spark.plans.text import (
     TOKEN_BUDGET_PACK_ORACLE,
     token_budget_pack,
@@ -69,6 +72,7 @@ def test_retired_are_not_registered(spark):
         ("sparse_cosine_topk", "geo_nn_on_sphere"),
         ("uniform_sample_per_group", "dup_span_removal"),
         ("token_budget_pack", "leakage_free_split"),
+        ("spatial_radius_pairs", "geo_way_lengths"),
     ]:
         assert retired not in QUERIES
         assert occupant in QUERIES  # the slot's new occupant
@@ -100,5 +104,17 @@ def test_retired_token_budget_pack_still_matches_oracle(spark):
             con,
             TOKEN_BUDGET_PACK_ORACLE,
         )
+    finally:
+        con.close()
+
+
+def test_retired_spatial_radius_pairs_still_matches_oracle(spark):
+    """Retired r12 (slot went to geo_way_lengths): the integer-Euclidean
+    grid pair join — the shape the r11 geo family gates twice over with
+    trig on top — still matches its exact-integer oracle."""
+    build, oracle = SPATIAL_RETIRED
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(build(spark, SF_ORACLE), con, oracle)
     finally:
         con.close()
