@@ -378,20 +378,57 @@ def test_state_ttl_expires_idle_buckets_e2e(spark, tmp_path):
         .start()
     )
 
+    def _progress() -> list:
+        return list(q.recentProgress or [])
+
     def _rows_in() -> int:
-        return sum(
-            int(p["numInputRows"]) for p in (q.recentProgress or [])
-        )
+        return sum(int(p["numInputRows"]) for p in _progress())
 
     try:
         deadline = time.time() + 90
         while _rows_in() < 1 and time.time() < deadline:
             time.sleep(0.25)
         assert _rows_in() >= 1, "original never consumed before deadline"
+        # the handler that admitted the original (and armed its 1500 ms
+        # timer) ran no later than this observation
+        t_admit = time.time()
+        admit_batch = max(int(p["batchId"]) for p in _progress())
 
-        # idle past the TTL: processing-time batches keep running while
-        # timers are pending, so the expiry fires during this window
-        time.sleep(4.0)
+        # EVIDENCE-GATED idle wait (r11 verdict #5 — the fixed
+        # time.sleep(4.0) made this a flake on a loaded box): land the
+        # copy only after observing a committed NO-DATA batch that
+        # STARTED past the TTL horizon. Processing-time triggers run
+        # no-data micro-batches while state timeouts are pending
+        # (noDataMicroBatches, on by default), and a timer scan in a
+        # batch that began after the deadline has necessarily fired the
+        # expiry. On a loaded box this waits longer instead of failing.
+        horizon = t_admit + 1.5 + 0.5  # TTL + margin over trigger lag
+        from datetime import datetime, timezone
+
+        def _start_s(p) -> float:
+            return (
+                datetime.strptime(
+                    p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
+                )
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+
+        def _expiry_batch_seen() -> bool:
+            return any(
+                int(p["numInputRows"]) == 0
+                and int(p["batchId"]) > admit_batch
+                and _start_s(p) >= horizon
+                for p in _progress()
+            )
+
+        deadline = time.time() + 90
+        while not _expiry_batch_seen() and time.time() < deadline:
+            time.sleep(0.25)
+        assert _expiry_batch_seen(), (
+            "no committed no-data batch past the TTL horizon before "
+            "deadline"
+        )
 
         spark.createDataFrame([(2, _text(1))], schema).coalesce(
             1
@@ -400,8 +437,19 @@ def test_state_ttl_expires_idle_buckets_e2e(spark, tmp_path):
         while _rows_in() < 2 and time.time() < deadline:
             time.sleep(0.25)
         assert _rows_in() >= 2, "copy never consumed before deadline"
-        # a couple more trigger intervals so the copy's batch commits
-        time.sleep(1.0)
+        # the copy's batch is fully committed once a LATER batch id has
+        # a progress entry (deadline-bounded, replaces the fixed sleep)
+        copy_batch = max(
+            int(p["batchId"])
+            for p in _progress()
+            if int(p["numInputRows"]) > 0
+        )
+        deadline = time.time() + 90
+        while (
+            max(int(p["batchId"]) for p in _progress()) <= copy_batch
+            and time.time() < deadline
+        ):
+            time.sleep(0.25)
     finally:
         q.stop()
 
