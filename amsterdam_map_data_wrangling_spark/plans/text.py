@@ -1469,7 +1469,17 @@ def dup_span_removal(spark, sf_dir):
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    covered = (
+    # Covered positions roll up PER DOC as an integer array — the
+    # rebuild is then pure narrow array algebra on the (doc_id -> cov)
+    # join: kept positions = array_except(sequence(1, n), cov) (hash-set
+    # based, order-preserving), tokens looked up by element_at. TOKENS
+    # NEVER SHUFFLE: the r11 plan exploded every (doc_id, tpos, tok) row
+    # through an anti join + collect_list + per-doc array sort (~5M
+    # string rows at the 10x point); this moves only integer positions
+    # (round-12 sf1 probe: 5.33 -> 3.26 s, and the 100 TB shape a
+    # production corpus wants — the wide side of the rebuild join is
+    # (doc_id, int array), not the token stream).
+    cov_per_doc = (
         g.join(dup_h, "h")
         .select(
             "doc_id",
@@ -1477,45 +1487,43 @@ def dup_span_removal(spark, sf_dir):
                 F.sequence(F.col("pos"), F.col("pos") + 3)
             ).alias("tpos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("cov"))
     )
-    tok = toked.select(
-        "doc_id",
-        F.posexplode("l").alias("t0", "tok"),
-    ).select("doc_id", (F.col("t0") + 1).alias("tpos"), "tok")
-    kept = tok.join(covered, ["doc_id", "tpos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("new_text"),
-        F.count("*").alias("n_kept"),
+    joined = toked.join(cov_per_doc, "doc_id", "left")
+    # guard sequence() against size 0 (it would run DESCENDING 1..0);
+    # tokens() always yields >= 1 element today, but the guard keeps the
+    # expression total
+    all_idx = F.when(
+        F.size("l") >= 1, F.sequence(F.lit(1), F.size("l"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.when(F.col("cov").isNull(), all_idx).otherwise(
+        F.array_except(all_idx, F.col("cov"))
     )
-    stats = toked.select("doc_id", "source", F.size("l").alias("n_tokens"))
-    joined = stats.join(rebuilt, "doc_id", "left")
-    fp = F.md5(F.coalesce(F.col("new_text"), F.lit("")))
+    per_doc = joined.select(
+        "source",
+        F.size("l").alias("n_tokens"),
+        F.size(kept_idx).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at("l", i)),
+            )
+        ).alias("fp"),
+    )
     return (
-        joined.groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(
-                F.when(
-                    F.coalesce(F.col("n_kept"), F.lit(0))
-                    != F.col("n_tokens"),
-                    1,
-                ).otherwise(0)
+                F.when(F.col("n_kept") != F.col("n_tokens"), 1).otherwise(0)
             ).alias("docs_changed"),
-            F.sum(F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "tokens_kept"
+            F.sum("n_kept").alias("tokens_kept"),
+            F.sum(F.col("n_tokens") - F.col("n_kept")).alias(
+                "tokens_removed"
             ),
-            F.sum(
-                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).alias("tokens_removed"),
-            F.min(fp).alias("rebuilt_fp_min"),
-            F.max(fp).alias("rebuilt_fp_max"),
+            F.min("fp").alias("rebuilt_fp_min"),
+            F.max("fp").alias("rebuilt_fp_max"),
         )
         .orderBy("source")
     )
