@@ -267,6 +267,14 @@ _GATE_PRIORITY: list[str] = [
     #     the freshest cohort) and become r14's front:
     #     dedup_exact_groups, dedup_ngram_jaccard, ...,
     #     null_semantics_audit, xml_roundtrip_stats.
+    #     EXCEPTION owed at r13 (changed-code jump rule): bm25_search,
+    #     decontaminate_stats, and dup_span_removal changed
+    #     implementation at r12 (sf1 tail cuts; oracles UNCHANGED — the
+    #     ledger pins that) — the r13 rotation must front these three
+    #     ahead of their cohort, displacing three unchanged r10 names
+    #     one cycle. Until then their safety net is
+    #     tests/test_queries_oracle.py + the full driver-contract sweep
+    #     (both green at r12 close).
 ]
 
 
