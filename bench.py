@@ -41,14 +41,19 @@ CANARY_QUERIES = (
     "dedup_simhash_bands",
     "winsorize_price_stats",
 )
-#: Quiet-window medians from the round-11 close (73.4 s catalog total,
-#: noise 1.113, commit fc6ad4b) — the calibration constants the ratio is
-#: measured against. Valid for the default sf0.1 / local[32] config
+#: Calibration constants the ratio is measured against: the 6-sample
+#: canary medians of the round-12 close (74.1 s catalog total, noise
+#: 1.116; the catalog-wide per-query median ratio vs the r11 close was
+#: 1.019, i.e. a baseline-speed box). The first calibration attempt
+#: reused the r11 close's 3-sample per-query medians and read 0.87 on
+#: an equal-speed box — those medians were taken mid-load (noise 1.113)
+#: and sat high; calibrating with the canary's own 6 bracketed samples
+#: removes that bias. Valid for the default sf0.1 / local[32] config
 #: only; at any other sf the ratio is reported as null.
 CANARY_BASELINE_SEC = {
-    "robust_z_by_priority": 1.2796,
-    "dedup_simhash_bands": 1.0389,
-    "winsorize_price_stats": 0.9212,
+    "robust_z_by_priority": 1.1125,
+    "dedup_simhash_bands": 0.904,
+    "winsorize_price_stats": 0.9923,
 }
 
 
@@ -184,7 +189,7 @@ def main() -> None:
         "canary": {
             "queries": list(CANARY_QUERIES),
             "baseline_sec": CANARY_BASELINE_SEC,
-            "baseline_provenance": "r11 quiet-window close, commit fc6ad4b",
+            "baseline_provenance": "r12 close canary medians (6 bracketed samples/query)",
             "samples": canary_samples,
             "medians": canary_medians,
             "ratio": canary_ratio,
