@@ -1,0 +1,99 @@
+"""geo_way_lengths: brute-force parity + plan shape.
+
+The DuckDB oracle gate proves engine agreement; this file proves the
+SEMANTICS against an independent pure-Python reimplementation (the
+spatial_radius_pairs brute-force pattern): md5-portable node coords,
+total (pos, ref) traversal order, per-segment haversine rounded to cm
+before an integer sum, per-way integer bbox, top-500 total tie-break.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def _coord(tag: str, key: int) -> int:
+    h = hashlib.md5(f"geo-{tag}|spark-graft|{key}".encode()).hexdigest()[:15]
+    return int(h, 16) % 100000
+
+
+def _hav_m(lat_a, lon_a, lat_b, lon_b):
+    s1 = math.sin(math.radians(lat_b - lat_a) / 2)
+    s2 = math.sin(math.radians(lon_b - lon_a) / 2)
+    h = s1 * s1 + math.cos(math.radians(lat_a)) * math.cos(
+        math.radians(lat_b)
+    ) * (s2 * s2)
+    return 2.0 * 6371000.0 * math.asin(math.sqrt(h))
+
+
+def test_geo_way_lengths_matches_brute_force(spark):
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    ).to_pylist()
+
+    ways: dict[int, list[tuple[int, int]]] = {}
+    for r in li:
+        ways.setdefault(r["l_orderkey"], []).append(
+            (r["l_linenumber"], r["l_partkey"])
+        )
+
+    want = {}
+    for way_id, refs in ways.items():
+        if len(refs) < 2:
+            continue
+        refs.sort()  # total (pos, ref) traversal order
+        pts = []
+        for _pos, ref in refs:
+            y, x = _coord("lat", ref), _coord("lon", ref)
+            pts.append((y, x, 52.28 + y * 1.5e-6, 4.73 + x * 3e-6))
+        length_cm = sum(
+            # Python round() is half-to-even; Spark/DuckDB round
+            # half-up — floor(+0.5) reproduces the engines' behavior
+            # on the positive distances here
+            int(math.floor(_hav_m(a[2], a[3], b[2], b[3]) * 100 + 0.5))
+            for a, b in zip(pts, pts[1:])
+        )
+        ys = [p[0] for p in pts]
+        xs = [p[1] for p in pts]
+        want[way_id] = (
+            len(pts),
+            length_cm,
+            min(ys),
+            max(ys),
+            min(xs),
+            max(xs),
+        )
+
+    top = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:500]
+    want_rows = {(w, *v) for w, v in top}
+
+    got_rows = {
+        tuple(r)
+        for r in QUERIES["geo_way_lengths"].build(spark, SF_SMALL).collect()
+    }
+    assert got_rows == want_rows
+
+
+def test_geo_way_lengths_plan_one_way_shuffle_topk(spark):
+    """The ref->nodes join must be hash-based (no BNLJ/cartesian), the
+    lag window and the per-way rollup must SHARE one way_id exchange
+    (same key — Catalyst reuses the clustering), and the top-500 must
+    plan as TakeOrderedAndProject, never a global sort."""
+    df = QUERIES["geo_way_lengths"].build(spark, SF_SMALL)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # AQE's toString prints the final plan followed by the initial plan
+    # — count the way_id exchange in the FINAL section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(way_id") == 1
