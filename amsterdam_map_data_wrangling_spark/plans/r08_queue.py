@@ -1800,7 +1800,14 @@ def concentration_build(spark, sf_dir):
     tot = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
-        F.sum(F.col("rk_asc") * F.col("cents")).cast("bigint").alias("wsum"),
+        # rank-weighted sum in DECIMAL(38,0), multiply included: the
+        # r12 20x soak hit ANSI long overflow in this SUM (ranks x
+        # cents x |customers| crosses 2^63 between 10x and 20x), and at
+        # 100 TB the PRODUCT alone would overflow — DuckDB's oracle
+        # already computes this in HUGEINT, so exactness is unchanged
+        # and the double conversion in the gini expression is identical
+        F.sum(F.col("rk_asc").cast("decimal(38,0)") * F.col("cents"))
+        .alias("wsum"),
     )
     tops = (
         ranked.crossJoin(F.broadcast(tot))
