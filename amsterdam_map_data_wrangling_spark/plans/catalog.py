@@ -267,14 +267,27 @@ _GATE_PRIORITY: list[str] = [
     #     the freshest cohort) and become r14's front:
     #     dedup_exact_groups, dedup_ngram_jaccard, ...,
     #     null_semantics_audit, xml_roundtrip_stats.
-    #     EXCEPTION owed at r13 (changed-code jump rule): bm25_search,
-    #     decontaminate_stats, and dup_span_removal changed
-    #     implementation at r12 (sf1 tail cuts; oracles UNCHANGED — the
-    #     ledger pins that) — the r13 rotation must front these three
-    #     ahead of their cohort, displacing three unchanged r10 names
-    #     one cycle. Until then their safety net is
-    #     tests/test_queries_oracle.py + the full driver-contract sweep
-    #     (both green at r12 close).
+    #     CHANGED-CODE NOTE (r12): bm25_search, decontaminate_stats,
+    #     and dup_span_removal changed implementation at r12 (sf1 tail
+    #     cuts) with oracles UNCHANGED — per the standing practice for
+    #     changed-code/unchanged-oracle queries (the r10 LSH-width
+    #     precedent), their r11 verdicts stay valid under the ledger
+    #     pin and they re-gate when this cohort fronts at r14; the
+    #     safety net until then is tests/test_queries_oracle.py + the
+    #     full driver-contract sweep (both green at r12 close). At
+    #     N = 150 exact fill, a mid-cycle front jump would push an owed
+    #     cohort member past the age-3 ceiling, so jumps are reserved
+    #     for ORACLE changes — which are only legal in the round a
+    #     query's own cohort fronts (or via a retirement swap inside
+    #     the fronting cohort).
+    #     ORACLE CHANGE OWED AT r14: variant_json_stats must re-contract
+    #     its sum-of-surrogate-keys output as a modular checksum
+    #     (SUM(id % 1000000007) % 1000000007) — the r12 50x soak showed
+    #     the current BIGINT contract is unrepresentable at shifted-key
+    #     domains on BOTH engines. Spark-side aggregation is already
+    #     decimal (no mid-agg overflow); only the output contract, and
+    #     therefore the oracle, remains. r14 is this query's own
+    #     cohort-front round, where an oracle change is legal.
 ]
 
 

@@ -868,7 +868,20 @@ def variant_json_stats(spark, sf_dir):
         fields.groupBy("tag")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("id").alias("sum_id"),
+            # sum over a surrogate KEY: aggregate in DECIMAL(38,0) so
+            # the SUM itself cannot overflow at shifted-key scale (the
+            # r12 50x soak hit ANSI long overflow mid-aggregation
+            # here), then cast to the gate's BIGINT contract. At >=50x
+            # shifted-key domains the final value itself exceeds int64
+            # — the CONTRACT is unrepresentable on both engines
+            # (DuckDB's CAST AS BIGINT fails equally) — so the output
+            # cast still errors there by design; the scale-proof
+            # re-contract (modular checksum) needs an oracle change
+            # and is scheduled for r14 when this cohort fronts (see
+            # catalog section (m)).
+            F.sum(F.col("id").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_id"),
             F.sum("q1").alias("sum_q1"),
             F.sum(F.when(F.col("q0").isNotNull(), 1).otherwise(0)).alias(
                 "q0_present"
