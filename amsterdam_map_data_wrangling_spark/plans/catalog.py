@@ -132,8 +132,10 @@ def _load_all() -> None:
 #:               key-for-key)
 #:   r10 front = the owed r09 front, one round late
 #:   r11 front = the 50 r07-greens (pre-parked at r10's slots 51-100)
-#:   r12 front = the r08 front again (section (k) below)
-#:   r13 front = the r10 front again (section (l) park), and so on.
+#:   r12 front = the r08 front again (with the spatial_radius_pairs →
+#:               geo_way_lengths retirement swap)
+#:   r13 front = the r10 front again (section (l) below)
+#:   r14 front = the r11 front again (section (m) park), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -144,74 +146,21 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 12 rotation: front (slots 1-50) ----
-    # (k) the 50 r08-front queries (26 r05-parks + 23 queue +
-    #     warc_roundtrip_stats; pre-parked at r11's slots 51-100 for
-    #     exactly this rotation — their freshest DISTINCT verdict window
-    #     is r08, three distinct windows back after this round's gates),
-    #     in registration order:
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "frame_sample_stats",
-    "warc_roundtrip_stats",
-    "pricing_summary",
-    "join_revenue_by_priority",
-    "ordered_position_per_group",
-    "topn_per_group",
-    "running_revenue_per_customer",
-    "rollup_revenue",
-    "eav_pivot_wide",
-    "window_function_zoo",
-    "bag_set_ops",
-    "cube_revenue",
-    "dataset_split_stats",
-    "embedding_label_centroids",
-    "minhash_recall_curve",
-    "dedup_cluster_size_hist",
-    "event_transition_counts",
-    "scd2_state_durations",
-    "cohort_retention",
-    "ks_split_drift",
-    "chi2_type_weekday",
-    "vocab_jaccard_sources",
-    "equal_freq_deciles",
-    "spearman_autocorr_daily_revenue",
-    "minmax_scale_bins",
-    "token_diversity_by_source",
-    "nearest_centroid_confusion",
-    "rfm_segment_counts",
-    "dq_audit_star",
-    "neardup_degree_hist",
-    # spatial_radius_pairs RETIRED r12 (saturation policy; see
-    # plans/r08_queue.py + tests/test_retired.py — the r11 geo family
-    # gates the identical grid equi-join shape with trig on top) — its
-    # slot goes to the ordered way->node polyline gate, the reference's
-    # one distinctive structure without a driver verdict:
-    "geo_way_lengths",
-    "basket_lift_pairs",
-    "daily_peak_concurrency",
-    "revenue_concentration",
-    "ab_test_zscore",
-    "embedding_label_stats",
-    "embedding_norm_zscores",
-    "doc_rolling_fingerprint",
-    "stratified_sample_counts",
-    "quality_scores",
-    "quality_components",
-    "chunk_documents",
-    "normalize_phone_lengths",
-    "normalize_postcode_formats",
-    "split_tag_keys_agg",
-    "eav_unpivot_topk",
-    "table_stats",
-    "salted_user_event_stats",
-    # ---- window boundary (slot 50) ----
-    # (l) park: the 50 r10-front queries (gap_log2_hist + the 49
-    #     re-gated r06-greens), in registration order — their verdict
-    #     window is r10, 2 distinct windows back after this round's
-    #     front gates; parked immediately past the window so they are
-    #     r13's entire front:
+    # ---- round 13 rotation: front (slots 1-50) ----
+    # (l) the 50 r10-front queries (gap_log2_hist + the 49 re-gated
+    #     r06-greens; pre-parked at r12's slots 51-100 for exactly this
+    #     rotation — their freshest DISTINCT verdict window is r10,
+    #     three distinct windows back after this round's gates), in
+    #     registration order:
     "dedup_keep_canonical",
+    # dedup_edit_refine RE-CONTRACTED r13 (its own cohort-front round,
+    # the one legal window for an oracle change): the refine stage now
+    # caps candidates at top-m per doc by Jaccard rank (deterministic
+    # tie-break, oracle replays the same cap) so the DP stage is
+    # budget-bounded at any corpus size — the r12 profile showed the
+    # uncapped candidate relation is corpus-LINEAR (10,493 pairs at
+    # sf0.1, length-delta prune removes 0) and was the catalog's #1
+    # cost at every scale point:
     "dedup_edit_refine",
     "audio_dims",
     "video_dims",
@@ -261,25 +210,79 @@ _GATE_PRIORITY: list[str] = [
     "nested_json_shred",
     "snapshot_table_diff",
     "map_ops_surface",
-    # (m) the 50 r11-front queries (46 surviving r07-greens + the four
-    #     queries first gated at r11) are deliberately unlisted — they
-    #     append in registration order behind the park (verdicts r11,
-    #     the freshest cohort) and become r14's front:
-    #     dedup_exact_groups, dedup_ngram_jaccard, ...,
-    #     null_semantics_audit, xml_roundtrip_stats.
-    #     CHANGED-CODE NOTE (r12): bm25_search, decontaminate_stats,
-    #     and dup_span_removal changed implementation at r12 (sf1 tail
-    #     cuts) with oracles UNCHANGED — per the standing practice for
-    #     changed-code/unchanged-oracle queries (the r10 LSH-width
-    #     precedent), their r11 verdicts stay valid under the ledger
-    #     pin and they re-gate when this cohort fronts at r14; the
-    #     safety net until then is tests/test_queries_oracle.py + the
-    #     full driver-contract sweep (both green at r12 close). At
-    #     N = 150 exact fill, a mid-cycle front jump would push an owed
-    #     cohort member past the age-3 ceiling, so jumps are reserved
-    #     for ORACLE changes — which are only legal in the round a
-    #     query's own cohort fronts (or via a retirement swap inside
-    #     the fronting cohort).
+    # ---- window boundary (slot 50) ----
+    # (m) park: the 50 r11-front queries (46 surviving r07-greens + the
+    #     four queries first gated at r11), in registration order —
+    #     their verdict window is r11, 2 distinct windows back after
+    #     this round's front gates; parked immediately past the window
+    #     so they are r14's entire front:
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_minhash_portable_pairs",
+    "dedup_simhash_bands",
+    "sorted_neighborhood_window",
+    "near_dup_transitivity",
+    "near_dup_pagerank",
+    "incremental_dedup_stats",
+    "winsorize_price_stats",
+    "robust_z_by_priority",
+    "unigram_lm_scores",
+    "dup_span_removal",
+    "weighted_sample_per_group",
+    "ols_price_trend_by_priority",
+    "multimodal_features",
+    "multimodal_dims",
+    "audio_levels",
+    "image_pixel_stats",
+    "star_join_customers_by_region",
+    "range_join_balance_bands",
+    "gap_sessionization",
+    "nation_volume_shipping",
+    "knn_cosine_brute",
+    "ann_sign_lsh",
+    "ann_rand_lsh",
+    "ann_ivf",
+    "geo_haversine_radius",
+    "embedding_near_dup_pairs",
+    "ann_sq8_rerank",
+    "ann_pq_adc",
+    "sketch_users_by_type",
+    "sketch_value_quantiles",
+    "sparse_cosine_pairs",
+    "geo_nn_on_sphere",
+    "bloom_vocab_overlap",
+    "decontaminate_stats",
+    "bm25_search",
+    "quality_filter_pipeline",
+    "leakage_free_split",
+    "tfidf_top_terms",
+    "token_budget_pack_sharded",
+    "pii_redaction_stats",
+    "resample_locf_daily",
+    "trailing_window_revenue",
+    "salted_join_hot_customer",
+    "variant_json_stats",
+    "null_semantics_audit",
+    "xml_roundtrip_stats",
+    # (k) the 50 r12-front queries (the r08 cohort with the
+    #     spatial_radius_pairs → geo_way_lengths retirement swap) are
+    #     deliberately unlisted — they append in registration order
+    #     behind the park (verdicts r12, the freshest cohort) and
+    #     become r15's front: dedup_minhash_portable,
+    #     dedup_simhash_portable, ..., salted_user_event_stats.
+    #     CHANGED-CODE NOTE (carried from r12): bm25_search,
+    #     decontaminate_stats, and dup_span_removal changed
+    #     implementation at r12 (sf1 tail cuts) with oracles UNCHANGED —
+    #     per the standing practice for changed-code/unchanged-oracle
+    #     queries (the r10 LSH-width precedent), their r11 verdicts stay
+    #     valid under the ledger pin; they sit in this round's park (m)
+    #     and re-gate with their cohort at r14. At N = 150 exact fill, a
+    #     mid-cycle front jump would push an owed cohort member past the
+    #     age-3 ceiling, so jumps are reserved for ORACLE changes —
+    #     which are only legal in the round a query's own cohort fronts
+    #     (or via a retirement swap inside the fronting cohort).
     #     ORACLE CHANGE OWED AT r14: variant_json_stats must re-contract
     #     its sum-of-surrogate-keys output as a modular checksum
     #     (SUM(id % 1000000007) % 1000000007) — the r12 50x soak showed
@@ -287,7 +290,10 @@ _GATE_PRIORITY: list[str] = [
     #     domains on BOTH engines. Spark-side aggregation is already
     #     decimal (no mid-agg overflow); only the output contract, and
     #     therefore the oracle, remains. r14 is this query's own
-    #     cohort-front round, where an oracle change is legal.
+    #     cohort-front round, where an oracle change is legal; the
+    #     prepared re-contract pair is pre-written and guard-tested this
+    #     round (tests/test_r14_prepared.py) so the r14 front commit is
+    #     mechanical.
 ]
 
 

@@ -69,34 +69,30 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-12 evidence policy: the 50 r08-front queries (the oldest
-    # cohort — their last DISTINCT verdict window is r08, three windows
-    # back; the r09 artifact duplicated it) take the whole front; the
-    # r10-front cohort (verdict window r10) parks at slots 51-100 as
-    # r13's front; the freshly-gated r11 cohort appends unlisted at
-    # 101-150 (r14's front). (The general freshness invariant is
+    # round-13 evidence policy: the 50 r10-front queries (the oldest
+    # cohort — their last DISTINCT verdict window is r10, three windows
+    # back after this round's gates) take the whole front; the
+    # r11-front cohort (verdict window r11) parks at slots 51-100 as
+    # r14's front; the freshly-gated r12 cohort appends unlisted at
+    # 101-150 (r15's front). (The general freshness invariant is
     # asserted mechanically in tests/test_gate_freshness.py — this pins
     # only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r08 = set(json.loads((repo / "CORRECTNESS_r08.json").read_text()))
     r10 = set(json.loads((repo / "CORRECTNESS_r10.json").read_text()))
     r11 = set(json.loads((repo / "CORRECTNESS_r11.json").read_text()))
-    # one r08-front query was RETIRED at r12 (saturation policy, slot to
-    # the never-gated ordered way->node polyline — tests/test_retired.py)
-    retired_r12 = {"spatial_radius_pairs"}
-    new_r12 = {"geo_way_lengths"}
-    assert set(ordered[:50]) == (r08 - r10 - r11 - retired_r12) | new_r12, (
-        "round-12 window must be the 49 surviving r08-front queries + "
-        "the new never-gated polyline query"
+    r12 = set(json.loads((repo / "CORRECTNESS_r12.json").read_text()))
+    assert set(ordered[:50]) == r10, (
+        "round-13 window must be the 50 r10-front queries (the oldest "
+        "cohort) verbatim"
     )
-    assert set(ordered[50:100]) == r10, (
-        "the r10-front cohort must park at slots 51-100 (r13's front)"
+    assert set(ordered[50:100]) == r11, (
+        "the r11-front cohort must park at slots 51-100 (r14's front)"
     )
-    assert set(ordered[100:]) == r11, (
-        "the freshly-gated r11 cohort appends at slots 101-150"
+    assert set(ordered[100:]) == r12, (
+        "the freshly-gated r12 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
 
