@@ -1,0 +1,119 @@
+"""Round-14 prepared re-contract for ``variant_json_stats`` (NOT
+registered — deliberately absent from ``catalog._load_all`` and the
+package ``__init__`` import list, so nothing here reaches the gate
+surface before its legal round).
+
+Background (r12 50x soak, catalog section (m), VERDICT r12 "What's
+wrong" #1): the registered query's ``sum_id`` output is a SUM over a
+surrogate KEY domain. The aggregation itself was fixed at r12
+(DECIMAL(38,0) — no mid-agg overflow at any scale), but the OUTPUT
+contract is ``CAST(sum AS BIGINT)``, which is unrepresentable once the
+key domain is shifted to 100 TB-representative magnitudes (~30-50x in
+the soak dirs): both engines error identically on the cast. A query
+that errors at scale is a contract bug even when the engines agree.
+
+The re-contract replaces the raw key-sum with a modular checksum::
+
+    sum_id_mod = SUM(id % 1000000007) % 1000000007
+
+which is (a) representable at ANY row count and key domain — each
+summand < 1e9, the running sum is carried in DECIMAL(38,0)/HUGEINT,
+and the final reduction is < 1e9 — and (b) exactly as sensitive to a
+lost/duplicated/corrupted row as the raw sum (it IS the raw sum's
+residue mod p when keys are non-negative, p prime 1e9+7).
+
+Oracle changes are only legal in the round a query's own cohort fronts
+(the age-3 ceiling at N = 150 exact fill); ``variant_json_stats`` is in
+the r11 cohort, which fronts at r14. Until then this module holds the
+prepared pair and ``tests/test_r14_prepared.py`` keeps it hash-green at
+sf0.001/sf0.01, so the r14 front commit is a mechanical swap:
+
+1. in ``plans/wrangling.py::variant_json_stats``: replace the
+   ``sum_id`` aggregate with :data:`SUM_ID_MOD_SPARK` below (alias
+   stays ``sum_id_mod``) and the oracle's sum_id line with the
+   corresponding SQL from :data:`ORACLE_V2`;
+2. regenerate ORACLE_HASHES.json snapshots 14/15 + QUERIES.md;
+3. delete this module and its guard test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: the checksum modulus — prime, < 2^31, the standard competitive 1e9+7
+MOD = 1_000_000_007
+
+#: the prepared oracle (DuckDB), identical to the registered oracle
+#: except ``sum_id`` -> ``sum_id_mod``: summands reduced mod p before
+#: the SUM (DuckDB carries the sum in HUGEINT), reduced again after,
+#: so the BIGINT cast is total at any scale.
+ORACLE_V2 = """
+    WITH j AS (
+      SELECT '{"id": ' || CAST(o_orderkey AS VARCHAR)
+          || ', "items": [{"q": ' || CAST(o_orderkey % 5 AS VARCHAR)
+          || '}, {"q": ' || CAST(o_orderkey % 7 AS VARCHAR)
+          || '}], "tag": "' || o_orderpriority || '"}' AS js
+      FROM orders
+    )
+    SELECT json_extract_string(js, '$.tag') AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(json_extract(js, '$.id') AS BIGINT)
+                    % 1000000007) % 1000000007 AS BIGINT) AS sum_id_mod,
+           CAST(SUM(CAST(json_extract(js, '$.items[1].q') AS BIGINT))
+                AS BIGINT) AS sum_q1,
+           CAST(SUM(CASE WHEN json_extract(js, '$.items[0].q')
+                              IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS q0_present
+    FROM j GROUP BY tag ORDER BY tag
+"""
+
+
+def variant_json_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query with the r14 output contract: ``sum_id_mod``
+    modular checksum instead of the raw key sum. Everything else —
+    parse_json/VARIANT extraction, grouping, ordering — is byte-for-byte
+    the registered plan (plans/wrangling.py::variant_json_stats)."""
+    from amsterdam_map_data_wrangling_spark.operators.layout import (
+        cpu_parallel_floor,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders = cpu_parallel_floor(orders)
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "items": [{"q": '),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit('}, {"q": '),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('}], "tag": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    v = orders.select(F.parse_json(js).alias("v"))
+    fields = v.select(
+        F.try_variant_get("v", "$.tag", "string").alias("tag"),
+        F.try_variant_get("v", "$.id", "bigint").alias("id"),
+        F.try_variant_get("v", "$.items[1].q", "bigint").alias("q1"),
+        F.try_variant_get("v", "$.items[0].q", "bigint").alias("q0"),
+    )
+    # summands < 1e9 each; the running sum is DECIMAL(38,0) so it cannot
+    # overflow below ~1e29 rows; the outer pmod brings the output back
+    # under 1e9, making the BIGINT contract total at any key domain
+    mod_sum = F.pmod(
+        F.sum(F.pmod(F.col("id"), F.lit(MOD)).cast("decimal(38,0)")),
+        F.lit(MOD),
+    )
+    return (
+        fields.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_docs"),
+            mod_sum.cast("bigint").alias("sum_id_mod"),
+            F.sum("q1").alias("sum_q1"),
+            F.sum(F.when(F.col("q0").isNotNull(), 1).otherwise(0)).alias(
+                "q0_present"
+            ),
+        )
+        .orderBy("tag")
+    )

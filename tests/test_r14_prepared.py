@@ -1,0 +1,69 @@
+"""Guard test for the PREPARED r14 ``variant_json_stats`` re-contract
+(plans/r14_prepared.py — not registered; see that module's docstring
+for the swap recipe and why the oracle change is only legal at r14).
+
+Keeps the prepared pair hash-green at sf0.001 and sf0.01 so the r14
+front commit is mechanical, and proves the re-contract's reason for
+existing: the modular-checksum output stays total (and engine-agreed)
+on a key domain shifted to 100 TB-representative magnitudes, where the
+registered BIGINT raw-sum contract is unrepresentable.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from amsterdam_map_data_wrangling_spark.plans.r14_prepared import (
+    ORACLE_V2,
+    variant_json_stats_v2,
+)
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _compare(spark, sf_dir: str, con) -> None:
+    sdf = variant_json_stats_v2(spark, sf_dir)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(ORACLE_V2).fetchall())
+    assert sdf.columns == ["tag", "n_docs", "sum_id_mod", "sum_q1",
+                           "q0_present"]
+    assert srows == drows
+    assert srows, "vacuous compare: 0 rows"
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_prepared_pair_hash_green_at_gate_sfs(spark, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    _compare(spark, sf_dir, con)
+
+
+def test_prepared_contract_total_at_shifted_key_domain(spark, tmp_path):
+    """The point of the re-contract: keys ~9.2e14 across 20k rows push
+    the RAW key sum past 2^63 (the registered contract's cast errors on
+    both engines there — r12 50x soak), while the modular checksum
+    stays in-range and the engines agree on it."""
+    n, base = 20_000, 920_000_000_000_000
+    sf = tmp_path / "shifted"
+    (
+        spark.range(n)
+        .selectExpr(
+            f"id * 7 + {base} AS o_orderkey",
+            "CASE CAST(id % 3 AS INT) WHEN 0 THEN '1-URGENT' "
+            "WHEN 1 THEN '3-MEDIUM' ELSE '5-LOW' END AS o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(str(sf / "orders.parquet"))
+    )
+    # raw sum really is out of int64 range (the scenario under test)
+    assert n * (base + 7 * n) > 2**63
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    _compare(spark, str(sf), con)
