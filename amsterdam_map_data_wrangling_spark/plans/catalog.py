@@ -283,17 +283,30 @@ _GATE_PRIORITY: list[str] = [
     #     age-3 ceiling, so jumps are reserved for ORACLE changes —
     #     which are only legal in the round a query's own cohort fronts
     #     (or via a retirement swap inside the fronting cohort).
-    #     ORACLE CHANGE OWED AT r14: variant_json_stats must re-contract
-    #     its sum-of-surrogate-keys output as a modular checksum
-    #     (SUM(id % 1000000007) % 1000000007) — the r12 50x soak showed
-    #     the current BIGINT contract is unrepresentable at shifted-key
-    #     domains on BOTH engines. Spark-side aggregation is already
-    #     decimal (no mid-agg overflow); only the output contract, and
-    #     therefore the oracle, remains. r14 is this query's own
-    #     cohort-front round, where an oracle change is legal; the
-    #     prepared re-contract pair is pre-written and guard-tested this
-    #     round (tests/test_r14_prepared.py) so the r14 front commit is
-    #     mechanical.
+    #     ORACLE CHANGES OWED AT r14 (both pre-written in
+    #     plans/r14_prepared.py, guard-tested by
+    #     tests/test_r14_prepared.py, so the r14 front commit is
+    #     mechanical):
+    #     - variant_json_stats: modular-checksum output
+    #       (SUM(id % 1000000007) % 1000000007) — the r12 50x soak
+    #       showed the BIGINT raw-key-sum contract is unrepresentable
+    #       at shifted-key domains on BOTH engines; Spark-side
+    #       aggregation is already decimal, only the output contract
+    #       (and therefore the oracle) remains.
+    #     - ols_price_trend_by_priority: DECIMAL(38,0)/HUGEINT
+    #       sufficient statistics — the r13 key-domain stress harness
+    #       (tests/test_key_domain_stress.py) showed the int64 y*y
+    #       statistic overflows on BOTH engines at cents ~1e12-13;
+    #       in-domain outputs are bit-identical, so gates are
+    #       unaffected until the swap.
+    #     ORACLE CHANGE OWED AT r15 (when the r12 cohort — this
+    #     round's unlisted tail — fronts): normalize_phone_lengths'
+    #     oracle multiplies the key in INT64 and errors at shifted key
+    #     domains (r13 harness finding; the in-code claim that DuckDB
+    #     auto-widens to HUGEINT is false). The Spark side was already
+    #     decimal-widened at r10 and needs no change; the oracle fix is
+    #     CAST(c_custkey AS HUGEINT) * 987654321. Tracked as a strict
+    #     xfail in tests/test_key_domain_stress.py.
 ]
 
 

@@ -1,7 +1,10 @@
-"""Round-14 prepared re-contract for ``variant_json_stats`` (NOT
-registered — deliberately absent from ``catalog._load_all`` and the
-package ``__init__`` import list, so nothing here reaches the gate
-surface before its legal round).
+"""Round-14 prepared re-contracts (NOT registered — deliberately absent
+from ``catalog._load_all`` and the package ``__init__`` import list, so
+nothing here reaches the gate surface before its legal round):
+
+1. ``variant_json_stats`` — modular-checksum output (r12 50x soak);
+2. ``ols_price_trend_by_priority`` — decimal/HUGEINT sufficient
+   statistics (r13 key-domain stress harness finding).
 
 Background (r12 50x soak, catalog section (m), VERDICT r12 "What's
 wrong" #1): the registered query's ``sum_id`` output is a SUM over a
@@ -117,3 +120,83 @@ def variant_json_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# ols_price_trend_by_priority — decimal/HUGEINT sufficient statistics
+# ---------------------------------------------------------------------------
+# r13 key-domain stress harness finding (tests/test_key_domain_stress.py):
+# at cents ~1e12-13 value domains, y = round(o_totalprice/100) reaches
+# ~4e9, so the y*y sufficient statistic overflows int64 on BOTH engines
+# identically (Spark ANSI ARITHMETIC_OVERFLOW, DuckDB Out of Range) —
+# the variant_json_stats class: a contract limit, not an engine
+# divergence. The re-contract widens the product accumulation to
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); each widened sum is then a
+# single correctly-rounded cast to DOUBLE, so in-domain outputs are
+# bit-identical to the registered query (sums < 2^53 are exact in both
+# paths) and the formula stays total at any value domain. Legal at r14
+# (the query's own cohort-front round).
+
+ORACLE_OLS_V2 = """
+    WITH pts AS (
+      SELECT o_orderpriority AS g,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(round(o_totalprice / 100) AS BIGINT) AS y
+      FROM orders
+    ), sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pts GROUP BY g
+    )
+    SELECT g,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope_r,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept_r,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2_r
+    FROM sums ORDER BY g
+"""
+
+
+def ols_price_trend_by_priority_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered query with DECIMAL(38,0) sufficient statistics —
+    outputs bit-identical in-domain, total at any value domain."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    y = F.round(F.col("o_totalprice") / 100).cast("long")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("g"), x.alias("x"), y.alias("y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    sums = pts.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    slope = num / denx
+    return sums.select(
+        "g",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 8).alias("slope_r"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
+        F.round((num * num) / (denx * (n * syy - sy * sy)), 8).alias("r2_r"),
+    ).orderBy("g")

@@ -57,11 +57,16 @@ def normalize_phone_lengths(spark, sf_dir):
     (customer,) = _t(spark, sf_dir, "customer")
     # decimal(38,0) widening, not bigint: key*987654321 overflows int64
     # for keys above ~9.3e9 (snowflake-scale surrogate IDs; found by the
-    # r10 sf1 soak's shifted key domain). DuckDB widens the same product
-    # to HUGEINT, so the decimal path keeps the two engines value-equal
-    # on EVERY key domain instead of only small ones; scale-0 decimals
-    # render as plain digit strings, identical to the bigint cast
-    # in-domain.
+    # r10 sf1 soak's shifted key domain). Scale-0 decimals render as
+    # plain digit strings, identical to the bigint cast in-domain.
+    # CORRECTION (r13 key-domain stress harness): the ORACLE side does
+    # NOT auto-widen — DuckDB errors on the INT64 multiply at shifted
+    # key domains (the earlier claim here that it widens to HUGEINT was
+    # wrong). In-domain values are identical so gates are unaffected;
+    # the oracle text fix (CAST(c_custkey AS HUGEINT) * 987654321) is
+    # only legal when this cohort fronts at r15 — tracked as a strict
+    # xfail in tests/test_key_domain_stress.py and in the catalog
+    # section (k) comment.
     d = F.substring(
         (
             F.col("c_custkey").cast("decimal(38,0)") * 987654321

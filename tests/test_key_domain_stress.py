@@ -1,0 +1,211 @@
+"""Key-domain stress harness (r12 VERDICT ask #5).
+
+Four integer-domain cliffs in two rounds (r10 x2, r12 x2) were each
+found only by building a bigger scale dir — the overflow trigger was
+never row count per se but the MAGNITUDE of key/value domains flowing
+through SUM/product aggregates. This sweep exercises exactly that at
+sf-tiny cost: every catalog oracle re-runs over a copy of sf0.001
+whose int64 surrogate keys are shifted to ~9.2e14 (100 TB-fleet key
+territory, and high enough that key-sums and key-products cross 2^63
+wherever an aggregation path is not decimal-widened) and whose money
+columns are scaled x1e6 (cents ~1e12-13, so rank*cents / key*count
+style products cross 2^63 at tiny row counts — the exact
+revenue_concentration r12 class).
+
+What a failure means: an engine ERROR (Spark ANSI overflow, DuckDB
+cast-out-of-range) or a cross-engine value divergence on the shifted
+domain — i.e. the r10/r12 cliff class, caught in minutes instead of
+once per soak scale point.
+
+Comparison semantics: exact on non-float columns; floats compared with
+relative tolerance 1e-6 — at x1e6 magnitudes the catalog's 2-decimal
+rounding convention is legitimately below double precision, and this
+harness hunts overflow (errors / orders-of-magnitude divergence), not
+float rounding luck. The shifted dir is built by DuckDB so parquet
+physical types stay in the family sources.registry.load_tables
+already normalizes (notably events.ts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from amsterdam_map_data_wrangling_spark.plans.catalog import (
+    oracle_sql,
+    queries,
+)
+
+SRC = "/root/testdata/sf0.001"
+
+#: ~9.2e14: 100 TB-representative surrogate-key magnitude, chosen so a
+#: SUM over ~10k shifted keys approaches (but a product with any
+#: second factor crosses) 2^63
+KEY_SHIFT = 920_000_000_000_000
+
+#: money columns scaled to cents ~1e12-13
+VALUE_SCALE = 1_000_000
+
+#: int64 surrogate key columns per table (mirrors
+#: scripts/make_scale_dir.SHIFT_COLS; int32 dimension FKs stay fixed)
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+VALUE_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice"],
+}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: queries whose CONTRACT is known-unrepresentable at shifted domains,
+#: with the re-contract pre-written and scheduled for the query's own
+#: cohort-front round (oracle changes are only legal then — catalog
+#: section comments). xfail, not skip: the moment the re-contract
+#: lands, the XPASS goes strict-red here and the entry must be removed.
+KNOWN_CONTRACT_LIMITS = {
+    # (variant_json_stats is NOT listed: its BIGINT raw-key-sum limit
+    # needs row count x key domain ~2^63, beyond what a tiny-row dir
+    # can trigger — it passes here and its r14 re-contract is guarded
+    # by tests/test_r14_prepared.py instead.)
+    # r13 harness finding; prepared pair in plans/r14_prepared.py:
+    # int64 y*y sufficient statistic overflows on BOTH engines at
+    # cents ~1e12-13
+    "ols_price_trend_by_priority":
+        "int64 y*y sufficient statistic; re-contract r14",
+    # r13 harness finding: the SPARK side was decimal-widened at r10
+    # but the ORACLE still multiplies the key in INT64 (the in-code
+    # claim that DuckDB auto-widens to HUGEINT is false — it errors).
+    # In-domain values identical, so gates are unaffected; the oracle
+    # text fix (CAST(c_custkey AS HUGEINT) * 987654321) is only legal
+    # when the r12 cohort fronts at r15.
+    "normalize_phone_lengths":
+        "oracle-side INT64 key multiply; oracle fix legal r15",
+}
+
+_SPECS = [
+    pytest.param(
+        n,
+        marks=pytest.mark.xfail(
+            reason=KNOWN_CONTRACT_LIMITS[n], strict=True
+        ),
+    )
+    if n in KNOWN_CONTRACT_LIMITS
+    else n
+    for n in sorted(oracle_sql())
+]
+
+
+@pytest.fixture(scope="session")
+def shifted_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("keydomain")
+    con = duckdb.connect()
+    for t in TABLES:
+        exprs = []
+        cols = con.sql(
+            f"SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 0"
+        ).columns
+        for c in cols:
+            if c in SHIFT_COLS.get(t, []):
+                exprs.append(f'"{c}" + {KEY_SHIFT} AS "{c}"')
+            elif c in VALUE_COLS.get(t, []):
+                exprs.append(f'"{c}" * {VALUE_SCALE} AS "{c}"')
+            else:
+                exprs.append(f'"{c}"')
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM "
+            f"read_parquet('{SRC}/{t}.parquet')) TO "
+            f"'{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(dst)
+
+
+@pytest.fixture(scope="session")
+def shifted_con(shifted_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{shifted_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _key(row):
+    """Sort key with floats collapsed to 3 significant digits so
+    tolerant-equal rows sort identically on both sides."""
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            out.append(f"~{v:.3g}" if v == v else "~nan")
+        else:
+            out.append(repr(v))
+    return out
+
+
+def _cell_eq(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
+    return a == b
+
+
+#: session-scoped tally for the vacuousness backstop below
+_ROWCOUNTS: dict[str, int] = {}
+
+
+@pytest.mark.parametrize("name", _SPECS)
+def test_oracle_agrees_on_shifted_domains(spark, shifted_dir, shifted_con,
+                                          name):
+    build = queries()[name]
+    sdf = build(spark, shifted_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = shifted_con.sql(oracle_sql()[name])
+    dcols, drows = list(rel.columns), rel.fetchall()
+    _ROWCOUNTS[name] = len(srows)
+    assert sorted(scols) == sorted(dcols), f"{name}: schema diverged"
+    assert len(srows) == len(drows), (
+        f"{name}: {len(srows)} spark rows vs {len(drows)} oracle rows"
+    )
+    i_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    i_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_sorted = sorted([[r[i] for i in i_s] for r in srows], key=_key)
+    d_sorted = sorted([[r[i] for i in i_d] for r in drows], key=_key)
+    for rs, rd in zip(s_sorted, d_sorted):
+        for a, b in zip(rs, rd):
+            assert _cell_eq(a, b), (
+                f"{name}: value divergence on shifted domain: "
+                f"{rs} vs {rd}"
+            )
+
+
+def test_sweep_not_vacuous():
+    """Backstop: value-domain scaling can empty predicate-dependent
+    queries (a 0-row compare proves nothing) — the sweep only counts
+    as coverage while the vast majority of oracles return rows."""
+    assert _ROWCOUNTS, "parametrized sweep did not run"
+    vacuous = sorted(n for n, c in _ROWCOUNTS.items() if c == 0)
+    assert len(vacuous) <= len(_ROWCOUNTS) * 0.2, (
+        f"{len(vacuous)} of {len(_ROWCOUNTS)} oracles vacuous on the "
+        f"shifted dir: {vacuous}"
+    )

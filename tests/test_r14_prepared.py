@@ -67,3 +67,69 @@ def test_prepared_contract_total_at_shifted_key_domain(spark, tmp_path):
         f"read_parquet('{sf}/orders.parquet/*.parquet')"
     )
     _compare(spark, str(sf), con)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_prepared_ols_pair_matches_registered_and_oracle(spark, sf_dir):
+    """The OLS v2 pair: (a) hash-green against its own oracle, (b)
+    output-identical to the REGISTERED query in-domain (the widened
+    sums are exact < 2^53, so every double is the same bit pattern)."""
+    from amsterdam_map_data_wrangling_spark.plans.r14_prepared import (
+        ORACLE_OLS_V2,
+        ols_price_trend_by_priority_v2,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    sdf = ols_price_trend_by_priority_v2(spark, sf_dir)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(ORACLE_OLS_V2).fetchall())
+    assert srows == drows and srows
+    registered = sorted(
+        tuple(r)
+        for r in QUERIES["ols_price_trend_by_priority"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert srows == registered, "v2 must be bit-identical in-domain"
+
+
+def test_prepared_ols_total_at_shifted_value_domain(spark, tmp_path):
+    """The re-contract's reason to exist: y ~ 4e9 (cents ~1e12-13 value
+    domain) overflows the registered query's int64 y*y on both engines;
+    the v2 pair agrees and stays total there."""
+    from amsterdam_map_data_wrangling_spark.plans.r14_prepared import (
+        ORACLE_OLS_V2,
+        ols_price_trend_by_priority_v2,
+    )
+
+    sf = tmp_path / "shifted"
+    (
+        spark.range(5_000)
+        .selectExpr(
+            "CAST(date_add(DATE '1995-01-01', CAST(id % 2000 AS INT)) "
+            "AS STRING) AS o_orderdate",
+            "(3.8e11 + id * 1e7) AS o_totalprice",
+            "CASE CAST(id % 2 AS INT) WHEN 0 THEN '1-URGENT' "
+            "ELSE '5-LOW' END AS o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(str(sf / "orders.parquet"))
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    sdf = ols_price_trend_by_priority_v2(spark, str(sf))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(ORACLE_OLS_V2).fetchall())
+    assert len(srows) == len(drows) == 2
+    for rs, rd in zip(srows, drows):
+        assert rs[0] == rd[0] and rs[1] == rd[1]
+        for a, b in zip(rs[2:], rd[2:]):
+            assert a == pytest.approx(b, rel=1e-9)
