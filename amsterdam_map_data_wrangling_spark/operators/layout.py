@@ -58,6 +58,8 @@ _BYTE_SUFFIXES = {
     "gb": 1024**3,
     "t": 1024**4,
     "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
 }
 
 
@@ -70,7 +72,7 @@ def _max_partition_bytes(spark) -> int:
     raw = str(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     ).strip().lower()
-    num = raw.rstrip("bkmgt")
+    num = raw.rstrip("bkmgtp")
     suffix = raw[len(num):]
     try:
         return int(num) * _BYTE_SUFFIXES[suffix]
@@ -121,7 +123,12 @@ def cpu_parallel_floor(
     # target tasks, and an unconditional repartition would add a
     # redundant shuffle (round-11 ADVICE). Asking the physical plan for
     # its partition count costs one extra planning pass, paid only here
-    # — where the alternative was a shuffle.
+    # — where the alternative was a shuffle. CALLER CONTRACT (r12
+    # ADVICE): apply this operator directly above a file scan (the
+    # registry does exactly that). The .rdd probe converts the plan to
+    # an RDD; under AQE, a plan containing SHUFFLES can materialize
+    # query stages here (run real jobs) — scan-only plans cannot, which
+    # is what keeps this probe a planning pass and not an execution.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

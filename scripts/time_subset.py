@@ -36,14 +36,20 @@ def main() -> None:
     while i < len(argv):
         a = argv[i]
         if a == "--passes":  # space-separated form: --passes N
+            if i + 1 >= len(argv):  # r12 ADVICE: trailing flag, no value
+                sys.exit("usage: time_subset.py SF_DIR [q ...] --passes N")
             passes = int(argv[i + 1])
             i += 2
         elif a.startswith("--passes="):  # equals form: --passes=N
             passes = int(a.split("=", 1)[1])
             i += 1
+        elif a.startswith("--"):  # r12 ADVICE: reject unknown flags
+            sys.exit(f"unknown option {a!r}; only --passes is supported")
         else:
             args.append(a)
             i += 1
+    if not args:
+        sys.exit("usage: time_subset.py SF_DIR [q ...] [--passes N]")
     sf_dir, names = args[0], args[1:]
     if not names:
         names = list(QUERIES)

@@ -9,6 +9,7 @@ before an integer sum, per-way integer bbox, top-500 total tie-break.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 
@@ -56,9 +57,14 @@ def test_geo_way_lengths_matches_brute_force(spark):
             pts.append((y, x, 52.28 + y * 1.5e-6, 4.73 + x * 3e-6))
         length_cm = sum(
             # Python round() is half-to-even; Spark/DuckDB round
-            # half-up — floor(+0.5) reproduces the engines' behavior
-            # on the positive distances here
-            int(math.floor(_hav_m(a[2], a[3], b[2], b[3]) * 100 + 0.5))
+            # half-up. Decimal HALF_UP on the exact double reproduces
+            # the engines' semantics exactly — floor(x*100 + 0.5) could
+            # diverge in the rare case where the +0.5 addition itself
+            # rounds across the boundary (r12 ADVICE)
+            int(
+                decimal.Decimal(_hav_m(a[2], a[3], b[2], b[3]) * 100)
+                .quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+            )
             for a, b in zip(pts, pts[1:])
         )
         ys = [p[0] for p in pts]
