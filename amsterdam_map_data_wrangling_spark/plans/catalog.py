@@ -299,6 +299,11 @@ _GATE_PRIORITY: list[str] = [
     #       statistic overflows on BOTH engines at cents ~1e12-13;
     #       in-domain outputs are bit-identical, so gates are
     #       unaffected until the swap.
+    #     - xml_roundtrip_stats: modular-checksum parse witness — the
+    #       r13 100x soak hit long overflow in SUM(c_custkey); the
+    #       Spark aggregation was decimal-widened at r13 (hash-neutral)
+    #       but the BIGINT output contract still fails at ~60x+ shifted
+    #       key domains on both engines.
     #     ORACLE CHANGE OWED AT r15 (when the r12 cohort — this
     #     round's unlisted tail — fronts): normalize_phone_lengths'
     #     oracle multiplies the key in INT64 and errors at shifted key

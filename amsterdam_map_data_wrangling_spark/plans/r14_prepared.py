@@ -4,7 +4,10 @@ nothing here reaches the gate surface before its legal round):
 
 1. ``variant_json_stats`` — modular-checksum output (r12 50x soak);
 2. ``ols_price_trend_by_priority`` — decimal/HUGEINT sufficient
-   statistics (r13 key-domain stress harness finding).
+   statistics (r13 key-domain stress harness finding);
+3. ``xml_roundtrip_stats`` — modular-checksum parse witness (r13 100x
+   soak finding; Spark-side decimal widening landed hash-neutral at
+   r13, the output contract swap waits here).
 
 Background (r12 50x soak, catalog section (m), VERDICT r12 "What's
 wrong" #1): the registered query's ``sum_id`` output is a SUM over a
@@ -200,3 +203,74 @@ def ols_price_trend_by_priority_v2(
         F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
         F.round((num * num) / (denx * (n * syy - sy * sy)), 8).alias("r2_r"),
     ).orderBy("g")
+
+
+# ---------------------------------------------------------------------------
+# xml_roundtrip_stats — modular-checksum parse witness
+# ---------------------------------------------------------------------------
+# r13 100x soak finding: SUM(c_custkey) — the from_xml parse witness —
+# is a sum over a surrogate KEY domain, the exact variant_json_stats
+# class. The Spark aggregation was decimal-widened at r13 (hash-neutral,
+# landed immediately); the BIGINT OUTPUT contract still fails at ~60x+
+# shifted-key domains on BOTH engines. Same remedy, same legality
+# window: modular checksum at r14 (the r11 cohort's front round).
+
+ORACLE_XML_V2 = """
+    WITH kv AS (
+      SELECT c_custkey, 'segment' AS key, c_mktsegment AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nation' AS key, CAST(c_nationkey AS VARCHAR)
+      FROM customer
+    )
+    SELECT key, value,
+           CAST(COUNT(*) AS BIGINT) AS num,
+           CAST(SUM(c_custkey % 1000000007) % 1000000007 AS BIGINT)
+             AS sum_id_mod
+    FROM kv GROUP BY key, value ORDER BY key, value
+"""
+
+
+def xml_roundtrip_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query with the r14 parse-witness contract:
+    ``sum_id_mod`` modular checksum of the parsed node ids. The XML
+    synth / from_xml / explode pipeline is byte-for-byte the registered
+    plan (plans/wrangling.py::xml_roundtrip_stats)."""
+    from amsterdam_map_data_wrangling_spark.plans.catalog import _t
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit('<node id="'),
+        F.col("c_custkey").cast("string"),
+        F.lit('" ver="'),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit('"><tag k="segment" v="'),
+        F.col("c_mktsegment"),
+        F.lit('"/><tag k="nation" v="'),
+        F.col("c_nationkey").cast("string"),
+        F.lit('"/></node>'),
+    )
+    schema = (
+        "_id BIGINT, _ver BIGINT, tag ARRAY<STRUCT<_k: STRING, _v: STRING>>"
+    )
+    parsed = customer.select(F.from_xml(xml, schema).alias("n"))
+    exploded = parsed.select(
+        F.col("n._id").alias("c_custkey"), F.explode("n.tag").alias("t")
+    )
+    mod_sum = F.pmod(
+        F.sum(F.pmod(F.col("c_custkey"), F.lit(MOD)).cast("decimal(38,0)")),
+        F.lit(MOD),
+    )
+    return (
+        exploded.select(
+            F.col("t._k").alias("key"),
+            F.col("t._v").alias("value"),
+            "c_custkey",
+        )
+        .groupBy("key", "value")
+        .agg(
+            F.count("*").alias("num"),
+            mod_sum.cast("bigint").alias("sum_id_mod"),
+        )
+        .orderBy("key", "value")
+    )

@@ -1031,7 +1031,19 @@ def xml_roundtrip_stats(spark, sf_dir):
         .groupBy("key", "value")
         .agg(
             F.count("*").alias("num"),
-            F.sum("c_custkey").alias("sum_id"),
+            # sum over a surrogate KEY: aggregate in DECIMAL(38,0) so the
+            # SUM itself cannot overflow at shifted-key domains (the r13
+            # 100x soak hit ANSI long overflow mid-aggregation here —
+            # the same class as variant_json_stats at r12), then cast to
+            # the gate's BIGINT contract. The OUTPUT contract itself is
+            # still unrepresentable once sum >= 2^63 (~60x+ shifted
+            # domains, both engines identically); the modular-checksum
+            # re-contract needs an oracle change and is prepared for r14
+            # (this query's own cohort-front round) in
+            # plans/r14_prepared.py.
+            F.sum(F.col("c_custkey").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_id"),
         )
         .orderBy("key", "value")
     )

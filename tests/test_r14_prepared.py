@@ -133,3 +133,56 @@ def test_prepared_ols_total_at_shifted_value_domain(spark, tmp_path):
         assert rs[0] == rd[0] and rs[1] == rd[1]
         for a, b in zip(rs[2:], rd[2:]):
             assert a == pytest.approx(b, rel=1e-9)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_prepared_xml_pair_hash_green(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.plans.r14_prepared import (
+        ORACLE_XML_V2,
+        xml_roundtrip_stats_v2,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    sdf = xml_roundtrip_stats_v2(spark, sf_dir)
+    assert sdf.columns == ["key", "value", "num", "sum_id_mod"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(ORACLE_XML_V2).fetchall())
+    assert srows == drows and srows
+
+
+def test_prepared_xml_total_at_shifted_key_domain(spark, tmp_path):
+    """keys ~9.2e14 x 40k rows push the raw key-sum past 2^63 (where
+    the registered contract errors on both engines — r13 100x soak);
+    the checksum pair agrees and stays total."""
+    n, base = 40_000, 920_000_000_000_000
+    assert n * base > 2**63
+    from amsterdam_map_data_wrangling_spark.plans.r14_prepared import (
+        ORACLE_XML_V2,
+        xml_roundtrip_stats_v2,
+    )
+
+    sf = tmp_path / "shifted"
+    (
+        spark.range(n)
+        .selectExpr(
+            f"id + {base} AS c_custkey",
+            "CASE CAST(id % 2 AS INT) WHEN 0 THEN 'BUILDING' "
+            "ELSE 'MACHINERY' END AS c_mktsegment",
+            "CAST(id % 25 AS INT) AS c_nationkey",
+        )
+        .write.mode("overwrite")
+        .parquet(str(sf / "customer.parquet"))
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf}/customer.parquet/*.parquet')"
+    )
+    sdf = xml_roundtrip_stats_v2(spark, str(sf))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(ORACLE_XML_V2).fetchall())
+    assert srows == drows and len(srows) == 27
