@@ -311,7 +311,11 @@ _GATE_PRIORITY: list[str] = [
     #     auto-widens to HUGEINT is false). The Spark side was already
     #     decimal-widened at r10 and needs no change; the oracle fix is
     #     CAST(c_custkey AS HUGEINT) * 987654321. Tracked as a strict
-    #     xfail in tests/test_key_domain_stress.py.
+    #     xfail in tests/test_key_domain_stress.py; the prepared oracle
+    #     text + swap recipe live in plans/r15_prepared.py (guard test
+    #     tests/test_r15_prepared.py keeps it value-identical in-domain
+    #     and proves the shifted-domain fix), so the r15 front commit
+    #     is mechanical like r14's.
 ]
 
 
