@@ -454,12 +454,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     for _ in range(max(1, (2 * max_iter + 2) // 3)):
         l1 = hop(hop(labels)).localCheckpoint(eager=False)
         l2 = hop(l1).localCheckpoint(eager=False)
+        # DECIMAL(38,0) witness sums, not bigint (cliff #8, r13 200x
+        # soak): labels are surrogate ids, and at 100 TB-representative
+        # key domains (replica shift ~2e14 x ~1M labels) the int64 SUM
+        # crosses 2^63 mid-aggregation. The witness is internal — only
+        # s1 == s2 is consumed — so exact decimal equality preserves the
+        # monotone-convergence certificate at any (domain x count) and
+        # the change is hash-neutral to every gate.
+        _wit = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         sums = dict(
-            l1.agg(F.sum("label").alias("s"))
+            l1.agg(_wit)
             .select(F.lit(1).alias("g"), "s")
-            .unionAll(
-                l2.agg(F.sum("label").alias("s")).select(F.lit(2).alias("g"), "s")
-            )
+            .unionAll(l2.agg(_wit).select(F.lit(2).alias("g"), "s"))
             .collect()
         )
         s1, s2 = sums[1], sums[2]

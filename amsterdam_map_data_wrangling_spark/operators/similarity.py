@@ -38,6 +38,142 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def bucketed_pair_cosines(
+    coded: DataFrame,
+    threshold: float,
+    cap: int = 2048,
+) -> DataFrame:
+    """All within-bucket vector pairs with cosine ≥ ``threshold``, via a
+    per-bucket numpy kernel (grouped ``applyInPandas`` on the code key).
+
+    Input contract: ``coded`` has exactly the columns ``vec_id`` (long),
+    ``v`` (array<double>, fixed dimension), ``nrm`` (double, the
+    JVM-computed L2 norm), ``code`` (long sign-LSH bucket). Output:
+    ``(id_a, id_b, sim)`` with ``id_a < id_b`` and ``sim`` UNROUNDED —
+    callers round JVM-side (``F.round``) so display rounding stays
+    engine-portable.
+
+    Why a Python kernel (r13 200x soak, measured ladder): the previous
+    self-join evaluated the fold-based :func:`dot` per candidate pair
+    INSIDE the SortMergeJoin condition — Catalyst collapses the staged
+    similarity projection into the join predicate, and higher-order
+    functions evaluate interpreted (~µs + lambda allocation per call).
+    At 40M in-bucket pairs that measured 37+ min with a GC-bound JVM;
+    an unrolled codegen expression chain measured 5x WORSE than the
+    fold (255-node tree, codegen fallback). The numpy kernel computes
+    each bucket's Gram matrix with a DIM-ORDER outer-product
+    accumulation — the per-pair add order is exactly the sequential
+    fold's, so similarities are bit-identical to the JVM path (the gate
+    hashes prove it) — at C speed: 39.5 s → 6.2 s at 100x.
+
+    Why the recursive hot-bucket split: sign codes over raw coordinates
+    skew wherever element signs correlate (real embedding spaces are
+    not centered; the 200x soak measured ONE bucket holding 10% of a
+    400k corpus = 781M candidate pairs). A bucket larger than ``cap``
+    is split by the sign of successive RAW dimensions appended to the
+    code (the "second code byte when a bucket is hot" design note
+    above) until it fits or dimensions are exhausted; near-identical
+    vectors share extended signs, so near-dup recall survives exactly
+    as the LSH bit/recall trade documents. Buckets at the gate SFs are
+    far below any cap, so gated values never change. If every
+    dimension's sign is identical across an over-cap bucket (a
+    genuinely sign-degenerate mass), the kernel falls back to TILED
+    exact pairing — quadratic time but bounded memory, the honest worst
+    case of any fixed-radius pair method.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+
+    def _emit(ids, sims, ia, ib, mask):
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[mask]],
+                "id_b": ids[ib[mask]],
+                "sim": sims[mask],
+            }
+        )
+
+    def _gram(M: "np.ndarray", A: "np.ndarray" = None) -> "np.ndarray":
+        # dim-order accumulation: per-entry add order equals the
+        # sequential fold in :func:`dot`, so results are bit-identical
+        # to the JVM expression (0.0 + x1 == x1 under IEEE)
+        B = M if A is None else A
+        S = np.zeros((len(M), len(B)))
+        for k in range(M.shape[1]):
+            S += np.multiply.outer(M[:, k], B[:, k])
+        return S
+
+    def _pairs_small(ids, M, nrm):
+        S = _gram(M)
+        sim = S / np.multiply.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), 1)
+        s = sim[ia, ib]
+        return _emit(ids, s, ia, ib, s >= threshold)
+
+    def _pairs_tiled(ids, M, nrm):
+        out = []
+        n = len(ids)
+        for i0 in range(0, n, cap):
+            Mi, ni = M[i0 : i0 + cap], nrm[i0 : i0 + cap]
+            for j0 in range(i0, n, cap):
+                Mj, nj = M[j0 : j0 + cap], nrm[j0 : j0 + cap]
+                sim = _gram(Mi, Mj) / np.multiply.outer(ni, nj)
+                if i0 == j0:
+                    ia, ib = np.triu_indices(len(Mi), 1)
+                else:
+                    ia, ib = np.indices((len(Mi), len(Mj))).reshape(2, -1)
+                s = sim[ia, ib]
+                m = s >= threshold
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[i0 + ia[m]],
+                            "id_b": ids[j0 + ib[m]],
+                            "sim": s[m],
+                        }
+                    )
+                )
+        return out
+
+    def _split(ids, M, nrm, depth, out):
+        if len(ids) < 2:
+            return
+        if len(ids) <= cap:
+            out.append(_pairs_small(ids, M, nrm))
+            return
+        if depth >= M.shape[1]:  # sign-degenerate mass: exact, tiled
+            out.extend(_pairs_tiled(ids, M, nrm))
+            return
+        pos = M[:, depth] >= 0
+        _split(ids[pos], M[pos], nrm[pos], depth + 1, out)
+        _split(ids[~pos], M[~pos], nrm[~pos], depth + 1, out)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        M = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        out: list = []
+        _split(ids, M, nrm, 0, out)
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return coded.select("vec_id", "v", "nrm", "code").groupBy(
+        "code"
+    ).applyInPandas(kernel, "id_a long, id_b long, sim double")
+
+
 def sign_lsh_code(a: Column, bits: int = 8) -> Column:
     """Deterministic bucket code: bit i set iff component i ≥ 0."""
     return sum(

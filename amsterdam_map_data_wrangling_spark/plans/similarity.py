@@ -333,7 +333,10 @@ def embedding_label_stats(spark, sf_dir):
     "dedup run would use ≥ 0.9.",
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    from amsterdam_map_data_wrangling_spark.operators.similarity import sign_lsh_code
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+        sign_lsh_code,
+    )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -362,21 +365,22 @@ def embedding_near_dup_pairs(spark, sf_dir):
         l2_norm(v).alias("nrm"),
         sign_lsh_code(v, bits).alias("code"),
     )
-    a, b = coded.alias("a"), coded.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    # project the similarity into a column BEFORE filtering on it: writing
-    # .filter(sim >= t) with the raw expression evaluates the 64-dim dot
-    # twice per pair (filter + projection are separate operators and the
-    # repeated HOF is not CSE'd) — measured 40% slower
-    joined = a.join(
-        b, (F.col("a.code") == F.col("b.code")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        sim.alias("s"),
-    )
-    return joined.filter(F.col("s") >= 0.35).select(
-        "id_a", "id_b", F.round("s", 4).alias("sim")
+    # Within-bucket pairing via the numpy grouped-map kernel, not a
+    # self-join (r13 200x soak, measured ladder in PLANS.md): the join
+    # evaluated the interpreted HOF dot per candidate pair INSIDE the
+    # SMJ condition (Catalyst collapses the staged sim projection into
+    # the join predicate — the r6 "project before filter" staging no
+    # longer protects here), measuring 37+ min at 40M in-bucket pairs;
+    # an unrolled codegen chain measured 5x worse than the fold. The
+    # kernel's dim-order Gram accumulation is bit-identical to the JVM
+    # fold (hash gates prove it: 39.5 s -> 6.2 s at 100x), and its
+    # recursive hot-bucket sign-split bounds the quadratic candidate
+    # work under local code skew (the 200x dir put 10% of the corpus in
+    # ONE bucket — real embedding spaces skew the same way, signs are
+    # not centered). Same single code-key shuffle as the join had;
+    # rounding stays JVM-side for engine portability.
+    return bucketed_pair_cosines(coded, threshold=0.35).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
     )
 
 

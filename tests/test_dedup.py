@@ -83,6 +83,34 @@ def test_simhash_identical_docs_collide(spark):
     assert joined.count() == 20
 
 
+def test_connected_components_witness_survives_huge_id_domain(spark):
+    """Cliff #8 (r13 200x soak): the convergence witness SUM(label) is
+    internal, but summed in int64 it crosses 2^63 once (key domain x
+    label count) is large — at 100 TB-representative surrogate ids that
+    is ~1M labels, reproduced here with 5 near-int64-max ids (the
+    key-domain harness class: tiny rows, shifted domain). The witness
+    now sums in DECIMAL(38,0); clustering must succeed and stay exact."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+
+    base = 5_000_000_000_000_000_000  # 5e18; sum of 5 labels > 2^63
+    pairs = [
+        (base + 1, base + 2),
+        (base + 2, base + 3),
+        (base + 10, base + 11),
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {
+        base + 1: base + 1,
+        base + 2: base + 1,
+        base + 3: base + 1,
+        base + 10: base + 10,
+        base + 11: base + 10,
+    }
+
+
 def test_connected_components_matches_union_find(spark):
     """Cluster assignment must equal a driver-side union-find ground truth
     over the same pair set (min-id as the canonical component label)."""

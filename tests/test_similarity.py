@@ -380,3 +380,104 @@ def test_adaptive_sign_bits_pins_gate_widths():
     assert _adaptive_sign_bits(2_000_000) == 16
     assert _adaptive_sign_bits(10**12) == 20  # cap
     assert _adaptive_sign_bits(0) == 6  # degenerate corpus
+
+
+def _brute_pairs(vecs, threshold):
+    """Sequential-fold cosine over all pairs — the dim-order reference."""
+    out = {}
+    for i, (ida, va) in enumerate(vecs):
+        for idb, vb in vecs[i + 1:]:
+            d = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(va, vb):
+                d += x * y
+                na += x * x
+                nb += y * y
+            s = d / (math.sqrt(na) * math.sqrt(nb))
+            if s >= threshold:
+                out[(min(ida, idb), max(ida, idb))] = round(s, 4)
+    return out
+
+
+def _coded_df(spark, vecs, code=7):
+    from amsterdam_map_data_wrangling_spark.operators.similarity import l2_norm
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(vecs, ["vec_id", "v"])
+    v = F.col("v").cast("array<double>")
+    return df.select(
+        "vec_id", v.alias("v"), l2_norm(v).alias("nrm"), F.lit(code).cast("long").alias("code")
+    )
+
+
+def test_bucketed_pair_cosines_matches_brute_force_no_split(spark):
+    """cap above the bucket size: the kernel is exact — every pair and
+    every similarity equals the sequential-fold brute force."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    got = {
+        (r.id_a, r.id_b): round(r.sim, 4)
+        for r in bucketed_pair_cosines(_coded_df(spark, vecs), 0.35, cap=64)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .collect()
+    }
+    assert got == _brute_pairs(vecs, 0.35) and got
+
+
+def test_bucketed_pair_cosines_hot_bucket_split_keeps_near_dup_recall(spark):
+    """cap far below the bucket: the recursive sign-split must still
+    pair every planted near-duplicate (near-identical vectors share all
+    extended sign bits, so they land in the same sub-bucket — the LSH
+    recall property the 200x skew fix relies on)."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+    )
+
+    rng = random.Random(31)
+    vecs = []
+    planted = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs.append((2 * i, base))
+        vecs.append((2 * i + 1, [x + 1e-6 for x in base]))  # near-twin
+        planted.append((2 * i, 2 * i + 1))
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucketed_pair_cosines(_coded_df(spark, vecs), 0.95, cap=8).collect()
+    }
+    missing = [p for p in planted if p not in got]
+    assert not missing, f"split dropped planted near-dups: {missing[:5]}"
+
+
+def test_bucketed_pair_cosines_sign_degenerate_tiled_is_exact(spark):
+    """All-positive vectors cannot be sign-split at any depth: the
+    kernel must fall through to the TILED path and stay exact vs brute
+    force (tiling is lossless, unlike the split)."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(47)
+    vecs = [
+        (i, [rng.uniform(0.05, 1.0) for _ in range(6)]) for i in range(50)
+    ]
+    got = {
+        (r.id_a, r.id_b): round(r.sim, 4)
+        for r in bucketed_pair_cosines(_coded_df(spark, vecs), 0.35, cap=8)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .collect()
+    }
+    assert got == _brute_pairs(vecs, 0.35) and len(got) > 100
