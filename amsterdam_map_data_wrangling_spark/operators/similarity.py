@@ -1,8 +1,10 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Everything stays JVM-side: dot products via ``zip_with`` + ``aggregate``
-higher-order functions in double precision (whole-stage codegen — no
-Python, no Arrow hop). Two search paths:
+Per-ROW math stays JVM-side: dot products via ``zip_with`` +
+``aggregate`` higher-order functions in double precision (no Python, no
+Arrow hop; note HOFs are interpreted, not codegen'd — fine once per
+row, fatal once per candidate pair, see :func:`bucketed_pair_cosines`).
+Two search paths:
 
 - **Brute-force cosine top-k** — the exactness baseline: broadcast the
   (small) query set, score every (query, candidate) pair, per-query top-k
@@ -16,9 +18,12 @@ Python, no Arrow hop). Two search paths:
   hyperplanes, whose planes differ per engine).
 
 At 100 TB the same shapes hold: the query side is always broadcast; the
-bucket join shuffles the corpus once on an 8-bit key (optionally salted by
-a second code byte when a bucket is hot); brute force becomes per-partition
-top-k + driver merge (TakeOrderedAndProject-like) rather than a global sort.
+bucket join shuffles the corpus once on the code key (hot buckets are
+recursively sign-split inside :func:`bucketed_pair_cosines` — the
+"second code byte" note this docstring carried since r3, made real at
+r13 when a 200x soak measured one bucket holding 10% of the corpus);
+brute force becomes per-partition top-k + driver merge
+(TakeOrderedAndProject-like) rather than a global sort.
 """
 
 from __future__ import annotations
