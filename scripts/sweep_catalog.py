@@ -114,16 +114,34 @@ def main() -> None:
         canary_samples[n].append(v)
 
     times: dict[str, list[float]] = {n: [] for n in QUERIES}
+    errors: dict[str, str] = {}
     t_all = time.monotonic()
     for _ in range(passes):
         clear_graph_memo()
         for name in QUERIES:
             t0 = time.monotonic()
-            QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name].build(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception as exc:  # soak tool: record, keep sweeping
+                # (e.g. the known r14-owed output contracts error at
+                # >=~30-60x shifted key domains — an erroring query is a
+                # FINDING at a new scale point, not a reason to lose the
+                # other 149 measurements)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"ERR  {name}", file=sys.stderr, flush=True)
+                continue
             times[name].append(round(time.monotonic() - t0, 3))
+            # progress to stderr so a fatal JVM death (lost in-process
+            # state, no JSON) still identifies the killer query
+            print(
+                f"{times[name][-1]:8.2f}s {name}",
+                file=sys.stderr,
+                flush=True,
+            )
     total = round(time.monotonic() - t_all, 1)
+    times = {n: v for n, v in times.items() if v}
 
     for n, v in _run_canary(spark, WARM_DIR).items():
         canary_samples[n].append(v)
@@ -134,6 +152,7 @@ def main() -> None:
         "passes": passes,
         "total_s": total,
         "mean_s": round(sum(mins.values()) / len(mins), 3),
+        "errors": errors,
         "times": dict(sorted(mins.items(), key=lambda kv: -kv[1])),
         "canary": {
             "samples": canary_samples,
@@ -156,6 +175,7 @@ def main() -> None:
                     "total_s": total,
                     "canary_ratio": res["canary"]["ratio"],
                     "over_4s": [n for n, v in mins.items() if v > 4.0],
+                    "errors": sorted(errors),
                     "out": out_path,
                 }
             )
