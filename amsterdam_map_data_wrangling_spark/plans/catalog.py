@@ -272,6 +272,16 @@ _GATE_PRIORITY: list[str] = [
     #     behind the park (verdicts r12, the freshest cohort) and
     #     become r15's front: dedup_minhash_portable,
     #     dedup_simhash_portable, ..., salted_user_event_stats.
+    #     CHANGED-CODE NOTE (r13 additions): the 200x soak fixes
+    #     changed implementation with oracles UNCHANGED for (a)
+    #     embedding_near_dup_pairs (self-join → numpy grouped-map Gram
+    #     kernel with hot-bucket sign-split; r11 verdict, re-gates with
+    #     its cohort at r14) and (b) every consumer of
+    #     operators/dedup.py::connected_components (the convergence
+    #     witness now sums in DECIMAL(38,0) — internal only, values
+    #     untouched). Safety net as always: the full driver-contract
+    #     sweep (150/150 green after both changes) +
+    #     tests/test_queries_oracle.py.
     #     CHANGED-CODE NOTE (carried from r12): bm25_search,
     #     decontaminate_stats, and dup_span_removal changed
     #     implementation at r12 (sf1 tail cuts) with oracles UNCHANGED —
