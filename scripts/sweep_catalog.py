@@ -4,6 +4,13 @@ canary bracketed around it (perf tooling, not part of the gate surface).
 
 Usage: python scripts/sweep_catalog.py SF_DIR [--out FILE] [--passes N]
 
+Size the JVM to the scale point: the default 8g driver heap dies
+(GCLocker exhaustion) around the 200x dirs — run big sweeps under
+``SPARK_DRIVER_MEMORY=32g``. Per-query errors are captured into the
+output JSON (an erroring query at a new scale point is a FINDING, not
+a reason to lose the other 149 measurements), and progress streams to
+stderr so even a fatal JVM death leaves the killer query identified.
+
 This replaces the per-round ad-hoc /tmp sweep scripts that produced
 scripts/archive/sf1_times_r{11,12}.json. Round 13's forensics motivated
 the canary bracket: three same-day sf1 passes measured 215 / 192.9 /
