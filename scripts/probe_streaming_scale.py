@@ -3,6 +3,7 @@
 the gate surface).
 
 Usage: python scripts/probe_streaming_scale.py [--out FILE]
+       [--factors 16,160]
 
 The r7 close recorded the family's single throughput point (1.6M
 events / 160k users: SCD2 ~295k events/s, sessionizer ~500k events/s).
@@ -136,15 +137,24 @@ def drain(spark, data_dir: str, rows: int) -> dict[str, float]:
 
 def main() -> None:
     out_path = None
+    factors = (16, 160)
     argv = sys.argv[1:]
-    if argv and argv[0].startswith("--out"):
-        out_path = (
-            argv[0].split("=", 1)[1] if "=" in argv[0] else argv[1]
-        )
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--out"):
+            out_path = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            i += 1 if "=" in a else 2
+        elif a.startswith("--factors"):
+            raw = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            factors = tuple(int(x) for x in raw.split(","))
+            i += 1 if "=" in a else 2
+        else:
+            sys.exit(f"unknown option {a!r}")
     spark = get_spark(app_name="amdw-streaming-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
-    for factor in (16, 160):
+    for factor in factors:
         dest = f"/tmp/stream_scale_{factor}x"
         rows = build_dir(spark, factor, dest)
         users = 10_000 * factor  # replica-disjoint by construction
