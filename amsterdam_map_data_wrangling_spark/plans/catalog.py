@@ -134,8 +134,10 @@ def _load_all() -> None:
 #:   r11 front = the 50 r07-greens (pre-parked at r10's slots 51-100)
 #:   r12 front = the r08 front again (with the spatial_radius_pairs →
 #:               geo_way_lengths retirement swap)
-#:   r13 front = the r10 front again (section (l) below)
-#:   r14 front = the r11 front again (section (m) park), and so on.
+#:   r13 front = the r10 front again
+#:   r14 front = the r11 front again (section (n) below, with the
+#:               three r14 oracle re-contracts)
+#:   r15 front = the r12 front again (section (o) park), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -146,76 +148,27 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 13 rotation: front (slots 1-50) ----
-    # (l) the 50 r10-front queries (gap_log2_hist + the 49 re-gated
-    #     r06-greens; pre-parked at r12's slots 51-100 for exactly this
-    #     rotation — their freshest DISTINCT verdict window is r10,
-    #     three distinct windows back after this round's gates), in
-    #     registration order:
-    "dedup_keep_canonical",
-    # dedup_edit_refine RE-CONTRACTED r13 (its own cohort-front round,
-    # the one legal window for an oracle change): the refine stage now
-    # caps candidates at top-m per doc by Jaccard rank (deterministic
-    # tie-break, oracle replays the same cap) so the DP stage is
-    # budget-bounded at any corpus size — the r12 profile showed the
-    # uncapped candidate relation is corpus-LINEAR (10,493 pairs at
-    # sf0.1, length-delta prune removes 0) and was the catalog's #1
-    # cost at every scale point:
-    "dedup_edit_refine",
-    "audio_dims",
-    "video_dims",
-    "count_global",
-    "distinct_users_union",
-    "custkeys_intersect",
-    "custkeys_except",
-    "topk_group_distinct",
-    "topk_group_count",
-    "topk_order_limit",
-    "like_filter_count",
-    "scan_filter_project",
-    "pct_shares",
-    "runtime_bloom_filter_join",
-    "local_supplier_volume",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "event_gap_stats",
-    "weekly_cohort_retention",
-    "funnel_conversion",
-    "key_skew_profile",
-    "zorder_layout_stats",
-    "asof_last_click_before_error",
-    "interval_overlap_balances",
-    "above_avg_orders_per_customer",
-    "segment_event_counts",
-    "gap_log2_hist",
-    "cms_heavy_hitters",
-    "text_stats",
-    "term_freq_topk",
-    "bigram_topk",
-    "lang_id_confusion",
-    "chunk_documents_udtf",
-    "repetition_stats",
-    "benchmark_contamination",
-    "mixture_proportional_sample",
-    "dup_span_coverage",
-    "tumbling_window_stats",
-    "sliding_window_by_type",
-    "session_window_per_user",
-    "interval_join_click_error",
-    "json_props_stats",
-    "value_percentiles_by_type",
-    "equi_depth_histogram",
-    "expectations_report",
-    "python_datasource_stats",
-    "nested_json_shred",
-    "snapshot_table_diff",
-    "map_ops_surface",
-    # ---- window boundary (slot 50) ----
-    # (m) park: the 50 r11-front queries (46 surviving r07-greens + the
-    #     four queries first gated at r11), in registration order —
-    #     their verdict window is r11, 2 distinct windows back after
-    #     this round's front gates; parked immediately past the window
-    #     so they are r14's entire front:
+    # ---- round 14 rotation: front (slots 1-50) ----
+    # (n) the 50 r11-front queries (46 surviving r07-greens + the four
+    #     queries first gated at r11; pre-parked at r13's slots 51-100
+    #     for exactly this rotation — their freshest verdict window is
+    #     r11, three distinct windows back after this round's gates),
+    #     in registration order. This front also re-gates, with their
+    #     cohort, (a) the three r12 changed-code/unchanged-oracle
+    #     queries (bm25_search, decontaminate_stats, dup_span_removal —
+    #     sf1 tail cuts), (b) embedding_near_dup_pairs (r13 200x-soak
+    #     re-kernel, oracle unchanged), and (c) the THREE r14
+    #     RE-CONTRACTS (oracle changes, legal only in this — their own
+    #     cohort-front — round; prepared at r13 in plans/r14_prepared.py
+    #     and swapped in verbatim at r14):
+    #     - variant_json_stats: sum_id -> sum_id_mod modular checksum
+    #       (r12 50x soak: raw BIGINT key-sum contract unrepresentable
+    #       at shifted domains on both engines);
+    #     - ols_price_trend_by_priority: DECIMAL(38,0)/HUGEINT
+    #       sufficient statistics (r13 key-domain harness: int64 y*y
+    #       overflows both engines at 100 TB-representative cents);
+    #     - xml_roundtrip_stats: sum_id -> sum_id_mod parse witness
+    #       (r13 100x soak: BIGINT output contract fails at ~60x+).
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
@@ -266,66 +219,80 @@ _GATE_PRIORITY: list[str] = [
     "variant_json_stats",
     "null_semantics_audit",
     "xml_roundtrip_stats",
-    # (k) the 50 r12-front queries (the r08 cohort with the
-    #     spatial_radius_pairs → geo_way_lengths retirement swap) are
-    #     deliberately unlisted — they append in registration order
-    #     behind the park (verdicts r12, the freshest cohort) and
-    #     become r15's front: dedup_minhash_portable,
-    #     dedup_simhash_portable, ..., salted_user_event_stats.
-    #     CHANGED-CODE NOTE (r13 additions): the 200x soak fixes
-    #     changed implementation with oracles UNCHANGED for (a)
-    #     embedding_near_dup_pairs (self-join → numpy grouped-map Gram
-    #     kernel with hot-bucket sign-split; r11 verdict, re-gates with
-    #     its cohort at r14) and (b) every consumer of
-    #     operators/dedup.py::connected_components (the convergence
-    #     witness now sums in DECIMAL(38,0) — internal only, values
-    #     untouched). Safety net as always: the full driver-contract
-    #     sweep (150/150 green after both changes) +
-    #     tests/test_queries_oracle.py.
-    #     CHANGED-CODE NOTE (carried from r12): bm25_search,
-    #     decontaminate_stats, and dup_span_removal changed
-    #     implementation at r12 (sf1 tail cuts) with oracles UNCHANGED —
-    #     per the standing practice for changed-code/unchanged-oracle
-    #     queries (the r10 LSH-width precedent), their r11 verdicts stay
-    #     valid under the ledger pin; they sit in this round's park (m)
-    #     and re-gate with their cohort at r14. At N = 150 exact fill, a
-    #     mid-cycle front jump would push an owed cohort member past the
-    #     age-3 ceiling, so jumps are reserved for ORACLE changes —
-    #     which are only legal in the round a query's own cohort fronts
-    #     (or via a retirement swap inside the fronting cohort).
-    #     ORACLE CHANGES OWED AT r14 (both pre-written in
-    #     plans/r14_prepared.py, guard-tested by
-    #     tests/test_r14_prepared.py, so the r14 front commit is
-    #     mechanical):
-    #     - variant_json_stats: modular-checksum output
-    #       (SUM(id % 1000000007) % 1000000007) — the r12 50x soak
-    #       showed the BIGINT raw-key-sum contract is unrepresentable
-    #       at shifted-key domains on BOTH engines; Spark-side
-    #       aggregation is already decimal, only the output contract
-    #       (and therefore the oracle) remains.
-    #     - ols_price_trend_by_priority: DECIMAL(38,0)/HUGEINT
-    #       sufficient statistics — the r13 key-domain stress harness
-    #       (tests/test_key_domain_stress.py) showed the int64 y*y
-    #       statistic overflows on BOTH engines at cents ~1e12-13;
-    #       in-domain outputs are bit-identical, so gates are
-    #       unaffected until the swap.
-    #     - xml_roundtrip_stats: modular-checksum parse witness — the
-    #       r13 100x soak hit long overflow in SUM(c_custkey); the
-    #       Spark aggregation was decimal-widened at r13 (hash-neutral)
-    #       but the BIGINT output contract still fails at ~60x+ shifted
-    #       key domains on both engines.
-    #     ORACLE CHANGE OWED AT r15 (when the r12 cohort — this
-    #     round's unlisted tail — fronts): normalize_phone_lengths'
-    #     oracle multiplies the key in INT64 and errors at shifted key
-    #     domains (r13 harness finding; the in-code claim that DuckDB
-    #     auto-widens to HUGEINT is false). The Spark side was already
-    #     decimal-widened at r10 and needs no change; the oracle fix is
-    #     CAST(c_custkey AS HUGEINT) * 987654321. Tracked as a strict
-    #     xfail in tests/test_key_domain_stress.py; the prepared oracle
-    #     text + swap recipe live in plans/r15_prepared.py (guard test
+    # ---- window boundary (slot 50) ----
+    # (o) park: the 50 r12-front queries (the r08 cohort with the
+    #     spatial_radius_pairs → geo_way_lengths retirement swap), in
+    #     registration order — their verdict window is r12, 2 distinct
+    #     windows back after this round's front gates; parked
+    #     immediately past the window so they are r15's entire front.
+    #     ORACLE CHANGE OWED AT r15 (when this cohort fronts):
+    #     normalize_phone_lengths' oracle multiplies the key in INT64
+    #     and errors at shifted key domains (r13 harness finding; the
+    #     r10 in-code claim that DuckDB auto-widens to HUGEINT is
+    #     false). The Spark side was already decimal-widened at r10 and
+    #     needs no change; the oracle fix is CAST(c_custkey AS HUGEINT)
+    #     * 987654321. Tracked as a strict xfail in
+    #     tests/test_key_domain_stress.py; the prepared oracle text +
+    #     swap recipe live in plans/r15_prepared.py (guard test
     #     tests/test_r15_prepared.py keeps it value-identical in-domain
     #     and proves the shifted-domain fix), so the r15 front commit
-    #     is mechanical like r14's.
+    #     is mechanical like r14's was.
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "geo_way_lengths",
+    "frame_sample_stats",
+    "warc_roundtrip_stats",
+    "pricing_summary",
+    "join_revenue_by_priority",
+    "ordered_position_per_group",
+    "topn_per_group",
+    "running_revenue_per_customer",
+    "rollup_revenue",
+    "eav_pivot_wide",
+    "window_function_zoo",
+    "bag_set_ops",
+    "cube_revenue",
+    "dataset_split_stats",
+    "embedding_label_centroids",
+    "minhash_recall_curve",
+    "dedup_cluster_size_hist",
+    "event_transition_counts",
+    "scd2_state_durations",
+    "cohort_retention",
+    "ks_split_drift",
+    "chi2_type_weekday",
+    "vocab_jaccard_sources",
+    "equal_freq_deciles",
+    "spearman_autocorr_daily_revenue",
+    "minmax_scale_bins",
+    "token_diversity_by_source",
+    "nearest_centroid_confusion",
+    "rfm_segment_counts",
+    "dq_audit_star",
+    "neardup_degree_hist",
+    "basket_lift_pairs",
+    "daily_peak_concurrency",
+    "revenue_concentration",
+    "ab_test_zscore",
+    "embedding_label_stats",
+    "embedding_norm_zscores",
+    "doc_rolling_fingerprint",
+    "stratified_sample_counts",
+    "quality_scores",
+    "quality_components",
+    "chunk_documents",
+    "normalize_phone_lengths",
+    "normalize_postcode_formats",
+    "split_tag_keys_agg",
+    "eav_unpivot_topk",
+    "table_stats",
+    "salted_user_event_stats",
+    # (p) the 50 r13-front queries (the r10 cohort: gap_log2_hist + the
+    #     49 re-gated r06-greens, incl. the r13-re-contracted
+    #     dedup_edit_refine) are deliberately unlisted — they append in
+    #     registration order behind the park (verdicts r13, the
+    #     freshest cohort) and become r16's front: dedup_keep_canonical,
+    #     dedup_edit_refine, ..., map_ops_surface.
 ]
 
 

@@ -246,11 +246,11 @@ def weighted_sample_per_group_gate(spark, sf_dir):
     ), sums AS (
       SELECT g,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy,
-             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
       FROM pts GROUP BY g
     )
     SELECT g,
@@ -267,15 +267,20 @@ def weighted_sample_per_group_gate(spark, sf_dir):
     "statistics (n, Σx, Σy, Σx², Σy², Σxy): THE distributed-regression "
     "shape — one aggregation pass produces mergeable exact-integer "
     "sums, the fit is driver-free arithmetic on five numbers per group. "
-    "Determinism discipline: x = epoch days (≤ 2404), y = hundred-"
-    "dollar units (≤ 5000), so every sufficient statistic is an exact "
-    "integer below 2^53; both engines then evaluate the IDENTICAL "
-    "formula over identical exact-valued doubles — each op correctly "
-    "rounded, so slope/intercept/R² are bit-equal before the rounding "
-    "(Spark's regr_slope/regr_* were deliberately NOT used: their "
-    "streaming-covariance accumulation is engine-specific). Scale: one "
-    "shuffle on the group key; the model side is 6 numbers per group "
-    "regardless of data size.",
+    "Determinism discipline: the sufficient statistics accumulate in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the r14 re-contract; "
+    "the r13 key-domain harness showed the int64 y*y statistic "
+    "overflows BOTH engines at 100 TB-representative cents domains — "
+    "then each widened exact-integer sum takes ONE correctly-rounded "
+    "cast to DOUBLE, so in-domain outputs (sums < 2^53, exact in both "
+    "paths) are bit-identical to the int64 contract this replaces, and "
+    "the formula is total at any value domain. Both engines evaluate "
+    "the IDENTICAL formula over identical exact-valued doubles — each "
+    "op correctly rounded, so slope/intercept/R² are bit-equal before "
+    "the rounding (Spark's regr_slope/regr_* were deliberately NOT "
+    "used: their streaming-covariance accumulation is engine-"
+    "specific). Scale: one shuffle on the group key; the model side is "
+    "6 numbers per group regardless of data size.",
 )
 def ols_price_trend_by_priority(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
@@ -284,13 +289,20 @@ def ols_price_trend_by_priority(spark, sf_dir):
     pts = orders.select(
         F.col("o_orderpriority").alias("g"), x.alias("x"), y.alias("y")
     )
+    # r14 re-contract: accumulate the sufficient statistics in
+    # DECIMAL(38,0) (oracle: HUGEINT) so x*x / y*y / x*y cannot
+    # overflow at any value domain; each widened sum then takes one
+    # correctly-rounded cast to double (in-domain bit-identical to the
+    # int64 path it replaces, since the sums stay < 2^53 there)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     sums = pts.groupBy("g").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

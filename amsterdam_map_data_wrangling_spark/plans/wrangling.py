@@ -25,6 +25,12 @@ from amsterdam_map_data_wrangling_spark.operators.layout import (
 )
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 
+#: modular-checksum modulus for surrogate-key parse/extract witnesses
+#: (r14 re-contracts of variant_json_stats / xml_roundtrip_stats):
+#: prime, < 2^31, so summands stay < 1e9 and the reduced output is
+#: always BIGINT-representable at any row count and key domain
+_MOD = 1_000_000_007
+
 # ---------------------------------------------------------------------------
 # P9 phone normalization — every digit-length branch 7..13 (:131-146)
 # ---------------------------------------------------------------------------
@@ -826,8 +832,8 @@ def map_ops_surface(spark, sf_dir):
     )
     SELECT json_extract_string(js, '$.tag') AS tag,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(json_extract(js, '$.id') AS BIGINT)) AS BIGINT)
-             AS sum_id,
+           CAST(SUM(CAST(json_extract(js, '$.id') AS BIGINT)
+                    % 1000000007) % 1000000007 AS BIGINT) AS sum_id_mod,
            CAST(SUM(CAST(json_extract(js, '$.items[1].q') AS BIGINT))
                 AS BIGINT) AS sum_q1,
            CAST(SUM(CASE WHEN json_extract(js, '$.items[0].q')
@@ -844,8 +850,14 @@ def map_ops_surface(spark, sf_dir):
     "strings with DuckDB json_extract. VARIANT is the schema-on-read "
     "answer when the shape is NOT known up front (from_json needs the "
     "schema; variant defers it to extraction time) — the trade is a "
-    "binary-encoded value per row instead of shredded columns. Scale: "
-    "narrow parse + extract, one small agg shuffle on tag.",
+    "binary-encoded value per row instead of shredded columns. The id "
+    "witness is a MODULAR checksum (sum of id mod 1e9+7, reduced again "
+    "mod 1e9+7 — r14 re-contract): exactly as sensitive to a lost/"
+    "duplicated/corrupted row as the raw key sum it replaced, but "
+    "representable at ANY row count and key domain (the r12 50x soak "
+    "showed the raw BIGINT sum contract is unrepresentable at shifted "
+    "100 TB key domains on both engines). Scale: narrow parse + "
+    "extract, one small agg shuffle on tag.",
 )
 def variant_json_stats(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
@@ -873,20 +885,23 @@ def variant_json_stats(spark, sf_dir):
         fields.groupBy("tag")
         .agg(
             F.count("*").alias("n_docs"),
-            # sum over a surrogate KEY: aggregate in DECIMAL(38,0) so
-            # the SUM itself cannot overflow at shifted-key scale (the
-            # r12 50x soak hit ANSI long overflow mid-aggregation
-            # here), then cast to the gate's BIGINT contract. At >=50x
-            # shifted-key domains the final value itself exceeds int64
-            # — the CONTRACT is unrepresentable on both engines
-            # (DuckDB's CAST AS BIGINT fails equally) — so the output
-            # cast still errors there by design; the scale-proof
-            # re-contract (modular checksum) needs an oracle change
-            # and is scheduled for r14 when this cohort fronts (see
-            # catalog section (m)).
-            F.sum(F.col("id").cast("decimal(38,0)"))
+            # r14 re-contract (this cohort's front round — the one
+            # legal window for an oracle change): modular checksum of
+            # the surrogate keys. Each summand is < 1e9, the running
+            # sum is carried in DECIMAL(38,0) (no mid-agg overflow
+            # below ~1e29 rows), and the outer pmod brings the output
+            # back under 1e9 — so the BIGINT output contract is total
+            # at ANY row count and key domain, unlike the raw key sum
+            # it replaces (which both engines fail to represent at
+            # >=50x shifted domains, per the r12 soak).
+            F.pmod(
+                F.sum(
+                    F.pmod(F.col("id"), F.lit(_MOD)).cast("decimal(38,0)")
+                ),
+                F.lit(_MOD),
+            )
             .cast("bigint")
-            .alias("sum_id"),
+            .alias("sum_id_mod"),
             F.sum("q1").alias("sum_q1"),
             F.sum(F.when(F.col("q0").isNotNull(), 1).otherwise(0)).alias(
                 "q0_present"
@@ -986,7 +1001,8 @@ def null_semantics_audit(spark, sf_dir):
     )
     SELECT key, value,
            CAST(COUNT(*) AS BIGINT) AS num,
-           CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+           CAST(SUM(c_custkey % 1000000007) % 1000000007 AS BIGINT)
+             AS sum_id_mod
     FROM kv GROUP BY key, value ORDER BY key, value
     """,
     "XML ingest surface (Spark 4 from_xml) — a direct nod to the "
@@ -994,8 +1010,14 @@ def null_semantics_audit(spark, sf_dir):
     "(attributes + repeated <tag k v/> children) are synthesized "
     "deterministically from customer rows, parsed back with from_xml "
     "(attribute `_`-prefix schema, nested array<struct>), the tag "
-    "array exploded, and (k, v) groups counted with a SUM of parsed "
-    "node ids as the parse witness. The oracle computes the expected "
+    "array exploded, and (k, v) groups counted with a MODULAR checksum "
+    "of the parsed node ids as the parse witness (sum of id mod 1e9+7, "
+    "reduced again mod 1e9+7 — r14 re-contract, total at any key "
+    "domain where the raw BIGINT sum it replaced overflowed both "
+    "engines at ~60x+ shifted domains, per the r13 100x soak). A "
+    "from_xml bug still flips the hash: the checksum is exactly as "
+    "sensitive to a lost/duplicated/corrupted row as the raw sum. "
+    "The oracle computes the expected "
     "result from the SOURCE columns directly — so a from_xml "
     "attribute-mapping, array-collection, or type-coercion bug flips "
     "the hash. XML carries only integers and catalog strings (never "
@@ -1031,19 +1053,22 @@ def xml_roundtrip_stats(spark, sf_dir):
         .groupBy("key", "value")
         .agg(
             F.count("*").alias("num"),
-            # sum over a surrogate KEY: aggregate in DECIMAL(38,0) so the
-            # SUM itself cannot overflow at shifted-key domains (the r13
-            # 100x soak hit ANSI long overflow mid-aggregation here —
-            # the same class as variant_json_stats at r12), then cast to
-            # the gate's BIGINT contract. The OUTPUT contract itself is
-            # still unrepresentable once sum >= 2^63 (~60x+ shifted
-            # domains, both engines identically); the modular-checksum
-            # re-contract needs an oracle change and is prepared for r14
-            # (this query's own cohort-front round) in
-            # plans/r14_prepared.py.
-            F.sum(F.col("c_custkey").cast("decimal(38,0)"))
+            # r14 re-contract: modular checksum of the parsed node ids
+            # (same remedy and legality window as variant_json_stats).
+            # Summands < 1e9, running sum in DECIMAL(38,0), outer pmod
+            # < 1e9 — the BIGINT output contract is total at any key
+            # domain; the raw key sum it replaces overflowed at the
+            # r13 100x soak.
+            F.pmod(
+                F.sum(
+                    F.pmod(F.col("c_custkey"), F.lit(_MOD)).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                F.lit(_MOD),
+            )
             .cast("bigint")
-            .alias("sum_id"),
+            .alias("sum_id_mod"),
         )
         .orderBy("key", "value")
     )

@@ -80,15 +80,10 @@ TABLES = [
 #: section comments). xfail, not skip: the moment the re-contract
 #: lands, the XPASS goes strict-red here and the entry must be removed.
 KNOWN_CONTRACT_LIMITS = {
-    # (variant_json_stats is NOT listed: its BIGINT raw-key-sum limit
-    # needs row count x key domain ~2^63, beyond what a tiny-row dir
-    # can trigger — it passes here and its r14 re-contract is guarded
-    # by tests/test_r14_prepared.py instead.)
-    # r13 harness finding; prepared pair in plans/r14_prepared.py:
-    # int64 y*y sufficient statistic overflows on BOTH engines at
-    # cents ~1e12-13
-    "ols_price_trend_by_priority":
-        "int64 y*y sufficient statistic; re-contract r14",
+    # (ols_price_trend_by_priority left this dict at r14: its
+    # DECIMAL(38,0)/HUGEINT sufficient-statistics re-contract landed
+    # with its cohort front, so the harness now REQUIRES it to pass at
+    # shifted domains — the strict xfail would have forced the removal.)
     # r13 harness finding: the SPARK side was decimal-widened at r10
     # but the ORACLE still multiplies the key in INT64 (the in-code
     # claim that DuckDB auto-widens to HUGEINT is false — it errors).
@@ -148,15 +143,15 @@ def shifted_con(shifted_dir):
 
 
 def _key(row):
-    """Sort key with floats collapsed to 3 significant digits so
-    tolerant-equal rows sort identically on both sides."""
-    out = []
-    for v in row:
-        if isinstance(v, float):
-            out.append(f"~{v:.3g}" if v == v else "~nan")
-        else:
-            out.append(repr(v))
-    return out
+    """Sort key over NON-FLOAT cells only (the catalog's key columns
+    are ints/strings/dates). Floats are excluded from ordering entirely
+    — the previous 3-significant-digit collapse could still mispair two
+    tolerant-equal rows straddling a rounding boundary (e.g.
+    0.12349999 vs 0.12350001 → '~0.123' vs '~0.124'; r13 ADVICE #3).
+    Rows that tie on every non-float cell are matched greedily with
+    :func:`_cell_eq` instead of positionally (see the tie-block loop in
+    the sweep test)."""
+    return [repr(v) for v in row if not isinstance(v, float)]
 
 
 def _cell_eq(a, b) -> bool:
@@ -191,12 +186,36 @@ def test_oracle_agrees_on_shifted_domains(spark, shifted_dir, shifted_con,
     i_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
     s_sorted = sorted([[r[i] for i in i_s] for r in srows], key=_key)
     d_sorted = sorted([[r[i] for i in i_d] for r in drows], key=_key)
-    for rs, rd in zip(s_sorted, d_sorted):
-        for a, b in zip(rs, rd):
-            assert _cell_eq(a, b), (
-                f"{name}: value divergence on shifted domain: "
-                f"{rs} vs {rd}"
+    # both sides sort on non-float cells only; within each tie block
+    # (rows sharing every non-float cell — typically size 1) rows are
+    # matched greedily under _cell_eq rather than positionally, so
+    # float ordering can never manufacture a spurious divergence
+    i = 0
+    while i < len(s_sorted):
+        k = _key(s_sorted[i])
+        j = i
+        while j < len(s_sorted) and _key(s_sorted[j]) == k:
+            j += 1
+        assert all(_key(r) == k for r in d_sorted[i:j]), (
+            f"{name}: non-float key cells diverged on shifted domain "
+            f"near {s_sorted[i]} vs {d_sorted[i]}"
+        )
+        remaining = list(range(i, j))
+        for rs in s_sorted[i:j]:
+            m = next(
+                (
+                    t
+                    for t in remaining
+                    if all(_cell_eq(a, b) for a, b in zip(rs, d_sorted[t]))
+                ),
+                None,
             )
+            assert m is not None, (
+                f"{name}: value divergence on shifted domain: {rs} has "
+                f"no tolerant match among {[d_sorted[t] for t in remaining]}"
+            )
+            remaining.remove(m)
+        i = j
 
 
 def test_sweep_not_vacuous():
