@@ -449,7 +449,12 @@ def test_bucketed_pair_cosines_hot_bucket_split_keeps_near_dup_recall(spark):
     for i in range(60):
         base = [rng.uniform(-1, 1) for _ in range(8)]
         vecs.append((2 * i, base))
-        vecs.append((2 * i + 1, [x + 1e-6 for x in base]))  # near-twin
+        # near-twin by SCALING (r13 ADVICE #4): x * (1 + 1e-6) provably
+        # preserves every sign bit at any seed/dim (the additive
+        # x + 1e-6 variant flips a bit whenever a component falls in
+        # (-1e-6, 0), silently putting the pair in different
+        # sub-buckets), and cosine(base, c·base) = 1 exactly
+        vecs.append((2 * i + 1, [x * (1 + 1e-6) for x in base]))
         planted.append((2 * i, 2 * i + 1))
     got = {
         (r.id_a, r.id_b)
@@ -481,3 +486,81 @@ def test_bucketed_pair_cosines_sign_degenerate_tiled_is_exact(spark):
         .collect()
     }
     assert got == _brute_pairs(vecs, 0.35) and len(got) > 100
+
+
+def test_bucketed_pair_cosines_split_stats_accumulators(spark):
+    """r13 ADVICE #1: the recall trade of the recursive sign-split must
+    be observable. split_stats registers two accumulators — zero on a
+    run with no over-cap bucket (proving oracle-identical semantics),
+    positive split count AND exact cross-child candidate bound once a
+    bucket splits."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+    )
+
+    rng = random.Random(59)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+
+    quiet: dict = {}
+    bucketed_pair_cosines(
+        _coded_df(spark, vecs), 0.35, cap=64, split_stats=quiet
+    ).collect()
+    assert quiet["split_buckets"].value == 0
+    assert quiet["dropped_pair_bound"].value == 0
+
+    hot: dict = {}
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucketed_pair_cosines(
+            _coded_df(spark, vecs), 0.35, cap=8, split_stats=hot
+        ).collect()
+    }
+    assert hot["split_buckets"].value > 0
+    assert hot["dropped_pair_bound"].value > 0
+    # the bound is exact accounting: scored pairs + dropped candidates
+    # partition the full C(n,2) candidate set (leaves are pair-complete)
+    n = len(vecs)
+    full = bucketed_pair_cosines(_coded_df(spark, vecs), -1.0, cap=8).count()
+    assert full + hot["dropped_pair_bound"].value == n * (n - 1) // 2
+
+
+def test_bucketed_pair_cosines_presplit_hot_codes(spark):
+    """r13 ADVICE #2: the JVM-side pre-split must bound group size
+    before Arrow delivery without inventing pairs — output is a subset
+    of the un-presplit result, sign-preserving near-twins survive, and
+    a presplit threshold no code reaches is a no-op (bit-identical
+    result, gate safety)."""
+    import random
+
+    from amsterdam_map_data_wrangling_spark.operators.similarity import (
+        bucketed_pair_cosines,
+    )
+
+    rng = random.Random(61)
+    vecs = []
+    planted = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs.append((2 * i, base))
+        vecs.append((2 * i + 1, [x * (1 + 1e-6) for x in base]))
+        planted.append((2 * i, 2 * i + 1))
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b): round(r.sim, 4)
+            for r in bucketed_pair_cosines(
+                _coded_df(spark, vecs), 0.95, cap=1024, **kw
+            ).collect()
+        }
+
+    base_pairs = pairs()
+    # threshold no code reaches -> no-op
+    assert pairs(presplit_bits=3, presplit_min_rows=10_000) == base_pairs
+    # hot threshold of 1: every code pre-splits on 3 sign bits
+    pre = pairs(presplit_bits=3, presplit_min_rows=1)
+    assert set(pre) <= set(base_pairs)
+    assert all(base_pairs[k] == v for k, v in pre.items())
+    missing = [p for p in planted if p not in pre]
+    assert not missing, f"pre-split dropped planted near-dups: {missing[:5]}"
