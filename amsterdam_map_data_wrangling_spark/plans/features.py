@@ -289,20 +289,27 @@ def ols_price_trend_by_priority(spark, sf_dir):
     pts = orders.select(
         F.col("o_orderpriority").alias("g"), x.alias("x"), y.alias("y")
     )
-    # r14 re-contract: accumulate the sufficient statistics in
-    # DECIMAL(38,0) (oracle: HUGEINT) so x*x / y*y / x*y cannot
-    # overflow at any value domain; each widened sum then takes one
-    # correctly-rounded cast to double (in-domain bit-identical to the
-    # int64 path it replaces, since the sums stay < 2^53 there)
-    xd = F.col("x").cast("decimal(38,0)")
-    yd = F.col("y").cast("decimal(38,0)")
+    # r14 re-contract: the sufficient statistics accumulate in
+    # DECIMAL(38,0) (oracle: HUGEINT) so no sum can overflow at any
+    # value domain; each widened sum then takes one correctly-rounded
+    # cast to double (in-domain bit-identical to the int64 path it
+    # replaced, since the sums stay < 2^53 there). Decimal MULTIPLY —
+    # measurably ~1.5x the long multiply — is used only where the
+    # per-row product itself can exceed int64: y*y (y ~ 4e9 at shifted
+    # cents domains -> y*y ~ 1.6e19 > 2^63). x is epoch DAYS (dates are
+    # never domain-shifted; |x| < 3e3), so x*x < 1e7 and x*y < ~1e13
+    # stay exact in long and only their SUMS widen.
+    xl = F.col("x").cast("long")
+    yl = F.col("y")
+    yd = yl.cast("decimal(38,0)")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     sums = pts.groupBy("g").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum(yd).cast("double").alias("sy"),
-        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
-        F.sum(yd * F.col("y")).cast("double").alias("syy"),
-        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec(xl)).cast("double").alias("sx"),
+        F.sum(dec(yl)).cast("double").alias("sy"),
+        F.sum(dec(xl * xl)).cast("double").alias("sxx"),
+        F.sum(yd * yl).cast("double").alias("syy"),
+        F.sum(dec(xl * yl)).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
