@@ -96,3 +96,59 @@ def salted_agg(
         merges.append(F.sum(f"_p_{out}").alias(out))
     stage1 = df.groupBy(F.col(key), salt).agg(*partials)
     return stage1.groupBy(key).agg(*merges)
+
+
+def trailing_range_window(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    preceding: int,
+    aggs: "dict[str, object]",
+) -> DataFrame:
+    """Trailing RANGE-frame window (``RANGE BETWEEN preceding PRECEDING
+    AND CURRENT ROW`` over an integer ``order_col``, partitioned by
+    ``part_col``) as a CHUNKED segmented scan — the skew-proof form of
+    Spark's per-key window (r14, found by the 100x Zipf soak: a window
+    PARTITION BY puts every row of a key in ONE task, so a hot key
+    holding 10% of a 15M-row table ran 5.5x slow, and at 100 TB the
+    task is 10% of the table — a non-starter).
+
+    Shape: each row lands in chunk ``floor(order / (preceding+1))`` as
+    an OWN row and is replicated into the next chunk as CONTEXT; the
+    window then partitions by (key, chunk). For a row at order value d
+    in chunk c (width W = preceding+1): d - preceding >= cW - (W-1) =
+    (c-1)W + 1, so its entire frame lives in chunks c-1 and c — and the
+    (key, chunk-c) partition holds exactly own(c) ∪ context(c-1). The
+    RANGE frame selects by VALUE, so surplus context rows outside
+    [d-preceding, d] contribute nothing; context rows' own (wrong)
+    frames are dropped by the _ctx filter. Values are therefore
+    IDENTICAL to the one-partition window for order-insensitive
+    aggregates (integer SUM/COUNT/MIN/MAX — float sums would re-
+    associate and are the caller's responsibility to pre-quantize,
+    per the catalog's exact-cents convention).
+
+    Cost/bound: 2x rows shuffled (own + context), max task size =
+    2 x (hot key's rows per W-wide chunk) — bounded by the key's TIME
+    DENSITY instead of its total row count, which is the quantity that
+    stays small when a table grows by adding history. ``aggs`` maps
+    output column -> callable(WindowSpec) -> Column, e.g.
+    ``{"s": lambda w: F.sum("cents").over(w)}``.
+    """
+    from pyspark.sql import Window
+
+    width = preceding + 1
+    chunk = F.floor(F.col(order_col) / F.lit(width))
+    own = df.withColumn("_chunk", chunk).withColumn("_ctx", F.lit(False))
+    ctx = df.withColumn("_chunk", chunk + 1).withColumn("_ctx", F.lit(True))
+    u = own.unionByName(ctx)
+    w = (
+        Window.partitionBy(part_col, "_chunk")
+        .orderBy(order_col)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    out = u.select(
+        *df.columns,
+        "_ctx",
+        *[fn(w).alias(name) for name, fn in aggs.items()],
+    )
+    return out.filter(~F.col("_ctx")).drop("_ctx", "_chunk")

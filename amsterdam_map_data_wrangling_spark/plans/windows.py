@@ -242,27 +242,36 @@ def resample_locf_daily(spark, sf_dir):
     "prefix. Time travels as integer epoch days on both engines "
     "(identical frame boundaries); the set-sum is gated in exact "
     "integer cents (a RANGE frame has no deterministic accumulation "
-    "order, so a float sum would be association-luck). Scale: one "
-    "customer-key shuffle; the frame evaluates with Spark's sliding "
-    "range-frame machinery, no self-join.",
+    "order, so a float sum would be association-luck). Scale: computed "
+    "as a CHUNKED segmented window (operators/skew.py:"
+    "trailing_range_window — r14, after the 100x Zipf soak measured "
+    "the naive per-key window 5.5x slow with one customer at 10% of "
+    "rows): rows shuffle on (custkey, 31-day chunk) with a context "
+    "replica in the next chunk, so the max task is bounded by a key's "
+    "orders per month, not its total history — values identical by "
+    "the RANGE frame's value-selection + exact-integer sums.",
 )
 def trailing_window_revenue(spark, sf_dir):
-    (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        trailing_range_window,
+    )
 
+    (orders,) = _t(spark, sf_dir, "orders")
     d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     keyed = orders.filter(F.col("o_custkey") % 10 == 0).select(
         "o_custkey", "o_orderkey", d.alias("d"), cents.alias("cents")
     )
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("d")
-        .rangeBetween(-30, Window.currentRow)
-    )
-    return keyed.select(
+    out = trailing_range_window(
+        keyed,
         "o_custkey",
-        "o_orderkey",
-        F.sum("cents").over(w).alias("trailing_cents"),
-        F.count("*").over(w).alias("n_in_window"),
+        "d",
+        30,
+        {
+            "trailing_cents": lambda w: F.sum("cents").over(w),
+            "n_in_window": lambda w: F.count("*").over(w),
+        },
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "trailing_cents", "n_in_window"
     )

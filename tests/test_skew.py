@@ -67,3 +67,58 @@ def test_salted_join_rejects_small_preserving_how(spark):
     for how in ("right", "full", "outer", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", "sk", buckets=4, how=how)
+
+
+def test_trailing_range_window_matches_naive_window(spark):
+    """The chunked segmented window (r14, the Zipf-soak window-wall
+    fix) must be value-identical to the one-partition-per-key naive
+    window — including rows exactly at chunk boundaries, same-day ties
+    straddling chunks, and frames that span the chunk seam."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        trailing_range_window,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    rid = 0
+    for k in range(5):
+        for _ in range(200):
+            # order values hugging multiples of the 31-wide chunk so
+            # boundary frames are exercised, plus ties
+            d = rng.choice(
+                [rng.randrange(0, 200)] * 3
+                + [31, 62, 30, 61, 32, 0, 93, 124]
+            )
+            rows.append((k, rid, d, rng.randrange(1, 1000)))
+            rid += 1
+    df = spark.createDataFrame(rows, "k long, rid long, d long, cents long")
+
+    got = {
+        (r.k, r.rid): (r.s, r.c)
+        for r in trailing_range_window(
+            df,
+            "k",
+            "d",
+            30,
+            {
+                "s": lambda w: F.sum("cents").over(w),
+                "c": lambda w: F.count("*").over(w),
+            },
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("d").rangeBetween(-30, Window.currentRow)
+    want = {
+        (r.k, r.rid): (r.s, r.c)
+        for r in df.select(
+            "k",
+            "rid",
+            F.sum("cents").over(w).alias("s"),
+            F.count("*").over(w).alias("c"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
