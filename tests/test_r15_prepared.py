@@ -77,3 +77,68 @@ def test_prepared_oracle_total_at_shifted_key_domain(spark, tmp_path):
     srows = sorted(tuple(r) for r in q.build(spark, str(sf)).collect())
     v2 = sorted(tuple(r) for r in con.sql(ORACLE_V2).fetchall())
     assert srows == v2 and len(srows) == n
+
+
+# ---------------------------------------------------------------------------
+# running_revenue_per_customer v2 (r14 Zipf-soak window-wall prep)
+# ---------------------------------------------------------------------------
+
+
+def test_running_v2_not_registered():
+    from amsterdam_map_data_wrangling_spark.plans.r15_prepared import (  # noqa: F401
+        ORACLE_RUNNING_V2,
+        running_revenue_per_customer_v2,
+    )
+
+    assert "running_revenue_per_customer_v2" not in QUERIES
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_running_v2_matches_its_oracle_and_the_naive_window(spark, sf_dir):
+    """The prepared pair must hash-green against DuckDB at both gate
+    SFs, and the chunked prefix sum must be value-identical to the
+    naive one-partition window computed over the SAME exact-cents
+    contract (associativity of integer addition — the property the
+    re-contract exists to unlock)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.plans.r15_prepared import (
+        ORACLE_RUNNING_V2,
+        running_revenue_per_customer_v2,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    got = sorted(
+        tuple(r)
+        for r in running_revenue_per_customer_v2(spark, sf_dir).collect()
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_RUNNING_V2).fetchall())
+    assert got == want
+    assert got, "vacuous compare: 0 rows"
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    naive = sorted(
+        tuple(r)
+        for r in orders.filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(cents.cast("decimal(38,0)"))
+            .over(w)
+            .cast("bigint")
+            .alias("running_cents"),
+        )
+        .collect()
+    )
+    assert got == naive
