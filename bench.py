@@ -41,19 +41,26 @@ CANARY_QUERIES = (
     "dedup_simhash_bands",
     "winsorize_price_stats",
 )
-#: Calibration constants the ratio is measured against: the 6-sample
-#: canary medians of the round-12 close (74.1 s catalog total, noise
-#: 1.116; the catalog-wide per-query median ratio vs the r11 close was
-#: 1.019, i.e. a baseline-speed box). The first calibration attempt
-#: reused the r11 close's 3-sample per-query medians and read 0.87 on
-#: an equal-speed box — those medians were taken mid-load (noise 1.113)
-#: and sat high; calibrating with the canary's own 6 bracketed samples
-#: removes that bias. Valid for the default sf0.1 / local[32] config
-#: only; at any other sf the ratio is reported as null.
+#: Calibration constants the ratio is measured against — RE-PINNED at
+#: the round-14 close (r13 verdict ask #3: the r12 pins were aging; two
+#: rounds of normalization against a fixed pin is fine, five would
+#: compound pin error into every cross-round claim). New pins = the
+#: 6-bracketed-sample canary medians of the r14-close bench run
+#: (77.7 s catalog total, noise 1.064, over_budget empty). BOUNDARY
+#: DOCUMENTATION for cross-epoch comparison: that run read ratio 1.095
+#: against the OLD (r12-close) pins, i.e. new_pin ≈ 1.095 x old_pin on
+#: the same box — divide a post-r14 ratio by nothing, but when
+#: comparing a post-r14 normalized value against a pre-r14 one,
+#: multiply the post-r14 value_normalized by 1.095 to express it in
+#: the r12-pin epoch (or read both raw + their own ratios). The old
+#: pins (r12 close): robust_z 1.1125, simhash_bands 0.904,
+#: winsorize 0.9923 — kept here and in git history so either epoch is
+#: recoverable. Valid for the default sf0.1 / local[32] config only;
+#: at any other sf the ratio is reported as null.
 CANARY_BASELINE_SEC = {
-    "robust_z_by_priority": 1.1125,
-    "dedup_simhash_bands": 0.904,
-    "winsorize_price_stats": 0.9923,
+    "robust_z_by_priority": 1.2183,
+    "dedup_simhash_bands": 0.9951,
+    "winsorize_price_stats": 0.8982,
 }
 
 
@@ -189,7 +196,12 @@ def main() -> None:
         "canary": {
             "queries": list(CANARY_QUERIES),
             "baseline_sec": CANARY_BASELINE_SEC,
-            "baseline_provenance": "r12 close canary medians (6 bracketed samples/query)",
+            "baseline_provenance": (
+                "r14 close canary medians (6 bracketed samples/query; "
+                "re-pinned from the r12-close pins, which read ratio "
+                "1.095 on the re-pin run — see CANARY_BASELINE_SEC "
+                "comment for the epoch boundary)"
+            ),
             "samples": canary_samples,
             "medians": canary_medians,
             "ratio": canary_ratio,
