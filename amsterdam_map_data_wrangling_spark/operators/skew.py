@@ -152,3 +152,116 @@ def trailing_range_window(
         *[fn(w).alias(name) for name, fn in aggs.items()],
     )
     return out.filter(~F.col("_ctx")).drop("_ctx", "_chunk")
+
+
+def chunked_gap_sessionize(
+    df: DataFrame,
+    key: str,
+    us_col: str,
+    tie_col: str,
+    gap_us: int,
+    chunk_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Gap-based sessionization (lag + running flag sum per key) as a
+    CHUNKED two-level computation — the skew-proof form of the classic
+    one-partition-per-key idiom (r14 Zipf soak: the per-key window
+    family is the wall a volume soak cannot see; a hot key's entire
+    history lands in ONE task).
+
+    Returns ``(key, us_col, tie_col, sess_idx)`` with ``sess_idx``
+    VALUE-IDENTICAL to::
+
+        is_new = lag(us) IS NULL OR us - lag(us) > gap_us   (per key)
+        sess_idx = SUM(is_new) OVER (PARTITION BY key
+                                     ORDER BY us, tie ROWS UNBOUNDED)
+
+    Construction (all exact integers, so identity is by associativity,
+    not luck):
+
+    1. rows land in chunk ``floor(us / chunk_us)``; within
+       (key, chunk) a PROVISIONAL flag uses the within-chunk lag (a
+       chunk's first row flags 1 unconditionally — its true previous
+       row lives in an earlier chunk), and a local running sum
+       ``_lcum`` accumulates provisional flags;
+    2. the per-(key, chunk) stats relation — first/last event time and
+       the provisional flag total; ONE ROW PER NON-EMPTY CHUNK per key,
+       so its per-key windows are bounded by the key's TIME RANGE /
+       chunk_us, never by its row count — computes each chunk's TRUE
+       first-row flag (prev non-empty chunk's last_us vs this chunk's
+       first_us) and the exclusive prefix ``_off`` of corrected totals;
+    3. rows join the stats on (key, chunk):
+       ``sess_idx = _lcum - 1 + _tff + _off`` (the -1 removes the
+       provisional first-row flag, _tff restores the true one).
+
+    Unlike :func:`trailing_range_window` no context replication is
+    needed (lag wants one value, carried through the stats relation),
+    so the big side shuffles 1x on (key, chunk). Max task = the key's
+    rows per chunk_us of event time (default: per DAY) — time-density
+    bounded, like every fix in this family.
+    """
+    from pyspark.sql import Window
+
+    us, tie = F.col(us_col), F.col(tie_col)
+    base = df.select(
+        key,
+        us_col,
+        tie_col,
+        F.floor(us / F.lit(chunk_us)).alias("_chunk"),
+    )
+    w = Window.partitionBy(key, "_chunk").orderBy(us_col, tie_col)
+    lag_us = F.lag(us_col).over(w)
+    flagged = base.select(
+        key,
+        us_col,
+        tie_col,
+        "_chunk",
+        F.when(lag_us.isNull() | (us - lag_us > gap_us), 1)
+        .otherwise(0)
+        .alias("_pflag"),
+    )
+    local = flagged.select(
+        key,
+        us_col,
+        tie_col,
+        "_chunk",
+        F.sum("_pflag")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_lcum"),
+    )
+    # one row per non-empty (key, chunk): the agg reuses the window's
+    # (key, chunk) partitioning — no extra big-side shuffle
+    stats = flagged.groupBy(key, "_chunk").agg(
+        F.min(us_col).alias("_first_us"),
+        F.max(us_col).alias("_last_us"),
+        F.sum("_pflag").alias("_ptotal"),
+    )
+    wc = Window.partitionBy(key).orderBy("_chunk")
+    prev_last = F.lag("_last_us").over(wc)
+    tff = F.when(
+        prev_last.isNull() | (F.col("_first_us") - prev_last > gap_us), 1
+    ).otherwise(0)
+    corrected = stats.select(
+        key,
+        "_chunk",
+        tff.alias("_tff"),
+        (F.col("_ptotal") - 1 + tff).alias("_ctotal"),
+    )
+    off = corrected.select(
+        key,
+        "_chunk",
+        "_tff",
+        F.coalesce(
+            F.sum("_ctotal").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return local.join(off, [key, "_chunk"]).select(
+        key,
+        us_col,
+        tie_col,
+        (F.col("_lcum") - 1 + F.col("_tff") + F.col("_off")).alias(
+            "sess_idx"
+        ),
+    )

@@ -122,3 +122,55 @@ def test_trailing_range_window_matches_naive_window(spark):
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_chunked_gap_sessionize_matches_naive_idiom(spark):
+    """sess_idx must equal the classic per-key lag+cumsum idiom —
+    including sessions that span chunk boundaries, users whose previous
+    event is MANY chunks back, tied timestamps, and single-event
+    users."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        chunked_gap_sessionize,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    CH = 1_000_000  # 1 s chunks so the fixture spans many chunks
+    for k in range(8):
+        t = rng.randrange(0, 2 * CH)
+        for _ in range(rng.choice([1, 5, 120])):
+            # mix: sub-gap steps, exact-gap boundary, >gap jumps, long
+            # silences spanning several empty chunks, and exact ties
+            t += rng.choice([0, 1, 9_999, 10_000, 10_001, 5 * CH])
+            rows.append((k, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "k long, eid long, us long")
+    GAP = 10_000
+
+    got = {
+        (r.k, r.eid): r.sess_idx
+        for r in chunked_gap_sessionize(
+            df, "k", "us", "eid", gap_us=GAP, chunk_us=CH
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    lag = F.lag("us").over(w)
+    naive = {
+        (r.k, r.eid): r.sess_idx
+        for r in df.select(
+            "k",
+            "eid",
+            F.sum(
+                F.when(lag.isNull() | (F.col("us") - lag > GAP), 1).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sess_idx"),
+        ).collect()
+    }
+    assert got == naive
+    assert len(got) == len(rows)
