@@ -174,3 +174,40 @@ def test_chunked_gap_sessionize_matches_naive_idiom(spark):
     }
     assert got == naive
     assert len(got) == len(rows)
+
+
+def test_chunked_lag_matches_naive_window(spark):
+    """prev-order values must equal the classic per-key lag — including
+    the first row of each chunk (predecessor many chunks back), tied
+    order values at chunk boundaries, and single-row keys."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import chunked_lag
+
+    rng = random.Random(29)
+    rows = []
+    rid = 0
+    W = 1_000
+    for k in range(7):
+        t = rng.randrange(0, 2 * W)
+        for _ in range(rng.choice([1, 4, 90])):
+            t += rng.choice([0, 0, 1, 37, W, 3 * W])  # ties + long silences
+            rows.append((k, rid, t))
+            rid += 1
+    df = spark.createDataFrame(rows, "k long, rid long, t long")
+
+    got = {
+        (r.k, r.rid): r.prev_t
+        for r in chunked_lag(df, "k", "t", "rid", W, "prev_t").collect()
+    }
+    w = Window.partitionBy("k").orderBy("t", "rid")
+    naive = {
+        (r.k, r.rid): r.prev_t
+        for r in df.select(
+            "k", "rid", F.lag("t").over(w).alias("prev_t")
+        ).collect()
+    }
+    assert got == naive
+    assert len(got) == len(rows)
