@@ -51,6 +51,7 @@ def bucketed_pair_cosines(
     presplit_bits: int = 0,
     presplit_skip_dims: int = 0,
     presplit_min_rows: int = 262_144,
+    presplit_hot_codes: "list | None" = None,
 ) -> DataFrame:
     """All within-bucket vector pairs with cosine ≥ ``threshold``, via a
     per-bucket numpy kernel (grouped ``applyInPandas`` on the code key).
@@ -137,17 +138,34 @@ def bucketed_pair_cosines(
         split_stats["split_buckets"] = acc_splits
         split_stats["dropped_pair_bound"] = acc_dropped
 
-    if presplit_bits > 0:
+    # Hot-code detection: an explicit presplit_hot_codes list (callers
+    # with a memoized count — e.g. plans/similarity._hot_codes — pass
+    # it, and an EMPTY list costs exactly nothing: salt is a literal 0
+    # and the plan is identical to the un-presplit one) beats the
+    # DataFrame-side counts+broadcast-join fallback, which re-executes
+    # the coded relation (measured +0.25 s at sf0.1 when this was the
+    # only path).
+    salt = sum(
+        F.when(
+            F.element_at("v", presplit_skip_dims + i + 1) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(presplit_bits)
+    )
+    if presplit_bits > 0 and presplit_hot_codes is not None:
+        if presplit_hot_codes:
+            coded = coded.withColumn(
+                "salt",
+                F.when(
+                    F.col("code").isin(list(presplit_hot_codes)), salt
+                ).otherwise(F.lit(0)),
+            )
+        else:
+            coded = coded.withColumn("salt", F.lit(0))
+    elif presplit_bits > 0:
         counts = coded.groupBy("code").agg(F.count("*").alias("_n"))
         hot = counts.filter(F.col("_n") >= presplit_min_rows).select(
             "code", F.lit(True).alias("_hot")
-        )
-        salt = sum(
-            F.when(
-                F.element_at("v", presplit_skip_dims + i + 1) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i in range(presplit_bits)
         )
         coded = (
             coded.join(F.broadcast(hot), "code", "left")

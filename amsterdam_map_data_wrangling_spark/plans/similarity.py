@@ -48,6 +48,42 @@ def _corpus_count(spark, sf_dir, embeddings) -> int:
     return n
 
 
+def _hot_codes(
+    spark, sf_dir, coded, bits: int, min_rows: int
+) -> "list[int]":
+    """Memoized list of sign-LSH codes holding >= min_rows vectors —
+    the presplit trigger for embedding_near_dup_pairs. Same memo
+    discipline as _corpus_count: one action per (session, sf_dir, data
+    fingerprint, bits), cleared per bench pass by clear_graph_memo().
+    Only ever called when the (already-memoized) corpus count says a
+    hot code is POSSIBLE (n >= min_rows), so gate-SF builds never pay
+    it."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        _GRAPH_MEMO,
+        _memo_key,
+        _memo_put,
+    )
+
+    key = _memo_key(
+        spark, sf_dir, f"hot_codes_{bits}_{min_rows}", None, None,
+        table="embeddings",
+    )
+    v = _GRAPH_MEMO.get(key)
+    if v is None:
+        v = [
+            r["code"]
+            for r in coded.groupBy("code")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= min_rows)
+            .select("code")
+            .collect()
+        ]
+        _memo_put(key, v)
+    return v
+
+
 def _adaptive_sign_bits(n: int, target_bucket: int = 32) -> int:
     """Sign-LSH code width for an n-vector corpus: target ~target_bucket
     vectors per bucket, floor 6 (the gate SFs' literal oracle width —
@@ -379,9 +415,30 @@ def embedding_near_dup_pairs(spark, sf_dir):
     # ONE bucket — real embedding spaces skew the same way, signs are
     # not centered). Same single code-key shuffle as the join had;
     # rounding stays JVM-side for engine portability.
-    return bucketed_pair_cosines(coded, threshold=0.35).select(
-        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    # r14: pathological codes additionally pre-split JVM-SIDE before
+    # Arrow delivery (r13 ADVICE #2 matured into the plan): a code at
+    # >= 32,768 rows (~1000x the ~32-target load) gets the group key
+    # salted by 3 raw-dim signs past the code width, bounding the
+    # per-thread pandas materialization AND measured 1.7x faster at the
+    # sf20 sign-skew corpus (27.3 -> 16.4 s for the pair stage, 0.086%
+    # fewer emitted pairs — the split-observability accumulators
+    # quantify the trade; see PLANS.md "Split observability at the sf20
+    # sign-skew corpus"). Gate safety is STRUCTURAL and free: a corpus
+    # smaller than the threshold cannot contain a hot code, so the
+    # (memoized) n gates the one extra action and the gate SFs take the
+    # empty-list path — salt is a literal 0 and the plan is byte-for-
+    # byte the r13 plan.
+    hot = (
+        [] if n < 32_768 else _hot_codes(spark, sf_dir, coded, bits, 32_768)
     )
+    return bucketed_pair_cosines(
+        coded,
+        threshold=0.35,
+        presplit_bits=3,
+        presplit_skip_dims=bits,
+        presplit_min_rows=32_768,
+        presplit_hot_codes=hot,
+    ).select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
 @query(
