@@ -261,12 +261,68 @@ def minhash_near_dup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
-    signature-estimated Jaccard ≥ threshold."""
-    sig = minhash_signatures(shingle_hashes(df, id_col, text_col, w), k)
-    return lsh_candidate_pairs(sig, k, bands).filter(
+    signature-estimated Jaccard ≥ threshold.
+
+    ``collapse_exact=True`` is the BOILERPLATE-PROOF composition (r14,
+    found by the duplicate-density soak: a clone cluster of n identical
+    texts — cookie banners, license headers, error pages — puts n
+    identical signatures in every band bucket, and the bucket self-join
+    emits C(n,2) x bands rows: a 15k-clone cluster DNF'd at >9 min
+    where the uniform twin took 6.4 s). Exact duplicates are collapsed
+    to one representative per case-sensitive whitespace-normalized
+    fingerprint BEFORE shingling (identical fingerprint ⇒ identical
+    token sequence under the same whitespace tokenizer ⇒ identical
+    shingles ⇒ identical signature, so nothing the banding could learn
+    from clones is lost), the banding runs over DISTINCT texts only,
+    and the output carries each side's cluster size instead of
+    materializing the quadratic clone mass: ``(id_a, id_b,
+    est_jaccard, n_a, n_b)`` with ids = cluster-min representative ids.
+    Callers needing clone-internal pairs get them from the exact
+    fingerprint relation (linear to group, quadratic only if expanded —
+    that expansion is the caller's explicit choice, never this
+    operator's hidden cost). Default stays False: the flag changes the
+    output contract, and the gated queries' pair-level invariants are
+    exactly what the driver hash-checks."""
+    if not collapse_exact:
+        sig = minhash_signatures(shingle_hashes(df, id_col, text_col, w), k)
+        return lsh_candidate_pairs(sig, k, bands).filter(
+            F.col("est_jaccard") >= threshold
+        )
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        fingerprint_cs,
+    )
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        fingerprint_cs(F.col(text_col)).alias("_f"),
+    )
+    # one representative (min id, its text) + multiplicity per distinct
+    # normalized text; lazily checkpointed — it feeds the shingle
+    # pipeline and both multiplicity joins
+    reps = (
+        fp.groupBy("_f")
+        .agg(
+            F.min("id").alias("id"),
+            F.min_by("_t", "id").alias("_t"),
+            F.count("*").alias("_mult"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sig = minhash_signatures(shingle_hashes(reps, "id", "_t", w), k)
+    pairs = lsh_candidate_pairs(sig, k, bands).filter(
         F.col("est_jaccard") >= threshold
+    )
+    mult = reps.select("id", "_mult")
+    return (
+        pairs.join(mult.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("_mult", "n_a")
+        .join(mult.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("_mult", "n_b")
+        .select("id_a", "id_b", "est_jaccard", "n_a", "n_b")
     )
 
 

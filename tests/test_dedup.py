@@ -553,3 +553,74 @@ def test_graph_memo_misses_when_data_rewritten(spark, tmp_path):
         assert fresh.count() <= n_first
     finally:
         D.clear_graph_memo()
+
+
+def test_minhash_collapse_exact_matches_intercluster_classes(spark):
+    """collapse_exact=True (the boilerplate-proof composition) must
+    emit exactly the inter-cluster CLASSES of the naive pair relation:
+    one (rep_a, rep_b) pair per pair of distinct normalized texts the
+    naive banding recalls, with the same est_jaccard (identical
+    fingerprint => identical shingles => identical signature) and each
+    side's true cluster size — while clone-internal pairs (the
+    quadratic mass) never materialize."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        fingerprint_cs,
+    )
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river bend"
+    rows = []
+    rid = 0
+    for _ in range(7):  # clone cluster A (7 copies, one with extra ws)
+        rows.append((rid, base if rid % 3 else base.replace(" dog", "  dog")))
+        rid += 1
+    for _ in range(4):  # clone cluster B of a near-dup text
+        rows.append((rid, near))
+        rid += 1
+    for i in range(10):  # unique background docs
+        rows.append((rid, f"unrelated document number {i} with words {i*7} {i*13} entirely different content body"))
+        rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    naive = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b): (r.est_jaccard, r.n_a, r.n_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5, collapse_exact=True
+        ).collect()
+    }
+
+    # expected: map every naive pair to its (min-id-rep_a, min-id-rep_b)
+    # class; intra-cluster pairs collapse away
+    fps = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", fingerprint_cs(F.col("text")).alias("f")
+        ).collect()
+    }
+    rep = {}
+    size = {}
+    for d, f in fps.items():
+        rep[f] = min(rep.get(f, d), d)
+        size[f] = size.get(f, 0) + 1
+    expected = {}
+    for (a, b), est in naive.items():
+        ra, rb = rep[fps[a]], rep[fps[b]]
+        if ra == rb:
+            continue  # clone-internal: must NOT appear collapsed
+        key = (min(ra, rb), max(ra, rb))
+        expected[key] = (est, size[fps[min(ra, rb)]], size[fps[max(ra, rb)]])
+    assert collapsed == expected
+    # the fixture must actually exercise both effects
+    assert any(rep[fps[a]] == rep[fps[b]] for a, b in naive)  # clones seen
+    assert expected, "no inter-cluster near-dup pair in fixture"
