@@ -135,9 +135,11 @@ def _load_all() -> None:
 #:   r12 front = the r08 front again (with the spatial_radius_pairs →
 #:               geo_way_lengths retirement swap)
 #:   r13 front = the r10 front again
-#:   r14 front = the r11 front again (section (n) below, with the
-#:               three r14 oracle re-contracts)
-#:   r15 front = the r12 front again (section (o) park), and so on.
+#:   r14 front = the r11 front again (with the three r14 oracle
+#:               re-contracts)
+#:   r15 front = the r12 front again (section (p) below, with the two
+#:               r15 re-contracts)
+#:   r16 front = the r13 front again (section (q) park), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -148,95 +150,29 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 14 rotation: front (slots 1-50) ----
-    # (n) the 50 r11-front queries (46 surviving r07-greens + the four
-    #     queries first gated at r11; pre-parked at r13's slots 51-100
-    #     for exactly this rotation — their freshest verdict window is
-    #     r11, three distinct windows back after this round's gates),
-    #     in registration order. This front also re-gates, with their
-    #     cohort, (a) the three r12 changed-code/unchanged-oracle
-    #     queries (bm25_search, decontaminate_stats, dup_span_removal —
-    #     sf1 tail cuts), (b) embedding_near_dup_pairs (r13 200x-soak
-    #     re-kernel, oracle unchanged), and (c) the THREE r14
-    #     RE-CONTRACTS (oracle changes, legal only in this — their own
-    #     cohort-front — round; prepared at r13 in plans/r14_prepared.py
-    #     and swapped in verbatim at r14):
-    #     - variant_json_stats: sum_id -> sum_id_mod modular checksum
-    #       (r12 50x soak: raw BIGINT key-sum contract unrepresentable
-    #       at shifted domains on both engines);
-    #     - ols_price_trend_by_priority: DECIMAL(38,0)/HUGEINT
-    #       sufficient statistics (r13 key-domain harness: int64 y*y
-    #       overflows both engines at 100 TB-representative cents);
-    #     - xml_roundtrip_stats: sum_id -> sum_id_mod parse witness
-    #       (r13 100x soak: BIGINT output contract fails at ~60x+).
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_minhash_portable_pairs",
-    "dedup_simhash_bands",
-    "sorted_neighborhood_window",
-    "near_dup_transitivity",
-    "near_dup_pagerank",
-    "incremental_dedup_stats",
-    "winsorize_price_stats",
-    "robust_z_by_priority",
-    "unigram_lm_scores",
-    "dup_span_removal",
-    "weighted_sample_per_group",
-    "ols_price_trend_by_priority",
-    "multimodal_features",
-    "multimodal_dims",
-    "audio_levels",
-    "image_pixel_stats",
-    "star_join_customers_by_region",
-    "range_join_balance_bands",
-    "gap_sessionization",
-    "nation_volume_shipping",
-    "knn_cosine_brute",
-    "ann_sign_lsh",
-    "ann_rand_lsh",
-    "ann_ivf",
-    "geo_haversine_radius",
-    "embedding_near_dup_pairs",
-    "ann_sq8_rerank",
-    "ann_pq_adc",
-    "sketch_users_by_type",
-    "sketch_value_quantiles",
-    "sparse_cosine_pairs",
-    "geo_nn_on_sphere",
-    "bloom_vocab_overlap",
-    "decontaminate_stats",
-    "bm25_search",
-    "quality_filter_pipeline",
-    "leakage_free_split",
-    "tfidf_top_terms",
-    "token_budget_pack_sharded",
-    "pii_redaction_stats",
-    "resample_locf_daily",
-    "trailing_window_revenue",
-    "salted_join_hot_customer",
-    "variant_json_stats",
-    "null_semantics_audit",
-    "xml_roundtrip_stats",
-    # ---- window boundary (slot 50) ----
-    # (o) park: the 50 r12-front queries (the r08 cohort with the
-    #     spatial_radius_pairs → geo_way_lengths retirement swap), in
-    #     registration order — their verdict window is r12, 2 distinct
-    #     windows back after this round's front gates; parked
-    #     immediately past the window so they are r15's entire front.
-    #     ORACLE CHANGE OWED AT r15 (when this cohort fronts):
-    #     normalize_phone_lengths' oracle multiplies the key in INT64
-    #     and errors at shifted key domains (r13 harness finding; the
-    #     r10 in-code claim that DuckDB auto-widens to HUGEINT is
-    #     false). The Spark side was already decimal-widened at r10 and
-    #     needs no change; the oracle fix is CAST(c_custkey AS HUGEINT)
-    #     * 987654321. Tracked as a strict xfail in
-    #     tests/test_key_domain_stress.py; the prepared oracle text +
-    #     swap recipe live in plans/r15_prepared.py (guard test
-    #     tests/test_r15_prepared.py keeps it value-identical in-domain
-    #     and proves the shifted-domain fix), so the r15 front commit
-    #     is mechanical like r14's was.
+    # ---- round 15 rotation: front (slots 1-50) ----
+    # (p) the 50 r12-front queries (the r08 cohort with the
+    #     spatial_radius_pairs -> geo_way_lengths retirement swap;
+    #     pre-parked at r14's slots 51-100 for exactly this
+    #     rotation - their freshest verdict window is r12, three
+    #     distinct windows back after this round's gates), in
+    #     registration order, carrying the TWO r15 RE-CONTRACTS
+    #     (oracle changes, legal only in this - their own
+    #     cohort-front - round; prepared at r14 in
+    #     plans/r15_prepared.py and swapped in verbatim at r15):
+    #     - normalize_phone_lengths: ORACLE text only - the key
+    #       product is carried in HUGEINT (CAST(c_custkey AS
+    #       HUGEINT) * 987654321), closing cliff #6 (DuckDB does
+    #       not auto-widen the INT64 multiply at 100 TB-
+    #       representative key domains; the Spark side has been
+    #       decimal-widened since r10). In-domain values
+    #       unchanged;
+    #     - running_revenue_per_customer: exact-integer-cents
+    #       output contract (running_cents) + chunked two-level
+    #       prefix-sum plan - the old round(SUM(double),2)
+    #       contract pinned float accumulation order, forcing a
+    #       hot key's whole history into one task (r14 Zipf soak:
+    #       5.17x at 100x/10%-hot, 15x at 30%-hot).
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "geo_way_lengths",
@@ -287,12 +223,76 @@ _GATE_PRIORITY: list[str] = [
     "eav_unpivot_topk",
     "table_stats",
     "salted_user_event_stats",
-    # (p) the 50 r13-front queries (the r10 cohort: gap_log2_hist + the
-    #     49 re-gated r06-greens, incl. the r13-re-contracted
-    #     dedup_edit_refine) are deliberately unlisted — they append in
-    #     registration order behind the park (verdicts r13, the
-    #     freshest cohort) and become r16's front: dedup_keep_canonical,
-    #     dedup_edit_refine, ..., map_ops_surface.
+    # ---- window boundary (slot 50) ----
+    # (q) park: the 50 r13-front queries (the r10 cohort:
+    #     gap_log2_hist + the 49 re-gated r06-greens, incl. the
+    #     r13-re-contracted dedup_edit_refine), in registration
+    #     order - their verdict window is r13, 2 distinct windows
+    #     back after this round's front gates; parked immediately
+    #     past the window so they are r16's entire front.
+    #     ADOPTION DECISION OWED AT r16 (when this cohort fronts):
+    #     the chunked skew levers for gap_sessionization-family
+    #     members of THIS park (event_gap_stats here;
+    #     gap_sessionization itself fronts r18 with the r11
+    #     cohort) - operators/skew.py:chunked_lag /
+    #     chunked_gap_sessionize, equivalence-pinned and
+    #     A/B-measured at three skew levels at r14 (crossover
+    #     ~10%-hot; registered plans faster at uniform).
+    "dedup_keep_canonical",
+    "dedup_edit_refine",
+    "audio_dims",
+    "video_dims",
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "runtime_bloom_filter_join",
+    "local_supplier_volume",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "event_gap_stats",
+    "weekly_cohort_retention",
+    "funnel_conversion",
+    "key_skew_profile",
+    "zorder_layout_stats",
+    "asof_last_click_before_error",
+    "interval_overlap_balances",
+    "above_avg_orders_per_customer",
+    "segment_event_counts",
+    "gap_log2_hist",
+    "cms_heavy_hitters",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    "chunk_documents_udtf",
+    "repetition_stats",
+    "benchmark_contamination",
+    "mixture_proportional_sample",
+    "dup_span_coverage",
+    "tumbling_window_stats",
+    "sliding_window_by_type",
+    "session_window_per_user",
+    "interval_join_click_error",
+    "json_props_stats",
+    "value_percentiles_by_type",
+    "equi_depth_histogram",
+    "expectations_report",
+    "python_datasource_stats",
+    "nested_json_shred",
+    "snapshot_table_diff",
+    "map_ops_surface",
+    # (r) the 50 r14-front queries (the r11 cohort, incl. the
+    #     three r14 re-contracts) are deliberately unlisted -
+    #     they append in registration order behind the park
+    #     (verdicts r14, the freshest cohort) and become r17's
+    #     front: dedup_exact_groups, ..., xml_roundtrip_stats.
 ]
 
 

@@ -588,28 +588,82 @@ def topn_per_group(spark, sf_dir):
     "running_revenue_per_customer",
     """
     SELECT o_custkey, o_orderkey,
-           round(SUM(o_totalprice) OVER (
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
     FROM orders WHERE o_custkey % 20 = 0
     """,
-    "Explicit frame spec: per-customer cumulative revenue (ROWS UNBOUNDED "
-    "PRECEDING → CURRENT ROW) with a total order inside the partition. "
-    "Scale: one shuffle on the partition key, per-key in-order scan — "
-    "frames never re-sort.",
+    "Explicit frame spec: per-customer cumulative revenue as EXACT "
+    "INTEGER CENTS (ROWS UNBOUNDED PRECEDING → CURRENT ROW) with a total "
+    "order inside the partition. RE-CONTRACTED r15 (its cohort-front "
+    "round; prepared+guard-tested at r14): the old round(SUM(double),2) "
+    "contract pinned float accumulation ORDER, forcing the whole history "
+    "of a key into one task — measured 5.17x at 100x/10%-hot Zipf, "
+    "deepening to 15x at 30%-hot (skew_soak_r14.json). Exact cents are "
+    "order-free, unlocking the chunked two-level prefix sum below. "
+    "Scale: max task = a key's orders per 31-day chunk (bounded by time "
+    "density, not history length); the offsets relation is one row per "
+    "(key, chunk).",
 )
 def running_revenue_per_customer(spark, sf_dir):
+    """Chunked two-level prefix sum (skew-proof running total):
+
+    1. chunk-local running cents: window over (custkey, 31-day chunk);
+    2. per-key EXCLUSIVE prefix of chunk totals — tiny relation, one
+       row per (key, chunk), so the hot key contributes #chunks rows,
+       not #orders rows;
+    3. join offsets back on (key, chunk) and add.
+
+    Values identical to the naive one-partition window by associativity
+    of integer addition (equivalence-pinned in tests/test_skew.py).
+    Chunk ids use exact integer arithmetic on the day number (r14
+    ADVICE: F.floor(col/lit) is double division and can mis-chunk near
+    2^53); datediff is INT so `div` is total here.
+    """
     (orders,) = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.filter(F.col("o_custkey") % 20 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        cents.alias("cents"),
+        F.expr(
+            "datediff(o_orderdate, DATE '1970-01-01') div 31"
+        ).alias("_chunk"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    w_local = (
+        Window.partitionBy("o_custkey", "_chunk")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return orders.filter(F.col("o_custkey") % 20 == 0).select(
+    local = base.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        "_chunk",
+        F.sum(dec).over(w_local).alias("_loc"),
+    )
+    w_off = (
+        Window.partitionBy("o_custkey")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        base.groupBy("o_custkey", "_chunk")
+        .agg(F.sum(dec).alias("_ctot"))
+        .select(
+            "o_custkey",
+            "_chunk",
+            F.coalesce(
+                F.sum("_ctot").over(w_off), F.lit(0).cast("decimal(38,0)")
+            ).alias("_off"),
+        )
+    )
+    return local.join(off, ["o_custkey", "_chunk"]).select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("_loc") + F.col("_off")).cast("bigint").alias("running_cents"),
     )
 
 

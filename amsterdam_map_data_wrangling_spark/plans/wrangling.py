@@ -41,7 +41,8 @@ _MOD = 1_000_000_007
     """
     WITH raw AS (
       SELECT c_custkey,
-             substr(CAST(c_custkey * 987654321 + 1234567890123 AS VARCHAR),
+             substr(CAST(CAST(c_custkey AS HUGEINT) * 987654321
+                         + 1234567890123 AS VARCHAR),
                     1, CAST(7 + c_custkey % 7 AS INT)) AS d
       FROM customer
     )
@@ -65,14 +66,13 @@ def normalize_phone_lengths(spark, sf_dir):
     # for keys above ~9.3e9 (snowflake-scale surrogate IDs; found by the
     # r10 sf1 soak's shifted key domain). Scale-0 decimals render as
     # plain digit strings, identical to the bigint cast in-domain.
-    # CORRECTION (r13 key-domain stress harness): the ORACLE side does
-    # NOT auto-widen — DuckDB errors on the INT64 multiply at shifted
-    # key domains (the earlier claim here that it widens to HUGEINT was
-    # wrong). In-domain values are identical so gates are unaffected;
-    # the oracle text fix (CAST(c_custkey AS HUGEINT) * 987654321) is
-    # only legal when this cohort fronts at r15 — tracked as a strict
-    # xfail in tests/test_key_domain_stress.py and in the catalog
-    # section (k) comment.
+    # ORACLE widened at r15 (this cohort's front round, the one legal
+    # window for an oracle change): DuckDB does NOT auto-widen the INT64
+    # multiply (r13 key-domain harness, cliff #6), so the oracle now
+    # carries the product in HUGEINT — scale-0 HUGEINTs render as plain
+    # digit strings, identical to the BIGINT cast in-domain, so gate
+    # values are unchanged; the derivation is total at any key domain
+    # on BOTH engines (tests/test_key_domain_stress.py now requires it).
     d = F.substring(
         (
             F.col("c_custkey").cast("decimal(38,0)") * 987654321

@@ -80,18 +80,11 @@ TABLES = [
 #: section comments). xfail, not skip: the moment the re-contract
 #: lands, the XPASS goes strict-red here and the entry must be removed.
 KNOWN_CONTRACT_LIMITS = {
-    # (ols_price_trend_by_priority left this dict at r14: its
-    # DECIMAL(38,0)/HUGEINT sufficient-statistics re-contract landed
-    # with its cohort front, so the harness now REQUIRES it to pass at
-    # shifted domains — the strict xfail would have forced the removal.)
-    # r13 harness finding: the SPARK side was decimal-widened at r10
-    # but the ORACLE still multiplies the key in INT64 (the in-code
-    # claim that DuckDB auto-widens to HUGEINT is false — it errors).
-    # In-domain values identical, so gates are unaffected; the oracle
-    # text fix (CAST(c_custkey AS HUGEINT) * 987654321) is only legal
-    # when the r12 cohort fronts at r15.
-    "normalize_phone_lengths":
-        "oracle-side INT64 key multiply; oracle fix legal r15",
+    # EMPTY since r15: the last entry (normalize_phone_lengths — the
+    # oracle-side INT64 key multiply, cliff #6) left at r15 when its
+    # HUGEINT oracle re-contract landed with its cohort front; the
+    # strict xfail would have forced the removal. Every registered
+    # contract is now REQUIRED to be total at shifted key domains.
 }
 
 _SPECS = [
