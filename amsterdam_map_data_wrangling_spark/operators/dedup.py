@@ -261,31 +261,53 @@ def minhash_near_dup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    collapse_exact: bool = False,
+    collapse_exact: bool = True,
+    expand_pairs: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
     signature-estimated Jaccard ≥ threshold.
 
-    ``collapse_exact=True`` is the BOILERPLATE-PROOF composition (r14,
-    found by the duplicate-density soak: a clone cluster of n identical
-    texts — cookie banners, license headers, error pages — puts n
-    identical signatures in every band bucket, and the bucket self-join
-    emits C(n,2) x bands rows: a 15k-clone cluster DNF'd at >9 min
-    where the uniform twin took 6.4 s). Exact duplicates are collapsed
-    to one representative per case-sensitive whitespace-normalized
-    fingerprint BEFORE shingling (identical fingerprint ⇒ identical
-    token sequence under the same whitespace tokenizer ⇒ identical
-    shingles ⇒ identical signature, so nothing the banding could learn
-    from clones is lost), the banding runs over DISTINCT texts only,
-    and the output carries each side's cluster size instead of
-    materializing the quadratic clone mass: ``(id_a, id_b,
-    est_jaccard, n_a, n_b)`` with ids = cluster-min representative ids.
-    Callers needing clone-internal pairs get them from the exact
-    fingerprint relation (linear to group, quadratic only if expanded —
-    that expansion is the caller's explicit choice, never this
-    operator's hidden cost). Default stays False: the flag changes the
-    output contract, and the gated queries' pair-level invariants are
-    exactly what the driver hash-checks."""
+    ``collapse_exact=True`` (the DEFAULT since r15) is the
+    BOILERPLATE-PROOF composition (r14, found by the duplicate-density
+    soak: a clone cluster of n identical texts — cookie banners, license
+    headers, error pages — puts n identical signatures in every band
+    bucket, and the bucket self-join emits C(n,2) x bands rows: a
+    15k-clone cluster DNF'd at >9 min where the uniform twin took
+    6.4 s). Exact duplicates are collapsed to one representative per
+    case-sensitive whitespace-normalized fingerprint BEFORE shingling
+    (identical fingerprint ⇒ identical token sequence under the same
+    whitespace tokenizer ⇒ identical shingles ⇒ identical signature, so
+    nothing the banding could learn from clones is lost) and the
+    banding runs over DISTINCT texts only.
+
+    ``expand_pairs`` picks the OUTPUT CONTRACT on top of the collapsed
+    internals:
+
+    - ``True`` (default): the NAIVE pair-level contract ``(id_a, id_b,
+      est_jaccard)``, reconstructed LOSSLESSLY — clone-internal pairs
+      come from a fingerprint equi-join with est exactly 1.0 (identical
+      signatures agree in all k components and collide in every band,
+      so the naive banding provably emits them at est 1.0), and each
+      representative near-dup pair expands to its members' cross
+      product carrying the representative est (identical signatures ⇒
+      identical band collisions and agreement counts). Value-identical
+      to ``collapse_exact=False`` for any input (pinned in
+      tests/test_dedup.py), but the quadratic clone mass appears ONLY
+      as required output rows — never multiplied by ``bands`` inside
+      the bucket join with k signature columns in flight. Docs shorter
+      than ``w`` tokens emit no shingles hence no signature in the
+      naive path; the expansion replays that rule by dropping
+      fingerprint groups whose representative has fewer than ``w``
+      tokens.
+    - ``False``: the LINEAR collapsed contract ``(id_a, id_b,
+      est_jaccard, n_a, n_b)`` with ids = cluster-min representative
+      ids and each side's clone-cluster size — the 100 TB production
+      shape, where a boilerplate cluster costs one row, not C(n,2).
+
+    ``collapse_exact=False`` keeps the naive single-pass composition
+    (shingle → sign → band over every row) as the opt-out for A/B
+    measurement; ``expand_pairs`` is ignored there (the output is
+    already pair-level)."""
     if not collapse_exact:
         sig = minhash_signatures(shingle_hashes(df, id_col, text_col, w), k)
         return lsh_candidate_pairs(sig, k, bands).filter(
@@ -302,7 +324,7 @@ def minhash_near_dup_pairs(
     )
     # one representative (min id, its text) + multiplicity per distinct
     # normalized text; lazily checkpointed — it feeds the shingle
-    # pipeline and both multiplicity joins
+    # pipeline and the multiplicity/expansion joins
     reps = (
         fp.groupBy("_f")
         .agg(
@@ -316,14 +338,80 @@ def minhash_near_dup_pairs(
     pairs = lsh_candidate_pairs(sig, k, bands).filter(
         F.col("est_jaccard") >= threshold
     )
-    mult = reps.select("id", "_mult")
-    return (
-        pairs.join(mult.withColumnRenamed("id", "id_a"), "id_a")
-        .withColumnRenamed("_mult", "n_a")
-        .join(mult.withColumnRenamed("id", "id_b"), "id_b")
-        .withColumnRenamed("_mult", "n_b")
-        .select("id_a", "id_b", "est_jaccard", "n_a", "n_b")
+    if not expand_pairs:
+        mult = reps.select("id", "_mult")
+        return (
+            pairs.join(mult.withColumnRenamed("id", "id_a"), "id_a")
+            .withColumnRenamed("_mult", "n_a")
+            .join(mult.withColumnRenamed("id", "id_b"), "id_b")
+            .withColumnRenamed("_mult", "n_b")
+            .select("id_a", "id_b", "est_jaccard", "n_a", "n_b")
+        )
+    return expand_rep_pairs(fp, reps, pairs, w)
+
+
+def expand_rep_pairs(
+    fp: DataFrame, reps: DataFrame, pairs: DataFrame, w: int
+) -> DataFrame:
+    """Lossless pair-level expansion of a collapsed (representative-level)
+    near-dup pair relation back to the naive ``(id_a, id_b,
+    est_jaccard)`` contract — shared by both minhash hash families
+    (:func:`minhash_near_dup_pairs` and the portable gate plan).
+
+    ``fp``: (id, _t, _f) per input row; ``reps``: (id, _t, _f, ...) one
+    row per distinct fingerprint with id = cluster-min; ``pairs``:
+    (id_a, id_b, est_jaccard) between representative ids.
+
+    Value identity with the naive (every-row) banding, for ANY hash
+    family in which identical texts get identical signatures:
+    clone-internal pairs always collide in every band and agree in all
+    components (est exactly 1.0); a member pair (x, y) across clusters
+    collides exactly when its representative pair does, with the same
+    agreement count. Fingerprint groups whose text has fewer than ``w``
+    tokens emit no shingles hence no signature in the naive path — the
+    clone expansion drops them via the same tokenizer rule."""
+    # fingerprints eligible for the naive banding: representative text
+    # has >= w tokens (same tokenizer as the shingle builders — a
+    # shorter doc emits no shingle rows, so the naive path never signs
+    # it)
+    eligible = reps.filter(F.size(tokens(F.col("_t"))) >= w)
+    # clone-internal pairs: fingerprint self-join, est exactly 1.0 —
+    # quadratic only in OUTPUT rows (the contract), with none of the
+    # bucket join's bands-x multiplication or signature columns
+    memb = fp.select("_f", "id").join(eligible.select("_f"), "_f")
+    clone_pairs = (
+        memb.select("_f", F.col("id").alias("id_a"))
+        .join(memb.select("_f", F.col("id").alias("id_b")), "_f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
     )
+    # cross-cluster pairs: expand each representative pair to its
+    # members' cross product, carrying the representative est
+    rep_memb = (
+        fp.select("_f", F.col("id").alias("_m"))
+        .join(reps.select("_f", F.col("id").alias("_rep")), "_f")
+        .select("_rep", "_m")
+    )
+    cross_pairs = (
+        pairs.join(
+            rep_memb.withColumnRenamed("_rep", "id_a").withColumnRenamed(
+                "_m", "_ma"
+            ),
+            "id_a",
+        )
+        .join(
+            rep_memb.withColumnRenamed("_rep", "id_b").withColumnRenamed(
+                "_m", "_mb"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return cross_pairs.unionByName(clone_pairs)
 
 
 #: 31-bit Mersenne prime for the portable universal-hash family — every

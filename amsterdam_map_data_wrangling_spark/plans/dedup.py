@@ -296,7 +296,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "nature — dedup_minhash_portable_pairs value-gates the identical "
     "join/dedup path with a portable family.) Scale: the ONLY joins are "
     "band buckets and the fingerprint block — the pair space never "
-    "materializes.",
+    "materializes. Since r15 the candidate relation runs the "
+    "boilerplate-proof DEFAULT composition (collapse_exact=True, "
+    "expand_pairs=True): banding over DISTINCT texts only, clone pairs "
+    "reconstructed losslessly from the fingerprint relation — "
+    "value-identical to the naive banding (pinned in tests/test_dedup)"
+    " but immune to the r14 duplicate-density wall (a 15k-clone "
+    "boilerplate cluster DNF'd the naive bucket join at >9 min).",
 )
 def dedup_minhash_pairs(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.functions.text import fingerprint_cs
@@ -548,10 +554,21 @@ def _minhash_pairs_portable_sql(k: int = 8, bands: int = 4) -> str:
     "1-in-10 doc subset plus re-keyed copies, so every doc has an exact "
     "duplicate and the banding provably recalls est=1.0 pairs. Scale: "
     "identical plan shape to the production path — the ONLY join is on "
-    "(band_idx, band_hash) buckets.",
+    "(band_idx, band_hash) buckets. Since r15 this runs the same "
+    "boilerplate-proof collapse-first composition as the production "
+    "path: banding over DISTINCT texts, clone pairs reconstructed "
+    "losslessly via operators.dedup.expand_rep_pairs (value-identical "
+    "to the naive every-row banding the oracle replays — identical "
+    "texts have identical portable signatures, so clone pairs always "
+    "collide at est exactly 1.0 and member pairs inherit their "
+    "representative's agreement count).",
 )
 def dedup_minhash_portable_pairs(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        fingerprint_cs,
+    )
     from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        expand_rep_pairs,
         lsh_candidate_pairs,
         minhash_signatures_portable,
         shingles,
@@ -561,8 +578,19 @@ def dedup_minhash_portable_pairs(spark, sf_dir):
     subset = documents.filter(F.col("doc_id") % 10 == 0)
     copies = subset.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     corpus = subset.unionByName(copies)
-    sig = minhash_signatures_portable(shingles(corpus, "doc_id", "text", 3), 8)
-    return lsh_candidate_pairs(sig, k=8, bands=4, portable=True)
+    fp = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("_t"),
+        fingerprint_cs(F.col("text")).alias("_f"),
+    )
+    reps = (
+        fp.groupBy("_f")
+        .agg(F.min("id").alias("id"), F.min_by("_t", "id").alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    sig = minhash_signatures_portable(shingles(reps, "id", "_t", 3), 8)
+    pairs = lsh_candidate_pairs(sig, k=8, bands=4, portable=True)
+    return expand_rep_pairs(fp, reps, pairs, w=3)
 
 
 @query(

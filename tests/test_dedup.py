@@ -590,13 +590,18 @@ def test_minhash_collapse_exact_matches_intercluster_classes(spark):
     naive = {
         (r.id_a, r.id_b): r.est_jaccard
         for r in minhash_near_dup_pairs(
-            docs, "doc_id", "text", threshold=0.5
+            docs, "doc_id", "text", threshold=0.5, collapse_exact=False
         ).collect()
     }
     collapsed = {
         (r.id_a, r.id_b): (r.est_jaccard, r.n_a, r.n_b)
         for r in minhash_near_dup_pairs(
-            docs, "doc_id", "text", threshold=0.5, collapse_exact=True
+            docs,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            collapse_exact=True,
+            expand_pairs=False,
         ).collect()
     }
 
@@ -624,3 +629,63 @@ def test_minhash_collapse_exact_matches_intercluster_classes(spark):
     # the fixture must actually exercise both effects
     assert any(rep[fps[a]] == rep[fps[b]] for a, b in naive)  # clones seen
     assert expected, "no inter-cluster near-dup pair in fixture"
+
+
+def test_minhash_expanded_default_is_value_identical_to_naive(spark):
+    """The r15 DEFAULT composition (collapse_exact=True,
+    expand_pairs=True) must reproduce the naive pair-level output
+    value-for-value on a corpus exercising every expansion branch:
+    clone clusters of size 2 and 7 (clone-internal pairs at est exactly
+    1.0), a near-dup cluster pair (cross-cluster expansion carries the
+    representative est to every member pair), unique background docs,
+    and sub-``w``-token docs — including an exact-duplicate PAIR of
+    short docs, which the naive path never signs (no shingles ⇒ no
+    signature ⇒ no pairs) and the expansion must likewise drop."""
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river bend"
+    rows, rid = [], 0
+    for _ in range(7):  # clone cluster A
+        rows.append((rid, base))
+        rid += 1
+    for _ in range(2):  # clone cluster B of a near-dup text
+        rows.append((rid, near))
+        rid += 1
+    for i in range(8):  # unique background docs
+        rows.append(
+            (
+                rid,
+                f"unrelated document number {i} with words {i * 7} "
+                f"{i * 13} entirely different content body",
+            )
+        )
+        rid += 1
+    for _ in range(2):  # exact-dup SHORT docs (< w=3 tokens): no pairs
+        rows.append((rid, "too short"))
+        rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(w=3, k=16, bands=4, threshold=0.5)
+    naive = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    expanded_rows = minhash_near_dup_pairs(
+        docs, "doc_id", "text", **kw
+    ).collect()
+    expanded = {(r.id_a, r.id_b): r.est_jaccard for r in expanded_rows}
+    assert len(expanded_rows) == len(expanded), "duplicate expanded pairs"
+    assert expanded == naive
+    # the fixture must exercise the branches it claims to
+    assert sum(1 for (a, b) in naive if a < 7 and b < 7) == 21  # C(7,2)
+    assert (7, 8) in naive  # size-2 clone cluster
+    assert any(a < 7 and b in (7, 8) for (a, b) in naive)  # cross pairs
+    short_ids = {rid - 1, rid - 2}
+    assert not any(
+        a in short_ids or b in short_ids for (a, b) in naive
+    ), "short docs must emit no pairs in the reference itself"
