@@ -721,6 +721,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_recall_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Recall observability for :func:`ngram_jaccard_pairs`' df_cap trade
+    (r14 duplicate-density soak, r14 verdict "What's wrong #4"): on a
+    boilerplate clone cluster every clone shingle has df ≈ cluster size
+    > ``df_cap``, so the cluster contributes ZERO candidate pairs — the
+    run gets FASTER and silently recall-blind, reporting "no
+    duplicates" for exactly the most-duplicated texts. This companion
+    makes that hole measurable: run it (one extra action, diagnostics
+    cadence — per ingest batch or per corpus snapshot, not per query)
+    and alert when ``n_docs_zero_surviving`` is nonzero.
+
+    One row: ``n_shingles_distinct`` / ``n_shingles_dropped`` (distinct
+    shingles over the cap), ``max_df`` (the largest document frequency
+    — a clone cluster announces its size here), ``n_docs_with_shingles``
+    / ``n_docs_zero_surviving`` (docs all of whose shingles were
+    dropped: exactly the docs :func:`ngram_jaccard_pairs` can never
+    pair, each one a potential silent recall hole).
+
+    Deterministic recomputation over the same ``shingle_hashes``
+    relation rather than Spark accumulators: accumulators updated
+    inside transformations double-count on task retry / speculative
+    execution (the r14 ADVICE caveat on the cosine split counters), so
+    exact accounting comes from a counted aggregation instead. Scale:
+    the same one groupBy(shingle) shuffle the operator itself pays,
+    plus a per-doc count — both on 8-byte keys; the two 1-row branch
+    aggregates join via a broadcast 1-row stitch."""
+    sh = shingle_hashes(df, id_col, text_col, w).withColumnRenamed(
+        "sh", "shingle"
+    )
+    sh = sh.localCheckpoint(eager=False)  # feeds both branches below
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_docs"))
+    sh_stats = dfreq.agg(
+        F.count("*").alias("n_shingles_distinct"),
+        F.sum(
+            F.when(F.col("df_docs") > df_cap, 1).otherwise(0)
+        ).cast("bigint").alias("n_shingles_dropped"),
+        F.max("df_docs").alias("max_df"),
+    )
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("df_docs") <= df_cap, 1).otherwise(0)
+            ).alias("n_kept")
+        )
+    )
+    doc_stats = per_doc.agg(
+        F.count("*").alias("n_docs_with_shingles"),
+        F.sum(F.when(F.col("n_kept") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_zero_surviving"),
+    )
+    # both sides are single-row aggregates — the stitch is a broadcast
+    # nested-loop over 1x1 rows, the whitelisted 1-row-stitch shape
+    return sh_stats.crossJoin(F.broadcast(doc_stats))
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

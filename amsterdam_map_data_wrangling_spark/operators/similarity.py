@@ -95,11 +95,18 @@ def bucketed_pair_cosines(
     trade was silent): pass ``split_stats={}`` and the call registers
     two Spark accumulators in it — ``split_buckets`` (number of split
     events across all groups) and ``dropped_pair_bound`` (Σ over split
-    events of C(n,2) − C(n_pos,2) − C(n_neg,2): the EXACT count of
+    events of C(n,2) − C(n_pos,2) − C(n_neg,2): the count of
     cross-sub-bucket candidate pairs the split declines to score — an
     upper bound on lost ≥-threshold pairs). Read ``.value`` after an
-    action; 0/0 proves a run never diverged from the registered
-    all-within-bucket-pairs oracle semantics. Off (None) in gated
+    action. EXACT ONLY ABSENT TASK RETRIES (r14 ADVICE): accumulators
+    updated inside transformations double-count on task retry, stage
+    re-execution, or speculative execution, so on a real cluster treat
+    the values as retry-inflated upper bounds — 0/0 still proves a run
+    never diverged from the registered all-within-bucket-pairs oracle
+    semantics (a retry cannot inflate zero), but a nonzero count that
+    must be exact needs a deterministic recomputation (count the
+    over-cap groups with a separate aggregation, the
+    ``ngram_jaccard_recall_stats`` pattern). Off (None) in gated
     plans: an accumulator per plan-build would leak registry entries
     across a 150-query sweep.
 

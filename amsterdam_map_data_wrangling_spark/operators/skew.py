@@ -98,6 +98,35 @@ def salted_agg(
     return stage1.groupBy(key).agg(*merges)
 
 
+def _chunk_id(order_col: str, width: int) -> "F.Column":
+    """Chunk id for an integer order column via EXACT integer division
+    (r14 ADVICE: ``F.floor(col / lit(width))`` goes through
+    double-precision division, which can assign a wrong chunk for
+    values approaching 2^53 or quotients within half an ulp of an
+    integer — silently breaking the chunked operators' value-identity
+    claims). ``div`` truncates toward zero rather than flooring, which
+    is harmless here: the induced intervals are contiguous, monotone in
+    the order value, and every interval is at least ``width`` wide (the
+    one around zero is 2*width-1), which is all the chunk proofs use —
+    a width-``width`` frame still spans at most two consecutive chunks,
+    and prefix/lag corrections only need monotone grouping. NULL order
+    values raise loudly instead of silently mis-grouping (see the
+    callers' non-null contracts)."""
+    return F.when(
+        F.col(order_col).isNotNull(),
+        F.expr(f"{order_col} div {int(width)}"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"chunked operator: NULL in order column '{order_col}' — "
+                f"the naive per-key window keeps NULL-ordered rows "
+                f"(NULLS FIRST) but the chunked plan would silently drop "
+                f"them at the stats join; filter or impute them first"
+            )
+        ).cast("long")
+    )
+
+
 def trailing_range_window(
     df: DataFrame,
     part_col: str,
@@ -137,7 +166,7 @@ def trailing_range_window(
     from pyspark.sql import Window
 
     width = preceding + 1
-    chunk = F.floor(F.col(order_col) / F.lit(width))
+    chunk = _chunk_id(order_col, width)
     own = df.withColumn("_chunk", chunk).withColumn("_ctx", F.lit(False))
     ctx = df.withColumn("_chunk", chunk + 1).withColumn("_ctx", F.lit(True))
     u = own.unionByName(ctx)
@@ -198,6 +227,12 @@ def chunked_gap_sessionize(
     so the big side shuffles 1x on (key, chunk). Max task = the key's
     rows per chunk_us of event time (default: per DAY) — time-density
     bounded, like every fix in this family.
+
+    NON-NULL contract on ``us_col`` (r14 ADVICE): the naive window
+    keeps NULL-timestamped rows (NULLS FIRST) while this plan's
+    (key, chunk) stats join would silently drop them — so a NULL order
+    value raises at runtime (:func:`_chunk_id`) instead of diverging
+    silently; filter or impute NULLs before calling.
     """
     from pyspark.sql import Window
 
@@ -206,7 +241,7 @@ def chunked_gap_sessionize(
         key,
         us_col,
         tie_col,
-        F.floor(us / F.lit(chunk_us)).alias("_chunk"),
+        _chunk_id(us_col, chunk_us).alias("_chunk"),
     )
     w = Window.partitionBy(key, "_chunk").orderBy(us_col, tie_col)
     lag_us = F.lag(us_col).over(w)
@@ -296,13 +331,15 @@ def chunked_lag(
     measured crossover for this family sits just above 10%-on-one-key
     at factor-100 volumes — wire it per-query only where a measured
     skew point pays, with the PLANS.md ladder as the guide.
+
+    NON-NULL contract on ``order_col`` (r14 ADVICE): the naive lag
+    keeps NULL-ordered rows (NULLS FIRST) while this plan's stats join
+    would silently drop them — a NULL order value raises at runtime
+    (:func:`_chunk_id`); filter or impute NULLs before calling.
     """
     from pyspark.sql import Window
 
-    order = F.col(order_col)
-    base = df.withColumn(
-        "_chunk", F.floor(order / F.lit(chunk_width))
-    )
+    base = df.withColumn("_chunk", _chunk_id(order_col, chunk_width))
     w = Window.partitionBy(key, "_chunk").orderBy(order_col, tie_col)
     local = base.withColumn("_lprev", F.lag(order_col).over(w))
     stats = base.groupBy(key, "_chunk").agg(F.max(order_col).alias("_last"))

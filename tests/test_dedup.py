@@ -631,6 +631,58 @@ def test_minhash_collapse_exact_matches_intercluster_classes(spark):
     assert expected, "no inter-cluster near-dup pair in fixture"
 
 
+def test_ngram_jaccard_recall_stats_sees_the_clone_blindness(spark):
+    """r14 verdict 'What's wrong #4': on a clone cluster larger than
+    df_cap, ngram_jaccard_pairs emits ZERO pairs (every clone shingle's
+    document frequency exceeds the cap) — fast and silently wrong for
+    the dedup use-case. The companion stats relation must make that
+    hole provably visible: nonzero dropped-shingle and
+    zero-surviving-doc counts on exactly the corpus where the pair
+    output is empty, and all-zero drop counters on a benign corpus."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_recall_stats,
+    )
+
+    boiler = (
+        "please accept our cookie policy to continue browsing this "
+        "website all rights reserved"
+    )
+    n_clones = 12
+    rows = [(i, boiler) for i in range(n_clones)]
+    rows += [
+        (
+            100 + i,
+            f"unique document {i} body with words {i * 3} {i * 11} and "
+            f"more distinct content here",
+        )
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(w=3, df_cap=n_clones - 2)
+
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, **kw
+    ).collect()
+    assert pairs == [], "fixture must reproduce the silent recall hole"
+
+    s = ngram_jaccard_recall_stats(docs, "doc_id", "text", **kw).first()
+    # every clone shingle has df == n_clones > cap: all dropped
+    assert s.n_shingles_dropped > 0
+    assert s.max_df == n_clones
+    # the clones survive with zero shingles — the un-pairable docs
+    assert s.n_docs_zero_surviving == n_clones
+    assert s.n_docs_with_shingles == n_clones + 5
+    assert s.n_shingles_distinct > s.n_shingles_dropped
+
+    # benign corpus: counters read zero, so an alert on them is honest
+    benign = docs.filter(F.col("doc_id") >= 100)
+    b = ngram_jaccard_recall_stats(benign, "doc_id", "text", **kw).first()
+    assert b.n_shingles_dropped == 0 and b.n_docs_zero_surviving == 0
+
+
 def test_minhash_expanded_default_is_value_identical_to_naive(spark):
     """The r15 DEFAULT composition (collapse_exact=True,
     expand_pairs=True) must reproduce the naive pair-level output

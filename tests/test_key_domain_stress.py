@@ -194,6 +194,14 @@ def test_oracle_agrees_on_shifted_domains(spark, shifted_dir, shifted_con,
             f"near {s_sorted[i]} vs {d_sorted[i]}"
         )
         remaining = list(range(i, j))
+        # Greedy (first tolerant match wins), not bipartite matching:
+        # with overlapping tolerance windows inside a tie block a valid
+        # perfect matching can exist that greedy misses — a FALSE
+        # NEGATIVE (spurious failure), never a false pass. Acceptable
+        # because tie blocks are almost always size 1 (the sort key is
+        # every non-float cell); if a spurious divergence report ever
+        # appears here, fall back to exhaustive matching over the tiny
+        # block before trusting it. (r14 ADVICE)
         for rs in s_sorted[i:j]:
             m = next(
                 (

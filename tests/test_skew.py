@@ -211,3 +211,48 @@ def test_chunked_lag_matches_naive_window(spark):
     }
     assert got == naive
     assert len(got) == len(rows)
+
+
+def test_chunk_id_exact_at_large_domains_and_loud_on_null(spark):
+    """r14 ADVICE closure: (a) chunk ids are exact integer arithmetic —
+    the old F.floor(col / lit(width)) double division mis-chunks where
+    col/width loses precision past 2^53; (b) a NULL order value raises
+    loudly instead of being silently dropped at the chunked operators'
+    stats join (the naive windows keep NULL-ordered rows)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        _chunk_id,
+        chunked_lag,
+    )
+
+    # (a) values around 2^60 with a small width: double division puts
+    # col/width (~2^53+) past the exact-integer range, so floor() can
+    # land on the wrong side; exact div must match Python's semantics
+    # (truncation toward zero — the domain here is non-negative).
+    width = 97
+    vals = [2**60 - 1, 2**60, 2**60 + width - 1, 2**62 + 12345, 0, width - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.c
+        for r in df.select("v", _chunk_id("v", width).alias("c")).collect()
+    }
+    assert got == {v: v // width for v in vals}
+    # and the old double path is provably NOT exact on this domain —
+    # the advice described a real failure mode, not a style nit
+    dbl = {
+        r.v: r.c
+        for r in df.select(
+            "v", F.floor(F.col("v") / F.lit(width)).alias("c")
+        ).collect()
+    }
+    assert dbl != got, "fixture no longer exercises the double cliff"
+
+    # (b) NULL order value: loud error, not a silent row drop
+    bad = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, None)], "k long, rid long, t long"
+    )
+    with pytest.raises(Exception) as ei:
+        chunked_lag(bad, "k", "t", "rid", 1000, "prev_t").collect()
+    assert "NULL in order column" in str(ei.value)
