@@ -1,0 +1,179 @@
+"""Wide-row (large-document) operators — the row-WIDTH analog of the
+chunked-window family in :mod:`operators/skew.py`.
+
+The r15 wide-row soak (PLANS.md "Wide-row / large-document skew",
+`scripts/archive/widerow_soak_r15.json`) measured the failure class:
+Spark cannot split a ROW, so every per-row kernel (tokenize, per-token
+md5, regex, fold) over a 48 MB document runs in ONE task — per-byte
+kernel cost is flat across widths (no superlinearity), but the task
+FLOOR becomes the largest document's kernel time while the other 31
+threads idle. Same-bytes twins measured 1.1–8.4x degradations across
+the text family.
+
+The fix class is DOCUMENT SEGMENTATION: split the token stream into
+bounded segments, redistribute (one shuffle of the text bytes),
+compute segment-locally in parallel, merge exactly — legal only where
+the kernel's algebra composes across a concatenation. The polynomial
+rolling fingerprint composes exactly (this module); position-algebra
+kernels compose with overlap; whole-doc content witnesses
+(min/max md5(redacted)) do NOT compose and need a contract change
+(scheduled — see PLANS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.functions.text import (
+    ROLLING_MOD,
+    tokens,
+)
+
+
+def token_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int,
+    keep: "list[str] | None" = None,
+) -> DataFrame:
+    """Explode each document's token stream into ordered segments of at
+    most ``seg_tokens`` tokens: ``(<keep cols>, id, _seg, _toks)`` with
+    ``_seg`` 0-based and ``concat(_toks for _seg asc) == tokens(text)``
+    exactly (slices never cut tokens — segmentation happens AFTER the
+    whitespace split, so any token-stream kernel sees the same tokens).
+
+    The explode itself runs in the reading task (the one pass over the
+    bytes that is unavoidable); callers MUST follow with a
+    ``repartition`` on (id, _seg) to actually distribute the segments —
+    explode alone is narrow and leaves every segment of a document in
+    the task that read it."""
+    toks = df.select(
+        *(keep or []),
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("_tok"),
+    )
+    n_seg = F.ceil(F.size("_tok") / F.lit(seg_tokens)).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+        lambda i: F.slice(F.col("_tok"), i * seg_tokens + 1, seg_tokens),
+    )
+    return toks.select(
+        *(keep or []),
+        "id",
+        F.posexplode(slices).alias("_seg", "_toks"),
+    )
+
+
+def segmented_rolling_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 16_384,
+    wide_chars: int = 65_536,
+) -> DataFrame:
+    """``(id, rfp)`` — the per-document polynomial rolling fingerprint
+    (fold ``acc*31 + h(token) mod M`` over md5-prefix token hashes,
+    exactly :func:`functions.text.rolling_fingerprint`), computed
+    WIDE-ROW-PROOF.
+
+    Documents up to ``wide_chars`` characters take the registered
+    single-row fold untouched. Longer documents are split into
+    ``seg_tokens``-token segments, redistributed (the one shuffle of
+    the long docs' bytes), folded segment-locally IN PARALLEL, and
+    merged per document with the exact composition law of polynomial
+    hashes over concatenation::
+
+        fp(S1 || S2) = (fp(S1) * 31^|S2| + fp(S2)) mod M
+
+    where each segment's fold also carries ``31^|Si| mod M`` out of the
+    same pass (one extra modular multiply per token). All arithmetic is
+    modular-integer (every intermediate < 2^62), so the merged value is
+    IDENTICAL to the single-row fold — not approximately, by
+    associativity — including the registered edge cases: a whole
+    single-token document reproduces the fold's unreduced seed (the
+    raw 32-bit token hash, which can exceed M), and empty token arrays
+    fingerprint to 0.
+
+    Scale: max task = ``seg_tokens`` tokens of md5+fold work, bounded
+    by the SEGMENT size, not the largest document; the merge relation
+    is one row per (doc, segment). At gate/bench SFs every document is
+    under ``wide_chars`` so the long branch is EMPTY — the plan is the
+    registered plan plus an empty union arm (measured in the r15 soak:
+    7.2 s -> 1.8 s on the wide twin, gate SFs unchanged)."""
+    from amsterdam_map_data_wrangling_spark.functions.text import (
+        rolling_fingerprint_hashes,
+        token_md5_hashes,
+    )
+
+    is_wide = F.length(F.col(text_col)) > wide_chars
+    short = df.filter(~is_wide).select(
+        F.col(id_col).alias("id"), token_md5_hashes(F.col(text_col)).alias("th")
+    )
+    short_fp = short.select(
+        "id", rolling_fingerprint_hashes(F.col("th")).alias("rfp")
+    )
+
+    segs = token_segments(
+        df.filter(is_wide), id_col, text_col, seg_tokens
+    ).repartition("id", "_seg")
+    hashed = segs.select(
+        "id",
+        "_seg",
+        F.transform(
+            "_toks",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_hs"),
+    )
+    m = F.lit(ROLLING_MOD)
+    seg_fold = hashed.select(
+        "id",
+        "_seg",
+        # one pass computes (fold value, 31^len mod M); the merge needs
+        # both. element_at survives for the single-token-document edge.
+        F.aggregate(
+            "_hs",
+            F.struct(
+                F.lit(0).cast("long").alias("a"),
+                F.lit(1).cast("long").alias("p"),
+            ),
+            lambda s, x: F.struct(
+                ((s.a * 31 + x) % m).alias("a"), ((s.p * 31) % m).alias("p")
+            ),
+        ).alias("_fp"),
+        F.size("_hs").alias("_n"),
+        F.element_at("_hs", 1).alias("_h1"),
+    )
+    merged = (
+        seg_fold.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_seg").alias("seg"),
+                            F.col("_fp").getField("a").alias("a"),
+                            F.col("_fp").getField("p").alias("p"),
+                        )
+                    )
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, s: (acc * s.p + s.a) % m,
+            ).alias("_r"),
+            F.sum("_n").alias("_ntok"),
+            F.min(F.when(F.col("_seg") == 0, F.col("_h1"))).alias("_h1"),
+        )
+        .select(
+            "id",
+            # registered fold semantics: n==0 -> 0; n==1 -> the raw
+            # (unreduced) first token hash; else the modular fold
+            F.when(F.col("_ntok") == 0, F.lit(0).cast("long"))
+            .when(F.col("_ntok") == 1, F.col("_h1"))
+            .otherwise(F.col("_r"))
+            .alias("rfp"),
+        )
+    )
+    return short_fp.unionByName(merged)

@@ -24,6 +24,42 @@ from amsterdam_map_data_wrangling_spark.functions.text import (
 from amsterdam_map_data_wrangling_spark.plans.catalog import _t, query
 
 
+def _parquet_col_max(path: str, col: str) -> "int | None":
+    """MAX of an integer column from parquet footer statistics,
+    driver-side (no Spark job) — None when the path shape is unexpected
+    or any row group lacks the statistic, so callers fall back to a
+    real scan. Handles both a single parquet file and a
+    directory-of-files layout."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        mx = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max if mx is None else max(mx, st.max)
+        return mx
+    except Exception:
+        return None
+
+
 @query(
     "text_stats",
     r"""
@@ -196,24 +232,51 @@ def lang_id_confusion(spark, sf_dir):
     """,
     "Order-sensitive polynomial rolling fingerprint over the token stream "
     "(fold acc*31 + md5-prefix(token) mod M) — incrementally updatable, "
-    "unlike the whole-text md5. Scale: narrow per-row fold, no shuffle; "
-    "verified fold-for-fold against DuckDB list_reduce.",
+    "unlike the whole-text md5. Scale: narrow per-row fold, no shuffle, "
+    "for every document under 64 KB; documents past that take the "
+    "WIDE-ROW-PROOF segmented path (r15 wide-row soak: a 48 MB document "
+    "runs its whole 8M-token fold in ONE task — 6.4x on the same-bytes "
+    "twin; the polynomial hash composes exactly over concatenation, so "
+    "segments fold in parallel and merge by fp1*31^n2 + fp2 mod M, "
+    "value-identical by associativity — operators/widerow.py). Gate SFs "
+    "have no wide docs: the long branch is an empty union arm and the "
+    "oracle is unchanged. Verified fold-for-fold against DuckDB "
+    "list_reduce.",
 )
 def doc_rolling_fingerprint(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.functions.text import (
         rolling_fingerprint_hashes,
         token_md5_hashes,
     )
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        segmented_rolling_fingerprint,
+    )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    # stage the per-token hash array into a column so the fold's three
-    # references to it don't re-run the md5 transform (2.3x measured)
-    staged = documents.select(
-        "doc_id", token_md5_hashes(F.col("text")).alias("th")
-    )
-    return staged.select(
-        "doc_id", rolling_fingerprint_hashes(F.col("th")).alias("rfp")
-    )
+    # data-adaptive path choice (the _hot_codes precedent): the
+    # segmented plan's union arm re-scans the table, which costs ~2x on
+    # an all-narrow corpus — the MAX of the n_chars metadata column
+    # picks the plan, read from the parquet FOOTER statistics
+    # driver-side (no Spark job; the file-size-audit precedent), with a
+    # one-action pruned-scan agg as the fallback when stats are absent.
+    # Both paths are value-identical (tests/test_widerow.py), so a
+    # stale/wrong n_chars can only cost speed, never correctness; an
+    # unknown maximum falls to the safe (segmented) path. Gate/bench
+    # SFs have max n_chars ~600 and keep the byte-identical registered
+    # single-row plan.
+    mx = _parquet_col_max(f"{sf_dir}/documents.parquet", "n_chars")
+    if mx is None:
+        mx = documents.agg(F.max("n_chars")).first()[0]
+    if mx is not None and mx <= 65_536:
+        staged = documents.select(
+            "doc_id", token_md5_hashes(F.col("text")).alias("th")
+        )
+        return staged.select(
+            "doc_id", rolling_fingerprint_hashes(F.col("th")).alias("rfp")
+        )
+    return segmented_rolling_fingerprint(
+        documents, "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
 
 
 @query(

@@ -1,0 +1,127 @@
+"""Wide-row segmentation operators (operators/widerow.py) — value
+identity with the registered single-row kernels, on fixtures that
+actually exercise the long path (the gate SFs never do)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amsterdam_map_data_wrangling_spark.functions.text import (
+    rolling_fingerprint,
+)
+from amsterdam_map_data_wrangling_spark.operators.widerow import (
+    segmented_rolling_fingerprint,
+    token_segments,
+)
+
+
+def _word_stream(seed: int, n_words: int) -> str:
+    return " ".join(
+        f"w{(i * 2654435761 + seed * 97) % 4096:04d}" for i in range(n_words)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, _word_stream(1, 5)),              # short path
+        (2, _word_stream(2, 40)),             # short path
+        (3, ""),                              # empty text (short path)
+        # long path, token count NOT a multiple of seg_tokens
+        (4, _word_stream(4, 2_500)),
+        # long path, token count EXACT multiple of seg_tokens
+        (5, _word_stream(5, 3_000)),
+        # long path, single-chunk boundary +1
+        (6, _word_stream(6, 1_001)),
+        # one giant single token (the unreduced-seed edge case: the raw
+        # 32-bit token hash can exceed the modulus)
+        (7, "x" * 9_000),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_segments_concat_exactly(spark, corpus):
+    segs = token_segments(corpus, "doc_id", "text", 1_000)
+    got = {
+        r.doc_id: r.toks
+        for r in segs.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("_seg", "_toks"))
+                ).getField("_toks")
+            ).alias("toks")
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: r.toks
+        for r in corpus.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_segmented_fingerprint_identical_to_registered_fold(spark, corpus):
+    """wide_chars forced low so docs 4-7 take the segmented path with
+    multiple segments; values must equal the registered single-row fold
+    on every doc, including the boundary and single-token edges."""
+    got = {
+        r.id: r.rfp
+        for r in segmented_rolling_fingerprint(
+            corpus, "doc_id", "text", seg_tokens=1_000, wide_chars=5_000
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.rfp
+        for r in corpus.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 7
+    # the fixture must actually exercise the long path with >1 segment
+    n_long_segs = token_segments(
+        corpus.filter(F.length("text") > 5_000), "doc_id", "text", 1_000
+    ).count()
+    assert n_long_segs >= 6  # docs 4 (3 segs), 5 (3), 6 (2), 7 (1)
+    # and the single-giant-token doc's hash genuinely exceeds the
+    # modulus (otherwise the unreduced-seed edge is not tested)
+    h7 = corpus.filter("doc_id = 7").select(
+        F.conv(F.substring(F.md5(F.trim("text")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).first()
+    if h7.h > 2_147_483_647:
+        assert got[7] > 2_147_483_647
+
+
+def test_registered_gate_plan_matches_oracle_and_handles_wide(spark, tmp_path):
+    """The flipped doc_rolling_fingerprint plan must stay hash-green
+    against the UNCHANGED oracle on a corpus that includes a wide doc
+    (the gate SFs never exercise the long branch; this pins it against
+    DuckDB's list_reduce directly)."""
+    import duckdb
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+    rows = [(i, _word_stream(i, 30), "en", "s", 0) for i in range(20)]
+    rows.append((99, _word_stream(99, 30_000), "en", "wide", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "widegate"
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    q = QUERIES["doc_rolling_fingerprint"]
+    got = sorted(
+        (r.doc_id, r.rfp) for r in q.build(spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    assert got == want and len(got) == 21
