@@ -292,7 +292,21 @@ def chunked_gap_sessionize(
             F.lit(0),
         ).alias("_off"),
     )
-    return local.join(off, [key, "_chunk"]).select(
+    # NULL-SAFE key join (r15 high-null soak): the naive window groups
+    # NULL keys into one partition like any other key, but a plain
+    # equi-join on the key would never match NULL and silently drop
+    # that whole slice — exactly the corpus (50% missing user ids)
+    # where this lever matters most. eqNullSafe keeps value identity;
+    # the (key, chunk) hash still spreads the NULL key's rows across
+    # chunks.
+    off_r = off.withColumnRenamed(key, "_k2").withColumnRenamed(
+        "_chunk", "_c2"
+    )
+    return local.join(
+        off_r,
+        F.col(key).eqNullSafe(F.col("_k2"))
+        & (F.col("_chunk") == F.col("_c2")),
+    ).select(
         key,
         us_col,
         tie_col,
@@ -347,8 +361,15 @@ def chunked_lag(
     t = stats.select(
         key, "_chunk", F.lag("_last").over(wc).alias("_prev_last")
     )
+    # null-safe key join — same reasoning as chunked_gap_sessionize:
+    # the naive lag keeps the NULL-key slice; a plain equi-join drops it
+    t_r = t.withColumnRenamed(key, "_k2").withColumnRenamed("_chunk", "_c2")
     return (
-        local.join(t, [key, "_chunk"])
+        local.join(
+            t_r,
+            F.col(key).eqNullSafe(F.col("_k2"))
+            & (F.col("_chunk") == F.col("_c2")),
+        )
         .select(
             *df.columns,
             F.coalesce(F.col("_lprev"), F.col("_prev_last")).alias(out_col),

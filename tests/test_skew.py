@@ -256,3 +256,63 @@ def test_chunk_id_exact_at_large_domains_and_loud_on_null(spark):
     with pytest.raises(Exception) as ei:
         chunked_lag(bad, "k", "t", "rid", 1000, "prev_t").collect()
     assert "NULL in order column" in str(ei.value)
+
+
+def test_chunked_levers_keep_null_key_rows(spark):
+    """r15 high-null soak closure: the naive per-key window groups
+    NULL-keyed rows into one partition like any other key, so the
+    chunked forms must keep them too — a plain equi-join on the key
+    would silently drop the whole NULL slice (exactly the 50%-missing-
+    user-id corpus where the lever matters most). Value identity with
+    the naive idioms, on a fixture where half the keys are NULL."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        chunked_gap_sessionize,
+        chunked_lag,
+    )
+
+    W = 1_000
+    rows, rid = [], 0
+    for k in [None, 1, None, 2, None]:
+        t = 17
+        for _ in range(40):
+            t += (rid * 7919) % (3 * W)  # gaps straddle chunk widths
+            rows.append((k, rid, t))
+            rid += 1
+    df = spark.createDataFrame(rows, "k long, rid long, t long")
+    n_null = sum(1 for r in rows if r[0] is None)
+    assert n_null > 0
+
+    got_lag = {
+        (r.k, r.rid): r.prev_t
+        for r in chunked_lag(df, "k", "t", "rid", W, "prev_t").collect()
+    }
+    w = Window.partitionBy("k").orderBy("t", "rid")
+    want_lag = {
+        (r.k, r.rid): r.prev_t
+        for r in df.select(
+            "k", "rid", F.lag("t").over(w).alias("prev_t")
+        ).collect()
+    }
+    assert got_lag == want_lag and len(got_lag) == len(rows)
+
+    gap = 2 * W
+    got_sess = {
+        (r.k, r.rid): r.sess_idx
+        for r in chunked_gap_sessionize(df, "k", "t", "rid", gap, W).collect()
+    }
+    lag_t = F.lag("t").over(w)
+    flag = F.when(lag_t.isNull() | (F.col("t") - lag_t > gap), 1).otherwise(0)
+    want_sess = {
+        (r.k, r.rid): r.sess_idx
+        for r in df.select(
+            "k",
+            "rid",
+            F.sum(flag)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sess_idx"),
+        ).collect()
+    }
+    assert got_sess == want_sess and len(got_sess) == len(rows)
