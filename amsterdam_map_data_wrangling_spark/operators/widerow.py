@@ -10,14 +10,17 @@ FLOOR becomes the largest document's kernel time while the other 31
 threads idle. Same-bytes twins measured 1.1–8.4x degradations across
 the text family.
 
-The fix class is DOCUMENT SEGMENTATION: split the token stream into
+The fix class is DOCUMENT SEGMENTATION: split the document into
 bounded segments, redistribute (one shuffle of the text bytes),
 compute segment-locally in parallel, merge exactly — legal only where
-the kernel's algebra composes across a concatenation. The polynomial
-rolling fingerprint composes exactly (this module); position-algebra
-kernels compose with overlap; whole-doc content witnesses
-(min/max md5(redacted)) do NOT compose and need a contract change
-(scheduled — see PLANS.md).
+the kernel's algebra composes across a concatenation. Two segmenters
+live here: :func:`token_segments` (token-stream slices, for kernels
+over the tokenized stream — the polynomial rolling fingerprint
+composes exactly) and :func:`segment_text_safe` (raw-text substrings
+with match-safe repaired boundaries, for regex kernels — counts sum
+and replacements concatenate byte-for-byte when no match can span a
+boundary, so even a whole-doc md5 content witness survives via an
+ordered reassembly before the hash; see pii_redaction_stats).
 """
 
 from __future__ import annotations
@@ -177,3 +180,128 @@ def segmented_rolling_fingerprint(
         )
     )
     return short_fp.unionByName(merged)
+
+
+def segment_text_safe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_chars: int,
+    safe_pattern: str = r"(?<=\s)[A-Za-z]",
+    probe_chars: int = 65_536,
+    keep: "list[str] | None" = None,
+) -> DataFrame:
+    """Explode each document's TEXT (not its token stream) into ordered
+    character segments of ~``seg_chars``, with every boundary REPAIRED
+    forward to the next match of ``safe_pattern`` — so any regex whose
+    matches provably cannot contain a safe position computes
+    segment-locally with EXACTLY the naive whole-text semantics, and
+    ``concat(_text for _seg asc) == text`` byte-for-byte (segments are
+    pure substrings; the reassembled transform of the segments equals
+    the transform of the whole when no match spans a boundary).
+
+    The default pattern (whitespace-then-letter, via lookbehind) is
+    safe for the PII family: emails/URLs cannot contain whitespace (so
+    no match contains the char BEFORE the boundary) and phone runs
+    ``[+0-9 -]`` cannot contain a letter (so no match crosses INTO the
+    boundary char). Boundary search scans a ``probe_chars`` window from
+    each raw offset with ``regexp_instr`` — ~L/seg_chars tiny probes,
+    never a whole-text pass. A document with NO safe position in some
+    window comes back as ONE segment (``n_segs = 1``) — the caller's
+    single-row path, loud in the ``n_segs`` column rather than silently
+    wrong. Output: ``(<keep>, id, _seg, _text, n_segs)``.
+
+    ``seg_chars`` must be at least 2x ``probe_chars`` so repaired
+    boundaries stay strictly increasing."""
+    if seg_chars < 2 * probe_chars:
+        raise ValueError(
+            f"seg_chars {seg_chars} must be >= 2x probe_chars {probe_chars}"
+        )
+    # STAGING DISCIPLINE (generator-fusion rules, PLANS.md — and the
+    # reason this function is four selects, not one): every non-cheap
+    # array is a NAMED column referenced by the next select, because a
+    # same-select reuse duplicates the expression textually, and
+    # Catalyst's inferred generator filters substitute the whole
+    # subtree — the first cut of this function computed the boundary
+    # probes ~16x (3 inline copies x 2 instr calls x the inferred
+    # size()>0 Filter) and measured 37 s where the final form measures
+    # ~2 s on the same dir. posexplode_outer (not posexplode) is
+    # deliberate: _rng is never empty (size >= 1 by construction), and
+    # outer=true stops Catalyst inferring a size(_rng)>0 Filter that
+    # would re-evaluate the whole staged expression below the project.
+    text = F.col(text_col)
+    s0 = df.select(
+        *(keep or []),
+        F.col(id_col).alias("id"),
+        text.alias("_t"),
+        F.length(text).alias("_L"),
+        F.greatest(F.ceil(F.length(text) / F.lit(seg_chars)), F.lit(1))
+        .cast("int")
+        .alias("_n"),
+    )
+    # one regexp_instr probe per raw boundary, staged
+    s1 = s0.select(
+        *(keep or []),
+        "id",
+        "_t",
+        "_L",
+        "_n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - 1),
+            lambda k: F.regexp_instr(
+                F.substring(F.col("_t"), k * seg_chars + 1, probe_chars),
+                F.lit(safe_pattern),
+            ),
+        ).alias("_probe"),
+    )
+    # repaired 1-based next-segment starts, or -1 when a window had no
+    # safe position
+    s2 = s1.select(
+        *(keep or []),
+        "id",
+        "_t",
+        "_L",
+        "_n",
+        F.zip_with(
+            F.sequence(F.lit(1), F.col("_n") - 1),
+            F.col("_probe"),
+            lambda k, p: F.when(p > 0, k * seg_chars + p).otherwise(
+                F.lit(-1)
+            ),
+        ).alias("_bnds"),
+    )
+    ok = (F.col("_n") == 1) | ~F.array_contains(F.col("_bnds"), -1)
+    s3 = s2.select(
+        *(keep or []),
+        "id",
+        "_t",
+        F.zip_with(
+            F.when(
+                ok & (F.col("_n") > 1),
+                F.concat(F.array(F.lit(1)), F.col("_bnds")),
+            ).otherwise(F.array(F.lit(1))),
+            F.when(
+                ok & (F.col("_n") > 1),
+                F.concat(
+                    F.transform(F.col("_bnds"), lambda b: b - 1),
+                    F.array(F.col("_L")),
+                ),
+            ).otherwise(F.array(F.col("_L"))),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ).alias("_rng"),
+    )
+    return s3.select(
+        *(keep or []),
+        "id",
+        "_t",
+        F.size("_rng").alias("n_segs"),
+        F.posexplode_outer("_rng").alias("_seg", "_r"),
+    ).select(
+        *(keep or []),
+        "id",
+        "n_segs",
+        "_seg",
+        F.substring(
+            F.col("_t"), F.col("_r.s"), F.col("_r.e") - F.col("_r.s") + 1
+        ).alias("_text"),
+    )

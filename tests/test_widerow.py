@@ -125,3 +125,126 @@ def test_registered_gate_plan_matches_oracle_and_handles_wide(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
     assert got == want and len(got) == 21
+
+
+def _pii_text(seed: int, n_blocks: int) -> str:
+    """Word stream densely sprinkled with emails, URLs, and spaced phone
+    numbers so segment boundaries land near and between matches."""
+    parts = []
+    for i in range(n_blocks):
+        parts.append(_word_stream(seed * 1000 + i, 12))
+        if i % 3 == 0:
+            parts.append(f"u{i}@ex{seed}.com")
+        if i % 3 == 1:
+            parts.append(f"https://ex.org/{seed}/{i}")
+        if i % 3 == 2:
+            parts.append(f"+31 6 {1000 + i % 9000} {seed % 10:04d}")
+    return " ".join(parts)
+
+
+def test_segmented_pii_redaction_equals_whole_text(spark):
+    """The segmented PII pipeline (segment_text_safe + per-segment
+    redact/count + ordered reassembly) must reproduce the whole-text
+    redaction BYTE-FOR-BYTE and count-for-count at a tiny seg_chars
+    where matches are dense around every boundary — the unit-scale
+    proof of the no-spanning argument the plan relies on."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        segment_text_safe,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_URL,
+    )
+
+    rows = [(i, _pii_text(i, 40)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def redact(col):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        )
+
+    whole = {
+        r.doc_id: (r.red, r.ne, r.nu)
+        for r in df.select(
+            "doc_id",
+            redact(F.col("text")).alias("red"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))
+            ).alias("ne"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(PII_URL), F.lit(0))
+            ).alias("nu"),
+        ).collect()
+    }
+    segs = segment_text_safe(
+        df, "doc_id", "text", seg_chars=300, probe_chars=100
+    )
+    got = {
+        r.id: (r.red, r.ne, r.nu, r.nseg)
+        for r in segs.select(
+            "id",
+            "_seg",
+            "n_segs",
+            redact(F.col("_text")).alias("_r"),
+            F.size(
+                F.regexp_extract_all("_text", F.lit(PII_EMAIL), F.lit(0))
+            ).alias("_ne"),
+            F.size(
+                F.regexp_extract_all("_text", F.lit(PII_URL), F.lit(0))
+            ).alias("_nu"),
+        )
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("_seg", "_r"))).getField(
+                    "_r"
+                ),
+            ).alias("red"),
+            F.sum("_ne").alias("ne"),
+            F.sum("_nu").alias("nu"),
+            F.max("n_segs").alias("nseg"),
+        )
+        .collect()
+    }
+    assert set(got) == set(whole)
+    for d in whole:
+        assert got[d][:3] == whole[d], f"doc {d} diverged"
+    assert max(g[3] for g in got.values()) >= 5, "fixture under-segmented"
+
+
+def test_pii_gate_plan_oracle_on_wide_corpus(spark, tmp_path):
+    """The flipped pii_redaction_stats must stay hash-green against the
+    UNCHANGED oracle on a corpus with a >65k-char document (the
+    segmented path), including the md5 content witness over the
+    reassembled redacted text."""
+    import duckdb
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+    rows = [(i, _pii_text(i, 20), "en", "s", 0) for i in range(12)]
+    widetext = _pii_text(99, 6000)  # ~150k chars, > the 65k threshold
+    rows.append((99, widetext, "en", "wide", len(widetext)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "piiwide"
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    q = QUERIES["pii_redaction_stats"]
+    got = sorted(tuple(r) for r in q.build(spark, str(sf)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    assert got == want and len(got) == 2
