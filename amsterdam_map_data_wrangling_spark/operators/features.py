@@ -70,7 +70,10 @@ def winsorize(
 
 
 def unigram_logprob_scores(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    wide_chars: "int | None" = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model with add-one smoothing — the CCNet/KenLM-style
@@ -90,18 +93,59 @@ def unigram_logprob_scores(
     term-key join whose build side is the vocabulary (broadcastable when
     the vocab is; here left to the planner/AQE). The 100 TB variant
     trains on a sample and scores the full corpus — same plan, smaller
-    model side. Queued for catalog registration at r07."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                    "long"
-                ),
+    model side. Queued for catalog registration at r07.
+
+    ``wide_chars`` (r15 wide-row soak, the axis's worst wall at 8.4x):
+    everything downstream of the token relation is already row-level
+    and parallel — the atomic cost is the split+md5 of a huge document
+    in its reading task, run TWICE (the token relation feeds both the
+    model aggregation and the scoring join). With ``wide_chars`` set,
+    documents past it are token-segmented (``operators/widerow``) and
+    redistributed so the md5 transform parallelizes per segment, and
+    the unioned token relation is cut once with ``localCheckpoint`` so
+    neither branch tokenizes twice. Token multiset per document is
+    IDENTICAL (segments slice the same whitespace split), so the model,
+    totals, counts, and per-token lp values are unchanged; only the
+    float MEAN's partial-sum association differs, which the 6-decimal
+    gate rounding absorbs by the same error budget as any hash-agg
+    order change (|err| ~ 1e-9 on mean lp vs 5e-7 granularity). None
+    (default) keeps the registered plan byte-identical."""
+
+    def _hash_tok(t):
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+    if wide_chars is None:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), _hash_tok
+                )
+            ).alias("t"),
+        )
+    else:
+        from amsterdam_map_data_wrangling_spark.operators.widerow import (
+            token_segments,
+        )
+
+        is_wide = F.length(F.col(text_col)) > wide_chars
+        narrow = df.filter(~is_wide).select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), _hash_tok
+                )
+            ).alias("t"),
+        )
+        wide = (
+            token_segments(df.filter(is_wide), id_col, text_col, 16_384)
+            .repartition("id", "_seg")
+            .select(
+                "id",
+                F.explode(F.transform("_toks", _hash_tok)).alias("t"),
             )
-        ).alias("t"),
-    )
+        )
+        toks = narrow.unionByName(wide).localCheckpoint(eager=False)
     model = toks.groupBy("t").agg(F.count("*").alias("c"))
     totals = model.agg(
         F.sum("c").alias("n_total"),

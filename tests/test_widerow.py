@@ -248,3 +248,52 @@ def test_pii_gate_plan_oracle_on_wide_corpus(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
     assert got == want and len(got) == 2
+
+
+def test_unigram_wide_path_matches_registered_and_oracle(spark, tmp_path):
+    """The wide-row unigram path (token-segmented hashing) must produce
+    the same rounded contract values as the registered single-row plan
+    AND stay hash-green against the unchanged oracle on a corpus with a
+    >65k-char document. Token multisets are identical by construction;
+    this pins the 6-decimal rounding across the partial-sum
+    re-association on a real fixture."""
+    import duckdb
+
+    from amsterdam_map_data_wrangling_spark.operators.features import (
+        unigram_logprob_scores,
+    )
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+    rows = [(i, _word_stream(i, 60), "en", "s", 0) for i in range(15)]
+    widetext = _word_stream(77, 25_000)  # ~170k chars
+    rows.append((77, widetext, "en", "wide", len(widetext)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    reg = {
+        (r.id, r.n_tokens): round(r.mean_logprob, 6)
+        for r in unigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    seg = {
+        (r.id, r.n_tokens): round(r.mean_logprob, 6)
+        for r in unigram_logprob_scores(
+            df, "doc_id", "text", wide_chars=5_000
+        ).collect()
+    }
+    assert seg == reg and len(seg) == 16
+
+    sf = tmp_path / "unigramwide"
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    q = QUERIES["unigram_lm_scores"]
+    got = sorted(tuple(r) for r in q.build(spark, str(sf)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    assert len(got) == len(want) == 16
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2] and abs(g[2] - w[2]) < 1e-9, (g, w)
