@@ -688,11 +688,45 @@ def running_revenue_per_customer(spark, sf_dir):
 )
 def event_gap_stats(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # data-adaptive lag plan (r15 high-null soak: 5.3x at factor 100 /
+    # 50% NULL user_id on the one-partition lag; the chunked form wins
+    # 4.1x there). Footer null-fraction probe as in gap_sessionization;
+    # dense-key corpora (every gate/bench SF) keep the registered plan.
+    # The chunked twin computes the gap from exact integer micros
+    # (lag VALUES identical; the seconds division differs from the
+    # double-cast subtraction by <1 ulp, absorbed by the 2-decimal
+    # rounding on avg/max — oracle-gated on a half-null corpus in
+    # tests/test_widerow.py).
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        _parquet_col_null_frac,
+    )
+
+    nf = _parquet_col_null_frac(f"{sf_dir}/events.parquet", "user_id")
+    if nf is not None and nf < 0.10:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("double") - F.lag(
+            F.col("ts").cast("double")
+        ).over(w)
+        gaps = events.select("event_type", gap.alias("gap_s"))
+    else:
+        from amsterdam_map_data_wrangling_spark.operators.skew import (
+            chunked_lag,
+        )
+
+        base = events.select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        gaps = chunked_lag(
+            base, "user_id", "us", "event_id", 86_400_000_000, "_prev_us"
+        ).select(
+            "event_type",
+            ((F.col("us") - F.col("_prev_us")) / 1e6).alias("gap_s"),
+        )
     return (
-        events.select("event_type", gap.alias("gap_s"))
-        .groupBy("event_type")
+        gaps.groupBy("event_type")
         .agg(
             F.count("gap_s").alias("n_gaps"),
             F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
@@ -1369,27 +1403,55 @@ def cube_revenue(spark, sf_dir):
 )
 def gap_sessionization(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    flagged = events.select(
-        "user_id",
-        us.alias("us"),
-        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
-        .otherwise(0)
-        .alias("is_new"),
-        F.col("event_id"),
+    # data-adaptive window plan (r15 high-null soak): a NULL-heavy key
+    # puts the whole NULL slice in ONE window partition — measured 4.5x
+    # at factor 100 / 50% null, where the chunked two-level form wins
+    # 2.9x. The NULL fraction reads from the parquet footers (no job);
+    # sess_idx is exact integers in BOTH plans, so the choice is pure
+    # performance (equivalence pinned incl. null keys and chunk seams
+    # in tests/test_skew.py; the oracle gate replays the naive idiom on
+    # a half-null corpus in tests/test_widerow.py). Dense-key corpora
+    # (every gate/bench SF: 0 nulls) keep the registered one-shuffle
+    # plan, which wins at uniform and <=10%-hot (the r14 crossover);
+    # unknown stats fall to the bounded chunked plan.
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        _parquet_col_null_frac,
     )
-    # total order (us, event_id): with only us, tied timestamps would
-    # make the session assignment engine-order-dependent
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = flagged.select(
-        "user_id", "us", F.sum("is_new").over(wrun).alias("sess_idx")
-    )
+
+    nf = _parquet_col_null_frac(f"{sf_dir}/events.parquet", "user_id")
+    if nf is not None and nf < 0.10:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        gap = us - F.lag(us).over(w)
+        flagged = events.select(
+            "user_id",
+            us.alias("us"),
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.col("event_id"),
+        )
+        # total order (us, event_id): with only us, tied timestamps
+        # would make the session assignment engine-order-dependent
+        wrun = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sess = flagged.select(
+            "user_id", "us", F.sum("is_new").over(wrun).alias("sess_idx")
+        )
+    else:
+        from amsterdam_map_data_wrangling_spark.operators.skew import (
+            chunked_gap_sessionize,
+        )
+
+        base = events.select(
+            "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+        )
+        sess = chunked_gap_sessionize(
+            base, "user_id", "us", "event_id", 1_800_000_000
+        ).select("user_id", "us", "sess_idx")
     per_sess = sess.groupBy("user_id", "sess_idx").agg(
         F.count("*").alias("n_ev"),
         (F.max("us") - F.min("us")).alias("dur_us"),

@@ -60,6 +60,45 @@ def _parquet_col_max(path: str, col: str) -> "int | None":
         return None
 
 
+def _parquet_col_null_frac(path: str, col: str) -> "float | None":
+    """NULL fraction of a column from parquet footer statistics,
+    driver-side (no Spark job) — None when the path shape is unexpected
+    or any row group lacks a null count. Same probe family as
+    :func:`_parquet_col_max`; used for data-adaptive plan choice where
+    a NULL-heavy key makes the one-window-partition-per-key plan the
+    wrong one (r15 high-null soak)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        nulls = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(idx).statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls += st.null_count
+                rows += g.num_rows
+        return (nulls / rows) if rows else 0.0
+    except Exception:
+        return None
+
+
 @query(
     "text_stats",
     r"""

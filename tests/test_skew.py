@@ -316,3 +316,60 @@ def test_chunked_levers_keep_null_key_rows(spark):
         ).collect()
     }
     assert got_sess == want_sess and len(got_sess) == len(rows)
+
+
+def test_null_adaptive_window_plans_match_oracle_on_half_null_corpus(
+    spark, tmp_path
+):
+    """r15 high-null closure: gap_sessionization and event_gap_stats
+    pick the chunked window plan when the parquet footers report a
+    NULL-heavy key (>=10%); on a half-null corpus both must stay green
+    against their UNCHANGED DuckDB oracles (which replay the naive
+    idiom, NULL keys grouped like any other key)."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        _parquet_col_null_frac,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for eid in range(800):
+        uid = None if eid % 2 == 0 else (eid % 7)
+        ts = t0 + datetime.timedelta(
+            seconds=(eid * 977) % 90_000, microseconds=(eid * 131) % 1000
+        )
+        rows.append((eid, uid, ts, ["click", "view", "error"][eid % 3]))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    sf = tmp_path / "nullev"
+    df.write.mode("overwrite").parquet(str(sf / "events.parquet"))
+    nf = _parquet_col_null_frac(str(sf / "events.parquet"), "user_id")
+    assert nf is not None and nf > 0.4, "footer probe must see the nulls"
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    for name in ("gap_sessionization", "event_gap_stats"):
+        q = QUERIES[name]
+        got = sorted(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            )
+            for r in q.build(spark, str(sf)).collect()
+        )
+        want = sorted(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            )
+            for r in con.sql(q.oracle).fetchall()
+        )
+        assert got == want and got, name
