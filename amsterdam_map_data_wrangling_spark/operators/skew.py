@@ -375,3 +375,128 @@ def chunked_lag(
             F.coalesce(F.col("_lprev"), F.col("_prev_last")).alias(out_col),
         )
     )
+
+
+def chunked_staged_funnel(
+    df: DataFrame,
+    key: str,
+    us_col: str,
+    tie_col: str,
+    stage_col: str,
+    stages: "tuple[str, str, str]",
+    chunk_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Ordered three-stage funnel (stage1 → stage2 → stage3, in
+    (order, tie) sequence per key) as a CHUNKED state-machine
+    computation — the skew-proof form of the three-chained-running-max
+    idiom (r15 high-null soak: the naive plan puts a NULL-heavy or hot
+    key's entire history in ONE window task — funnel_conversion
+    measured 6.3x at factor 100 / 50% NULL keys).
+
+    Returns ``(key, m1, m2, m3)`` with mK = 1 iff the key reached
+    funnel stage K — VALUE-IDENTICAL to the naive chained windows::
+
+        r1 = max(type==s1)            OVER (key ORDER us,tie ROWS UNB..CUR)
+        r2 = max(type==s2 AND r1)     OVER (...)
+        r3 = max(type==s3 AND r2)     OVER (...)
+        mK = max(rK) per key
+
+    Why it composes: the running flags are MONOTONE, so per key only
+    the FINAL state S in {0,1,2,3} matters (mK = S>=K), and a chunk of
+    the sequence acts on the entering state as a monotone transfer
+    function determined by six within-chunk bits, each computable with
+    the SAME chained-window shape on the bounded (key, chunk)
+    partition:
+
+    - entering 0: a1/a2/a3 = the naive chain run inside the chunk;
+    - entering 1 (a stage-1 event exists strictly earlier, so every
+      in-chunk stage-2 event qualifies): b2 = any stage2, b3 = any
+      stage3 at-or-after the chunk's first stage2;
+    - entering 2: c3 = any stage3 (all qualify);
+    - entering 3: absorbing.
+
+    The per-key merge folds the per-chunk six-bit states in chunk
+    order (exact integers, one tiny row per non-empty chunk — an
+    AGGREGATION, not a join, so NULL keys need no special casing).
+    Rows with equal order values land in the same chunk (the chunk is
+    a function of the order value), so cross-chunk ties cannot split a
+    tie group. NULL order values raise loudly (:func:`_chunk_id`).
+
+    Cost: 6 window functions over ONE bounded (key, chunk) window vs
+    the naive 3 over the unbounded key window — ~2x compute at
+    uniform, which is why callers flip adaptively (footer null-frac
+    probe) instead of unconditionally."""
+    from pyspark.sql import Window
+
+    s1, s2, s3 = stages
+    base = df.select(
+        key,
+        us_col,
+        tie_col,
+        F.col(stage_col).alias("_st"),
+        _chunk_id(us_col, chunk_us).alias("_chunk"),
+    )
+    w = (
+        Window.partitionBy(key, "_chunk")
+        .orderBy(us_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is1 = (F.col("_st") == s1).cast("int")
+    is2 = (F.col("_st") == s2).cast("int")
+    is3 = (F.col("_st") == s3).cast("int")
+    rv = F.max(is1).over(w)
+    flags = base.withColumn("_rv", rv)
+    flags = flags.withColumn(
+        "_rc0", F.max(((F.col("_st") == s2) & (F.col("_rv") == 1)).cast("int")).over(w)
+    )
+    flags = flags.withColumn(
+        "_rp0", F.max(((F.col("_st") == s3) & (F.col("_rc0") == 1)).cast("int")).over(w)
+    )
+    flags = flags.withColumn("_rc1", F.max(is2).over(w))
+    flags = flags.withColumn(
+        "_rp1", F.max(((F.col("_st") == s3) & (F.col("_rc1") == 1)).cast("int")).over(w)
+    )
+    per_chunk = flags.groupBy(key, "_chunk").agg(
+        F.max("_rv").alias("a1"),
+        F.max("_rc0").alias("a2"),
+        F.max("_rp0").alias("a3"),
+        F.max("_rc1").alias("b2"),
+        F.max("_rp1").alias("b3"),
+        F.max(is3).alias("c3"),
+    )
+    st = F.struct(
+        F.col("_chunk").alias("ch"),
+        F.col("a1").alias("a1"),
+        F.col("a2").alias("a2"),
+        F.col("a3").alias("a3"),
+        F.col("b2").alias("b2"),
+        F.col("b3").alias("b3"),
+        F.col("c3").alias("c3"),
+    )
+    final = F.aggregate(
+        F.array_sort(F.collect_list(st)),
+        F.lit(0),
+        lambda s, c: F.when(s >= 3, F.lit(3))
+        .when(
+            s == 2,
+            F.when(c.c3 == 1, F.lit(3)).otherwise(F.lit(2)),
+        )
+        .when(
+            s == 1,
+            F.when(c.b3 == 1, F.lit(3))
+            .when(c.b2 == 1, F.lit(2))
+            .otherwise(F.lit(1)),
+        )
+        .otherwise(
+            F.when(c.a3 == 1, F.lit(3))
+            .when(c.a2 == 1, F.lit(2))
+            .when(c.a1 == 1, F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    return per_chunk.groupBy(key).agg(final.alias("_s")).select(
+        key,
+        (F.col("_s") >= 1).cast("int").alias("m1"),
+        (F.col("_s") >= 2).cast("int").alias("m2"),
+        (F.col("_s") >= 3).cast("int").alias("m3"),
+    )

@@ -831,31 +831,69 @@ def weekly_cohort_retention(spark, sf_dir):
 )
 def funnel_conversion(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # data-adaptive window plan (r15 high-null soak: 6.3x at factor
+    # 100 / 50% NULL user_id — the chained running-max flags put the
+    # NULL slice in one task). Footer null-fraction probe as in
+    # gap_sessionization; dense-key corpora (every gate/bench SF) keep
+    # the registered plan byte-identical. The chunked state-machine
+    # twin (operators/skew.py:chunked_staged_funnel) is value-identical
+    # by monotone-state composition — exact integers end to end,
+    # equivalence pinned in tests/test_skew.py and oracle-gated on a
+    # half-null corpus.
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        _parquet_col_null_frac,
     )
-    s1 = events.withColumn(
-        "r1", F.max((F.col("event_type") == "view").cast("int")).over(w)
-    )
-    s2 = s1.withColumn(
-        "r2",
-        F.max(
-            ((F.col("event_type") == "click") & (F.col("r1") == 1)).cast("int")
-        ).over(w),
-    )
-    s3 = s2.withColumn(
-        "r3",
-        F.max(
-            ((F.col("event_type") == "purchase") & (F.col("r2") == 1)).cast("int")
-        ).over(w),
-    )
-    per_user = s3.groupBy("user_id").agg(
-        F.max("r1").alias("m1"),
-        F.max("r2").alias("m2"),
-        F.max("r3").alias("m3"),
-    )
+
+    nf = _parquet_col_null_frac(f"{sf_dir}/events.parquet", "user_id")
+    if nf is not None and nf < 0.10:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        s1 = events.withColumn(
+            "r1", F.max((F.col("event_type") == "view").cast("int")).over(w)
+        )
+        s2 = s1.withColumn(
+            "r2",
+            F.max(
+                ((F.col("event_type") == "click") & (F.col("r1") == 1)).cast(
+                    "int"
+                )
+            ).over(w),
+        )
+        s3 = s2.withColumn(
+            "r3",
+            F.max(
+                ((F.col("event_type") == "purchase") & (F.col("r2") == 1)).cast(
+                    "int"
+                )
+            ).over(w),
+        )
+        per_user = s3.groupBy("user_id").agg(
+            F.max("r1").alias("m1"),
+            F.max("r2").alias("m2"),
+            F.max("r3").alias("m3"),
+        )
+    else:
+        from amsterdam_map_data_wrangling_spark.operators.skew import (
+            chunked_staged_funnel,
+        )
+
+        base = events.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+        per_user = chunked_staged_funnel(
+            base,
+            "user_id",
+            "us",
+            "event_id",
+            "event_type",
+            ("view", "click", "purchase"),
+        )
     return per_user.agg(
         F.count("*").alias("n_users"),
         F.sum("m1").alias("reached_view"),

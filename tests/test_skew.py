@@ -343,7 +343,9 @@ def test_null_adaptive_window_plans_match_oracle_on_half_null_corpus(
         ts = t0 + datetime.timedelta(
             seconds=(eid * 977) % 90_000, microseconds=(eid * 131) % 1000
         )
-        rows.append((eid, uid, ts, ["click", "view", "error"][eid % 3]))
+        rows.append(
+            (eid, uid, ts, ["click", "view", "purchase", "view", "error"][eid % 5])
+        )
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, event_type string"
     )
@@ -358,7 +360,7 @@ def test_null_adaptive_window_plans_match_oracle_on_half_null_corpus(
         f"CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf}/events.parquet/*.parquet')"
     )
-    for name in ("gap_sessionization", "event_gap_stats"):
+    for name in ("gap_sessionization", "event_gap_stats", "funnel_conversion"):
         q = QUERIES[name]
         got = sorted(
             tuple(
@@ -373,3 +375,81 @@ def test_null_adaptive_window_plans_match_oracle_on_half_null_corpus(
             for r in con.sql(q.oracle).fetchall()
         )
         assert got == want and got, name
+
+
+def test_chunked_staged_funnel_matches_naive_chain(spark):
+    """The chunked state-machine funnel must equal the naive chained
+    running-max flags on a fixture exercising every transfer branch:
+    stages split across chunks in every order (view|click|purchase in
+    different chunks, qualifying and non-qualifying orderings),
+    out-of-order stages (purchase before view), ties at chunk
+    boundaries, NULL keys, and single-event users."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        chunked_staged_funnel,
+    )
+
+    rng = random.Random(41)
+    CH = 1_000
+    rows, eid = [], 0
+    keys = [None, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    for k in keys:
+        t = rng.randrange(0, 2 * CH)
+        for _ in range(rng.choice([1, 3, 30])):
+            t += rng.choice([0, 1, CH // 2, CH, 3 * CH])
+            st = rng.choice(
+                ["view", "click", "purchase", "error", "view", "click"]
+            )
+            rows.append((k, eid, t, st))
+            eid += 1
+    # deterministic hard cases: qualifying order split across chunks,
+    # and the non-qualifying purchase-first ordering
+    rows += [
+        (20, eid, 10, "view"), (20, eid + 1, 10 + 3 * CH, "click"),
+        (20, eid + 2, 10 + 6 * CH, "purchase"),
+        (21, eid + 3, 10, "purchase"), (21, eid + 4, 10 + 3 * CH, "click"),
+        (21, eid + 5, 10 + 6 * CH, "view"),
+        (22, eid + 6, 10, "click"), (22, eid + 7, 10 + 3 * CH, "view"),
+        (22, eid + 8, 10 + 3 * CH, "purchase"),  # tie with the view
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, st string")
+
+    got = {
+        r.k: (r.m1, r.m2, r.m3)
+        for r in chunked_staged_funnel(
+            df, "k", "t", "eid", "st", ("view", "click", "purchase"), CH
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = df.withColumn("r1", F.max((F.col("st") == "view").cast("int")).over(w))
+    s = s.withColumn(
+        "r2",
+        F.max(((F.col("st") == "click") & (F.col("r1") == 1)).cast("int")).over(w),
+    )
+    s = s.withColumn(
+        "r3",
+        F.max(
+            ((F.col("st") == "purchase") & (F.col("r2") == 1)).cast("int")
+        ).over(w),
+    )
+    want = {
+        r.k: (r.m1, r.m2, r.m3)
+        for r in s.groupBy("k")
+        .agg(
+            F.max("r1").alias("m1"),
+            F.max("r2").alias("m2"),
+            F.max("r3").alias("m3"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == len(keys) + 3
+    # the deterministic cases must land where the state machine says
+    assert want[20] == (1, 1, 1) and want[21][2] == 0 and None in got
