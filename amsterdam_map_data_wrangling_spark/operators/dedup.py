@@ -263,6 +263,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     collapse_exact: bool = True,
     expand_pairs: bool = True,
+    fingerprints: "DataFrame | None" = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
     signature-estimated Jaccard ≥ threshold.
@@ -317,16 +318,36 @@ def minhash_near_dup_pairs(
         fingerprint_cs,
     )
 
-    fp = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_t"),
-        fingerprint_cs(F.col(text_col)).alias("_f"),
-    )
+    # the fingerprint relation feeds FIVE consumers (the reps grouping,
+    # both clone-pair join legs, and both expansion membership legs) —
+    # without a lineage cut each one re-scans the corpus and re-runs
+    # the md5 (the r15 sf1 sweep measured the uncut form ~1.9x). The
+    # checkpointed frame is (id, 32-char md5) ONLY: the text rides a
+    # single min_by through the one collapse shuffle and never enters
+    # the checkpoint. Callers that already hold a checkpointed
+    # (id, fingerprint_cs) relation (e.g. the dedup_minhash_pairs gate,
+    # whose exact-recall invariant builds the identical frame) pass it
+    # as ``fingerprints`` to skip this scan entirely.
+    if fingerprints is not None:
+        fp = fingerprints.select(
+            F.col(fingerprints.columns[0]).alias("id"),
+            F.col(fingerprints.columns[1]).alias("_f"),
+        )
+    else:
+        fp = df.select(
+            F.col(id_col).alias("id"),
+            fingerprint_cs(F.col(text_col)).alias("_f"),
+        ).localCheckpoint(eager=False)
     # one representative (min id, its text) + multiplicity per distinct
     # normalized text; lazily checkpointed — it feeds the shingle
     # pipeline and the multiplicity/expansion joins
     reps = (
-        fp.groupBy("_f")
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            fingerprint_cs(F.col(text_col)).alias("_f"),
+        )
+        .groupBy("_f")
         .agg(
             F.min("id").alias("id"),
             F.min_by("_t", "id").alias("_t"),

@@ -309,17 +309,27 @@ def dedup_minhash_pairs(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     corpus = _with_copies(documents)
-    cand = minhash_near_dup_pairs(
-        corpus, "doc_id", "text", w=3, k=16, bands=4, threshold=0.5
-    )
     # the invariant's fingerprint relation feeds BOTH legs of its
     # self-join; without a lineage cut each leg re-scans the corpus and
     # re-computes the md5 (4 corpus scans total in the query). One lazy
     # checkpoint of the tiny (id, 32-char md5) frame removes two of them
-    # — measured ~25% off the whole query at sf0.1 (round 5).
+    # — measured ~25% off the whole query at sf0.1 (round 5). Since r15
+    # the SAME checkpointed frame also feeds the collapse-first
+    # candidate build (its internal fingerprint relation is identical),
+    # saving the operator's own scan+md5 pass.
     fp = corpus.select(
         F.col("doc_id"), fingerprint_cs(F.col("text")).alias("f")
     ).localCheckpoint(eager=False)
+    cand = minhash_near_dup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        w=3,
+        k=16,
+        bands=4,
+        threshold=0.5,
+        fingerprints=fp,
+    )
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("f"))
     exact_pairs = (
         fp.select(F.col("doc_id").alias("id_a"), "f")
