@@ -111,10 +111,53 @@ def sliding_window_by_type(spark, sf_dir):
 )
 def session_window_per_user(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
+    # data-adaptive plan (r15 high-null soak: 2.5x at factor 100 / 50%
+    # NULL user_id — the built-in session_window partitions by key
+    # internally, one task per key). Footer null-fraction probe as in
+    # gap_sessionization. The chunked twin replays session_window's
+    # MERGE RULE exactly: point-event windows [ts, ts+gap) merge iff
+    # the next event starts STRICTLY before the running end, i.e. same
+    # session iff consecutive diff < gap — in exact integer micros,
+    # diff <= gap-1, which is chunked_gap_sessionize with
+    # gap_us = 3_600_000_000 - 1 (ties at diff 0 are same-session in
+    # both). session_start = min event ts per session (w.start is the
+    # earliest event, not gap-extended); counts are exact integers.
+    # Value identity oracle-gated on a half-null corpus
+    # (tests/test_skew.py) and at both gate SFs.
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        _parquet_col_null_frac,
+    )
+
+    nf = _parquet_col_null_frac(f"{sf_dir}/events.parquet", "user_id")
+    if nf is not None and nf < 0.10:
+        return (
+            events.groupBy(
+                F.session_window("ts", "1 hour").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("num_events"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                "user_id",
+                "num_events",
+            )
+        )
+    from amsterdam_map_data_wrangling_spark.operators.skew import (
+        chunked_gap_sessionize,
+    )
+
+    base = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    sess = chunked_gap_sessionize(
+        base, "user_id", "us", "event_id", 3_600_000_000 - 1
+    )
     return (
-        events.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
-        .agg(F.count("*").alias("num_events"))
-        .select(F.col("w.start").alias("session_start"), "user_id", "num_events")
+        sess.groupBy("user_id", "sess_idx")
+        .agg(
+            F.timestamp_micros(F.min("us")).alias("session_start"),
+            F.count("*").alias("num_events"),
+        )
+        .select("session_start", "user_id", "num_events")
     )
 
 

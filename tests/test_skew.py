@@ -360,21 +360,18 @@ def test_null_adaptive_window_plans_match_oracle_on_half_null_corpus(
         f"CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf}/events.parquet/*.parquet')"
     )
-    for name in ("gap_sessionization", "event_gap_stats", "funnel_conversion"):
+    from tests.oracle import compare
+
+    for name in (
+        "gap_sessionization",
+        "event_gap_stats",
+        "funnel_conversion",
+        "session_window_per_user",
+    ):
         q = QUERIES[name]
-        got = sorted(
-            tuple(
-                round(v, 6) if isinstance(v, float) else v for v in r
-            )
-            for r in q.build(spark, str(sf)).collect()
-        )
-        want = sorted(
-            tuple(
-                round(v, 6) if isinstance(v, float) else v for v in r
-            )
-            for r in con.sql(q.oracle).fetchall()
-        )
-        assert got == want and got, name
+        df = q.build(spark, str(sf))
+        compare(df, con, q.oracle)  # the driver-mirror value gate
+        assert df.count() > 0, name
 
 
 def test_chunked_staged_funnel_matches_naive_chain(spark):
