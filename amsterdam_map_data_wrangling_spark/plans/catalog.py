@@ -230,14 +230,19 @@ _GATE_PRIORITY: list[str] = [
     #     order - their verdict window is r13, 2 distinct windows
     #     back after this round's front gates; parked immediately
     #     past the window so they are r16's entire front.
-    #     ADOPTION DECISION OWED AT r16 (when this cohort fronts):
-    #     the chunked skew levers for gap_sessionization-family
-    #     members of THIS park (event_gap_stats here;
-    #     gap_sessionization itself fronts r18 with the r11
-    #     cohort) - operators/skew.py:chunked_lag /
-    #     chunked_gap_sessionize, equivalence-pinned and
-    #     A/B-measured at three skew levels at r14 (crossover
-    #     ~10%-hot; registered plans faster at uniform).
+    #     LEVER ADOPTION RESOLVED IN-ROUND at r15 (so nothing is owed
+    #     at this cohort's r16 front beyond the standard re-gate): the
+    #     chunked window levers landed as DATA-ADAPTIVE plan choices -
+    #     event_gap_stats / funnel_conversion / session_window_per_user
+    #     (this park) and gap_sessionization (the r15 front) read the
+    #     key's NULL fraction from the parquet footers and pick the
+    #     chunked plan at >=10% nulls, the registered naive plan below
+    #     (which wins at uniform and <=10%-hot per the r14 crossover).
+    #     All four changed CODE with UNCHANGED oracles this round, so
+    #     the three park members re-gate here at r16 with their cohort
+    #     per the changed-code rule; safety net until then =
+    #     tests/test_skew.py half-null oracle gates + the r15 close
+    #     sweeps (150/150 green).
     "dedup_keep_canonical",
     "dedup_edit_refine",
     "audio_dims",
