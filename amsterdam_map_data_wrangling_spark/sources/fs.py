@@ -68,3 +68,97 @@ def list_files(
 def file_exists(spark: SparkSession, path: str) -> bool:
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.exists(hpath))
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer probes (pyarrow.fs — object-store capable)
+#
+# Driver-side, metadata-only reads used for DATA-ADAPTIVE plan choice
+# (r15: the chunked window levers pick their plan from the key's NULL
+# fraction; the wide-row levers from the max document width). r15
+# verdict "What's missing" #2: the original probes used os.listdir, so
+# on an object store they returned None and the plans silently paid the
+# bounded/chunked path even on dense keys. Ported here to pyarrow.fs so
+# the same probe works on any pyarrow-supported scheme (file://, s3://,
+# gs://, hdfs://) as well as bare local paths. Probes stay fail-safe:
+# ANY unexpected shape → None → callers take their bounded plan.
+# ---------------------------------------------------------------------------
+
+
+def _parquet_footers(path: str):
+    """Resolve ``path`` — a bare local path or any pyarrow-supported URI
+    — to a list of parquet footer metadata objects (one per file;
+    non-recursive directory layout, matching Spark's parquet output
+    shape). None when the path shape is unexpected or empty. Footer
+    reads are O(KB) per file regardless of data size: on an object
+    store this is one ranged GET per file, never a data scan."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, p = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, p = pafs.LocalFileSystem(), path
+    info = filesystem.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        files = [p]
+    elif info.type == pafs.FileType.Directory:
+        files = sorted(
+            i.path
+            for i in filesystem.get_file_info(pafs.FileSelector(p))
+            if i.is_file and i.path.endswith(".parquet")
+        )
+    else:
+        return None
+    if not files:
+        return None
+    return [pq.read_metadata(f, filesystem=filesystem) for f in files]
+
+
+def parquet_col_max(path: str, col: str) -> "int | None":
+    """MAX of a column from parquet footer statistics, driver-side (no
+    Spark job) — None when the path shape is unexpected or any row
+    group lacks the statistic, so callers fall back to a real scan or
+    their bounded plan. Handles a single parquet file and a
+    directory-of-files layout on any pyarrow filesystem."""
+    try:
+        footers = _parquet_footers(path)
+        if footers is None:
+            return None
+        mx = None
+        for md in footers:
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max if mx is None else max(mx, st.max)
+        return mx
+    except Exception:
+        return None
+
+
+def parquet_col_null_frac(path: str, col: str) -> "float | None":
+    """NULL fraction of a column from parquet footer statistics,
+    driver-side (no Spark job) — None when the path shape is unexpected
+    or any row group lacks a null count. Same probe family as
+    :func:`parquet_col_max`; used where a NULL-heavy key makes the
+    one-window-partition-per-key plan the wrong one (r15 high-null
+    soak)."""
+    try:
+        footers = _parquet_footers(path)
+        if footers is None:
+            return None
+        nulls = rows = 0
+        for md in footers:
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(idx).statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls += st.null_count
+                rows += g.num_rows
+        return (nulls / rows) if rows else 0.0
+    except Exception:
+        return None

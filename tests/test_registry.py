@@ -69,33 +69,33 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-15 evidence policy: the 50 r12-front queries (the oldest
-    # cohort — their last DISTINCT verdict window is r12, three windows
-    # back after this round's gates) take the whole front (carrying the
-    # two r15 oracle re-contracts, only legal in this — their own
-    # cohort-front — round); the r13-front cohort (verdict window r13)
-    # parks at slots 51-100 as r16's front; the freshly-gated r14
-    # cohort (the r11 window) appends unlisted at 101-150 (r17's
-    # front). (The general freshness invariant is asserted mechanically
-    # in tests/test_gate_freshness.py — this pins only the current
-    # round's specific obligations.)
+    # round-16 evidence policy: the 50 r13-front queries (the oldest
+    # cohort — their last DISTINCT verdict window is r13, three windows
+    # back after this round's gates) take the whole front (re-gating the
+    # three r15 adaptive window-lever code changes with their cohort:
+    # event_gap_stats, funnel_conversion, session_window_per_user); the
+    # r14-front cohort (verdict window r14, incl. the r15-changed
+    # gap_sessionization and minhash pair) parks at slots 51-100 as
+    # r17's front; the freshly-gated r15 cohort appends unlisted at
+    # 101-150 (r18's front). (The general freshness invariant is
+    # asserted mechanically in tests/test_gate_freshness.py — this pins
+    # only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r12 = set(json.loads((repo / "CORRECTNESS_r12.json").read_text()))
     r13 = set(json.loads((repo / "CORRECTNESS_r13.json").read_text()))
     r14 = set(json.loads((repo / "CORRECTNESS_r14.json").read_text()))
-    assert set(ordered[:50]) == r12, (
-        "round-15 window must be the 50 r12-front queries (the oldest "
+    r15 = set(json.loads((repo / "CORRECTNESS_r15.json").read_text()))
+    assert set(ordered[:50]) == r13, (
+        "round-16 window must be the 50 r13-front queries (the oldest "
         "cohort) verbatim"
     )
-    assert set(ordered[50:100]) == r13, (
-        "the r13-front cohort must park at slots 51-100 (r16's front)"
+    assert set(ordered[50:100]) == r14, (
+        "the r14-front cohort must park at slots 51-100 (r17's front)"
     )
-    assert set(ordered[100:]) == r14, (
-        "the freshly-gated r14 cohort (the r11 window) appends at "
-        "slots 101-150"
+    assert set(ordered[100:]) == r15, (
+        "the freshly-gated r15 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
 
