@@ -257,6 +257,65 @@ def read_warc_records(
     )
 
 
+def documents_from_warc(
+    spark: SparkSession,
+    path: str,
+    max_doc_chars: "int | None" = 1_048_576,
+    width_mode: str = "chunk",
+    skip_bad: bool = False,
+) -> DataFrame:
+    """The crawl→corpus ingest step: WARC response bodies under ``path``
+    as a documents-shaped relation ``(doc_id, text, lang, source,
+    n_chars [, part_idx, n_parts, oversize])`` — with DOCUMENT WIDTH
+    BOUNDED AT INGEST by default (r16 guardrail; r15 verdict perf-weak:
+    the wide-row soak proved post-scan levers cap a kernel but only
+    layout caps the atomic scan of a huge row, and ingest is where
+    layout is decided).
+
+    ``max_doc_chars`` + ``width_mode="chunk"`` routes oversized bodies
+    through :func:`operators.widerow.bound_doc_width`: parts reassemble
+    byte-for-byte, token streams are never cut, and ``(doc_id,
+    part_idx)`` is the downstream row identity. ``width_mode="flag"``
+    keeps rows whole and marks ``oversize`` (audit/quarantine form).
+    ``max_doc_chars=None`` disables the guardrail explicitly — the
+    caller owns the stragglers.
+
+    ``doc_id`` is ``xxhash64(archive, record_id)`` — deterministic and
+    collision-checkable downstream (exact dedup gates on fingerprints
+    anyway). ``lang`` ships as ``'und'``: language-ID is a separate
+    scored stage (``plans/text.lang_id_confusion``), not an ingest
+    guess. Bodies decode as UTF-8 with replacement (binary→string
+    cast), the crawl reality where declared charsets lie.
+
+    Scale: binaryFile scan → Arrow-batched shred → narrow projection;
+    the guardrail's wide branch shuffles only oversized docs' bytes.
+    One task per WARC via :func:`read_warc_records`; for one giant WARC
+    use sources/warc_split.py and feed its rows to the same projection."""
+    recs = read_warc_records(spark, path, skip_bad=skip_bad)
+    docs = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_body").isNotNull()
+        )
+        .select(
+            F.xxhash64("archive", "record_id").alias("doc_id"),
+            F.col("http_body").cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+            F.element_at(F.split(F.col("archive"), "/"), -1).alias("source"),
+        )
+    )
+    if max_doc_chars is not None:
+        from amsterdam_map_data_wrangling_spark.operators.widerow import (
+            bound_doc_width,
+        )
+
+        docs = bound_doc_width(
+            docs, "doc_id", "text", max_doc_chars, mode=width_mode
+        )
+    # n_chars LAST: in chunk mode it must describe the bounded part
+    return docs.withColumn("n_chars", F.length("text").cast("long"))
+
+
 WARC_STATS_SCHEMA = (
     "doc_id long, n_records long, sum_clen long, body_md5_sum long"
 )

@@ -311,3 +311,67 @@ def test_many_warc_ingest_parallelism(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == len(want)
     assert {r.record_id for r in rows} == want
+
+
+def test_documents_from_warc_guardrail(spark, tmp_path):
+    """The crawl→corpus ingest step (r16): WARC response bodies become a
+    documents-shaped relation with width bounded AT INGEST — oversized
+    bodies arrive as byte-exact reassemblable parts, narrow ones
+    untouched; non-response records never become documents."""
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        documents_from_warc,
+    )
+
+    small = b"HTTP/1.1 200 OK\r\n\r\n" + b"tiny page body"
+    big_text = " ".join(f"w{i}" for i in range(4_000)).encode()
+    big = b"HTTP/1.1 200 OK\r\n\r\n" + big_text
+    records = (
+        _warc_record("aaa", "warcinfo", "", b"software: test")
+        + _warc_record("s1", "response", "http://a/", small,
+                       content_type="application/http; msgtype=response")
+        + _warc_record("b1", "response", "http://b/", big,
+                       content_type="application/http; msgtype=response")
+        + _warc_record("req", "request", "http://a/", b"GET /")
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00001.warc").write_bytes(records)
+
+    docs = documents_from_warc(spark, str(d), max_doc_chars=5_000)
+    rows = docs.collect()
+    assert docs.columns == [
+        "doc_id", "text", "lang", "source",
+        "part_idx", "n_parts", "oversize", "n_chars",
+    ]
+    # only the two responses produce documents
+    assert len({r.doc_id for r in rows}) == 2
+    assert all(r.source == "seg-00001.warc" and r.lang == "und" for r in rows)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {
+        min(p.part_idx for p in parts): parts
+        for parts in by_doc.values()
+    }
+    whole = {
+        "".join(p.text for p in sorted(parts, key=lambda r: r.part_idx))
+        for parts in by_doc.values()
+    }
+    assert whole == {"tiny page body", big_text.decode()}
+    n_parts = sorted(len(p) for p in by_doc.values())
+    assert n_parts[0] == 1 and n_parts[1] >= 2, "big body must split"
+    assert all(r.n_chars == len(r.text) for r in rows)
+    assert all(len(r.text) <= 5_000 for r in rows)
+    assert not any(r.oversize for r in rows)
+
+    # flag mode: rows stay whole, oversize marked
+    flagged = documents_from_warc(
+        spark, str(d), max_doc_chars=5_000, width_mode="flag"
+    ).collect()
+    assert {r.oversize for r in flagged} == {True, False}
+    assert len(flagged) == 2
+
+    # guardrail explicitly off
+    off = documents_from_warc(spark, str(d), max_doc_chars=None)
+    assert off.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert off.count() == 2

@@ -297,3 +297,98 @@ def test_unigram_wide_path_matches_registered_and_oracle(spark, tmp_path):
     assert len(got) == len(want) == 16
     for g, w in zip(got, want):
         assert g[:2] == w[:2] and abs(g[2] - w[2]) < 1e-9, (g, w)
+
+
+# ---------------------------------------------------------------------------
+# bound_doc_width — the r16 ingest-width guardrail
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def guardrail_corpus(spark):
+    rows = [
+        (1, _word_stream(1, 10), "en", "a"),       # narrow: untouched
+        (2, "", "en", "a"),                        # empty text
+        (3, _word_stream(3, 4_000), "nl", "b"),    # wide: multi-part
+        (4, _word_stream(4, 1_200), "en", "b"),    # wide: 2 parts
+        (5, "y" * 30_000, "de", "c"),              # one giant token: loud
+        (6, _word_stream(6, 900), "en", "c"),      # exactly at the cap edge
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_bound_doc_width_chunk_reassembles_exactly(spark, guardrail_corpus):
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        bound_doc_width,
+    )
+
+    cap = 6_000
+    out = bound_doc_width(
+        guardrail_corpus, "doc_id", "text", max_doc_chars=cap, mode="chunk"
+    ).collect()
+    src = {r.doc_id: r for r in guardrail_corpus.collect()}
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(src), "no document may vanish or appear"
+    for did, parts in by_doc.items():
+        parts.sort(key=lambda r: r.part_idx)
+        # ordered parts reassemble byte-for-byte
+        assert "".join(p.text for p in parts) == src[did].text
+        assert [p.part_idx for p in parts] == list(range(len(parts)))
+        assert all(p.n_parts == len(parts) for p in parts)
+        # passenger columns ride along unchanged
+        assert all(
+            (p.lang, p.source) == (src[did].lang, src[did].source)
+            for p in parts
+        )
+        for p in parts:
+            if len(p.text) > cap:
+                # only the no-token-boundary pathology may exceed the
+                # cap, and it must be LOUD
+                assert p.n_parts == 1 and p.oversize
+            else:
+                assert not p.oversize
+    # the fixture exercises real splits and the loud path
+    assert max(len(p) for p in by_doc.values()) >= 3
+    assert any(r.oversize for r in out)
+    # narrow docs are single-part
+    assert len(by_doc[1]) == 1 and by_doc[1][0].part_idx == 0
+
+    # token streams concatenate exactly (no token is ever cut)
+    from amsterdam_map_data_wrangling_spark.functions.text import tokens as _tk
+
+    tok_src = {
+        r.doc_id: r.t
+        for r in guardrail_corpus.select(
+            "doc_id", _tk(F.col("text")).alias("t")
+        ).collect()
+    }
+    for did, parts in by_doc.items():
+        if src[did].text == "":
+            continue  # tokens('') is [''] engine-side; nothing to split
+        got: list[str] = []
+        for p in parts:
+            s = p.text.strip()
+            got.extend(s.split()) if s else None
+        assert got == tok_src[did], f"token stream changed for doc {did}"
+
+
+def test_bound_doc_width_flag_mode_and_validation(spark, guardrail_corpus):
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        bound_doc_width,
+    )
+
+    flagged = bound_doc_width(
+        guardrail_corpus, "doc_id", "text", max_doc_chars=6_000, mode="flag"
+    )
+    assert flagged.columns == [*guardrail_corpus.columns, "oversize"]
+    got = {r.doc_id: r.oversize for r in flagged.collect()}
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: True, 6: False}
+    assert flagged.count() == guardrail_corpus.count()
+
+    with pytest.raises(ValueError, match="mode"):
+        bound_doc_width(guardrail_corpus, mode="quarantine")
