@@ -46,6 +46,45 @@ def compaction_plan(
     return [paths for _used, paths in bins]
 
 
+def should_compact(
+    sizes: list[tuple[str, int]],
+    target_bytes: int = 128 * 1024 * 1024,
+    filecount_slack: float = 4.0,
+    min_excess_files: int = 64,
+) -> dict:
+    """The WHEN of compaction, measured not guessed (r16 many-small-files
+    axis, ``scripts/archive/smallfiles_soak_r16.json``): the full
+    150-query catalog over the same sf0.1 bytes ran ~1.4x slower at
+    ~400x the ideal file count and ~3.1x slower at ~3,000x (14 queries
+    blew the 4 s budget), and compacting back to the ideal layout
+    restored the baseline — the entire degradation is per-file fixed
+    cost (listing, footer reads, open cost, task scheduling), so the
+    decision variable is the FILE-COUNT RATIO ``n_files /
+    ideal_files``, not byte volume.
+
+    Returns the audit dict ``{n_files, total_bytes, ideal_files,
+    filecount_ratio, compact}``. ``compact`` is True when the layout
+    holds more than ``filecount_slack``x the ideal count AND the excess
+    is at least ``min_excess_files`` (a 3-file table at 12x ideal is
+    noise, not a maintenance job; a 17,000-file table at 4x pays for
+    its one rewrite pass within a few catalog passes — the measured
+    break-even: compacting the 17k-file twin cost ~2 catalog passes of
+    wall and returned ~2.1 normalized passes of savings per subsequent
+    pass). Driver-side metadata math only — callers feed it the same
+    ``list_files`` listing :func:`compact_parquet_dir` consumes."""
+    n = len(sizes)
+    total = sum(sz for _p, sz in sizes)
+    ideal = max(1, -(-total // target_bytes))  # ceil
+    ratio = n / ideal
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "ideal_files": ideal,
+        "filecount_ratio": round(ratio, 1),
+        "compact": ratio > filecount_slack and (n - ideal) >= min_excess_files,
+    }
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     src_dir: str,
@@ -68,11 +107,35 @@ def compact_parquet_dir(
         if p.endswith(".parquet")
     ]
     groups = compaction_plan(files, target_bytes)
-    total = 0
     for i, group in enumerate(groups):
         df = spark.read.parquet(*group).coalesce(1)
         df.write.mode("append" if i else "overwrite").parquet(dst_dir)
-        total += df.count()
+    # audit row count from the OUTPUT's parquet footers (pyarrow,
+    # driver-side, metadata-only) — the original per-group df.count()
+    # re-read every input group a second time, doubling the data moved
+    # (r16 small-files run: ~half of a 123 s compaction was the audit)
+    import pyarrow.parquet as pq
+
+    def _rows(hadoop_path: str) -> int:
+        # Hadoop's Path.toString says "file:/x" (single slash) for
+        # local; pyarrow wants a bare path or a proper "scheme://" URI
+        if hadoop_path.startswith("file:"):
+            p = hadoop_path[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+            return pq.read_metadata(p).num_rows
+        if "://" in hadoop_path:
+            from pyarrow import fs as pafs
+
+            filesystem, p = pafs.FileSystem.from_uri(hadoop_path)
+            return pq.read_metadata(p, filesystem=filesystem).num_rows
+        return pq.read_metadata(hadoop_path).num_rows
+
+    total = sum(
+        _rows(p)
+        for p, _sz in list_files(spark, dst_dir)
+        if p.endswith(".parquet")
+    )
     return {
         "n_input_files": len(files),
         "n_groups": len(groups),

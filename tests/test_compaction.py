@@ -67,3 +67,27 @@ def test_compact_parquet_dir_round_trip(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     want = sorted(tuple(r) for r in base.collect())
     assert got == want
+
+
+def test_should_compact_thresholds():
+    from amsterdam_map_data_wrangling_spark.operators.compaction import (
+        should_compact,
+    )
+
+    # 17k-file pathology: tiny files, huge ratio -> compact
+    many = [(f"f{i}", 10_000) for i in range(17_000)]
+    d = should_compact(many, target_bytes=128 * 1024 * 1024)
+    assert d["compact"] and d["ideal_files"] == 2
+    assert d["n_files"] == 17_000 and d["filecount_ratio"] == 8500.0
+
+    # well-laid-out table: ~target-sized files -> leave alone
+    good = [(f"g{i}", 120 * 1024 * 1024) for i in range(40)]
+    assert not should_compact(good)["compact"]
+
+    # high ratio but trivially few files -> noise, not a job
+    tiny = [("a", 1_000), ("b", 1_000), ("c", 1_000)]
+    t = should_compact(tiny)
+    assert t["filecount_ratio"] == 3.0 and not t["compact"]
+
+    # empty listing -> nothing to do
+    assert not should_compact([])["compact"]
