@@ -93,6 +93,41 @@ def _memo_put(key: tuple, value: object) -> None:
     _GRAPH_MEMO[key] = value
 
 
+#: per-key build locks (r16 concurrent-catalog probe): the memo's
+#: check-then-act was race-free in value (both builds yield equivalent
+#: checkpointed relations; last put wins) but not in COST — a real
+#: cluster runs the catalog concurrently, and two consumers missing the
+#: same key both paid the full blocking+checkpoint build. Double-checked
+#: locking serializes builders of the SAME key only; different keys
+#: build in parallel. The master lock guards only the lock-dict itself.
+import threading as _threading  # noqa: E402
+
+_GRAPH_MEMO_MASTER = _threading.Lock()
+_GRAPH_MEMO_LOCKS: dict[tuple, "_threading.Lock"] = {}
+
+
+def _memo_lock(key: tuple) -> "_threading.Lock":
+    with _GRAPH_MEMO_MASTER:
+        return _GRAPH_MEMO_LOCKS.setdefault(key, _threading.Lock())
+
+
+def memo_get_or_build(key: tuple, build):
+    """Shared-memo read with a per-key build critical section: at most
+    one caller per key runs ``build()``; the rest block on the lock and
+    read the freshly-stored value. (A thread still holding a lock object
+    evicted by :func:`clear_graph_memo` only risks one duplicate build
+    right after a clear — a perf hiccup, never a wrong value.)"""
+    v = _GRAPH_MEMO.get(key)
+    if v is not None:
+        return v
+    with _memo_lock(key):
+        v = _GRAPH_MEMO.get(key)
+        if v is None:
+            v = build()
+            _memo_put(key, v)
+        return v
+
+
 def clear_graph_memo() -> None:
     """Drop every memoized graph relation (checkpoint blocks are
     reclaimed by the ContextCleaner once unreferenced). bench.py calls
@@ -101,6 +136,8 @@ def clear_graph_memo() -> None:
     instead of the warm pass hiding pair generation from the timings
     entirely."""
     _GRAPH_MEMO.clear()
+    with _GRAPH_MEMO_MASTER:
+        _GRAPH_MEMO_LOCKS.clear()
 
 
 def _table_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
@@ -153,20 +190,25 @@ def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
     key = _memo_key(spark, sf_dir, "pairs", w, df_cap)
     cached = _GRAPH_MEMO.get(key)  # (threshold, DataFrame) | None
     if cached is None or cached[0] > threshold:
-        (documents,) = _t(spark, sf_dir, "documents")
-        # EAGER checkpoint, deliberately: the consumers include iterative
-        # plans (pagerank) whose broadcast-exchange jobs and per-iteration
-        # stages each hit the boundary BEFORE a lazy checkpoint would have
-        # materialized — measured 13.3 s cold vs 2.5 s eager at sf0.1 for
-        # near_dup_pagerank (the lazy RDD re-derived the full blocking
-        # lineage per job). The pair relation is tiny (linear in true
-        # near-dups), so the one materialization job is noise.
-        pairs = ngram_jaccard_pairs(
-            documents, "doc_id", "text", w=w, threshold=threshold,
-            df_cap=df_cap,
-        ).localCheckpoint()
-        _memo_put(key, (threshold, pairs))
-        return pairs
+        with _memo_lock(key):
+            cached = _GRAPH_MEMO.get(key)  # double-check under the lock
+            if cached is None or cached[0] > threshold:
+                (documents,) = _t(spark, sf_dir, "documents")
+                # EAGER checkpoint, deliberately: the consumers include
+                # iterative plans (pagerank) whose broadcast-exchange jobs
+                # and per-iteration stages each hit the boundary BEFORE a
+                # lazy checkpoint would have materialized — measured
+                # 13.3 s cold vs 2.5 s eager at sf0.1 for
+                # near_dup_pagerank (the lazy RDD re-derived the full
+                # blocking lineage per job). The pair relation is tiny
+                # (linear in true near-dups), so the one materialization
+                # job is noise.
+                pairs = ngram_jaccard_pairs(
+                    documents, "doc_id", "text", w=w, threshold=threshold,
+                    df_cap=df_cap,
+                ).localCheckpoint()
+                _memo_put(key, (threshold, pairs))
+                return pairs
     base_threshold, pairs = cached
     if base_threshold == threshold:
         return pairs
@@ -179,12 +221,14 @@ def shared_jaccard_components(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
     size histogram) each read the same label relation, whose backing
     blocks were cut by CC's own convergence-certificate action."""
     key = _memo_key(spark, sf_dir, ("cc", threshold), w, df_cap)
-    comp = _GRAPH_MEMO.get(key)
-    if comp is None:
-        pairs = shared_jaccard_pairs(spark, sf_dir, w, threshold, df_cap)
-        comp = connected_components(pairs)
-        _memo_put(key, comp)
-    return comp
+    # nested locking is acyclic: the cc build waits on the pairs key,
+    # never the reverse
+    return memo_get_or_build(
+        key,
+        lambda: connected_components(
+            shared_jaccard_pairs(spark, sf_dir, w, threshold, df_cap)
+        ),
+    )
 
 
 @query(

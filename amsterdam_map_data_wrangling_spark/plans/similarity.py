@@ -35,17 +35,12 @@ def _corpus_count(spark, sf_dir, embeddings) -> int:
     (a rewritten corpus re-counts), and (c) bench.py's per-pass
     clear_graph_memo() keeps the bench honest — one count per pass."""
     from amsterdam_map_data_wrangling_spark.plans.dedup import (
-        _GRAPH_MEMO,
         _memo_key,
-        _memo_put,
+        memo_get_or_build,
     )
 
     key = _memo_key(spark, sf_dir, "emb_count", None, None, table="embeddings")
-    n = _GRAPH_MEMO.get(key)
-    if n is None:
-        n = embeddings.count()
-        _memo_put(key, n)
-    return n
+    return memo_get_or_build(key, embeddings.count)
 
 
 def _hot_codes(
@@ -61,27 +56,25 @@ def _hot_codes(
     from pyspark.sql import functions as F
 
     from amsterdam_map_data_wrangling_spark.plans.dedup import (
-        _GRAPH_MEMO,
         _memo_key,
-        _memo_put,
+        memo_get_or_build,
     )
 
     key = _memo_key(
         spark, sf_dir, f"hot_codes_{bits}_{min_rows}", None, None,
         table="embeddings",
     )
-    v = _GRAPH_MEMO.get(key)
-    if v is None:
-        v = [
+    return memo_get_or_build(
+        key,
+        lambda: [
             r["code"]
             for r in coded.groupBy("code")
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") >= min_rows)
             .select("code")
             .collect()
-        ]
-        _memo_put(key, v)
-    return v
+        ],
+    )
 
 
 def _adaptive_sign_bits(n: int, target_bucket: int = 32) -> int:
