@@ -257,6 +257,68 @@ def read_warc_records(
     )
 
 
+def _documents_from_member_rows(
+    rows: DataFrame,
+    id_cols: "list[str]",
+    body_col: str,
+    source_expr,
+    max_doc_chars: "int | None",
+    width_mode: str,
+) -> DataFrame:
+    """Shared projection from an archive-member relation to the
+    documents shape, with the ingest-width guardrail applied — the
+    common tail of :func:`documents_from_warc` and
+    :func:`documents_from_archives`."""
+    docs = rows.select(
+        F.xxhash64(*id_cols).alias("doc_id"),
+        F.col(body_col).cast("string").alias("text"),
+        F.lit("und").alias("lang"),
+        source_expr.alias("source"),
+    )
+    if max_doc_chars is not None:
+        from amsterdam_map_data_wrangling_spark.operators.widerow import (
+            bound_doc_width,
+        )
+
+        docs = bound_doc_width(
+            docs, "doc_id", "text", max_doc_chars, mode=width_mode
+        )
+    # n_chars LAST: in chunk mode it must describe the bounded part
+    return docs.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def documents_from_archives(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "zip",
+    max_doc_chars: "int | None" = 1_048_576,
+    width_mode: str = "chunk",
+    skip_bad: bool = False,
+) -> DataFrame:
+    """The bundle→corpus twin of :func:`documents_from_warc`: every
+    member of every zip/tar under ``path`` as a documents-shaped row
+    ``(doc_id, text, lang, source, n_chars [, part_idx, n_parts,
+    oversize])`` with DOCUMENT WIDTH BOUNDED AT INGEST by default (the
+    r16 guardrail — see :func:`documents_from_warc` for the contract;
+    same ``doc_id = xxhash64(archive, member)``, same UTF-8-with-
+    replacement decode, same ``(doc_id, part_idx)`` downstream
+    identity). ``fmt`` is ``"zip"`` or ``"tar"``."""
+    if fmt == "zip":
+        rows = read_zip_members(spark, path, skip_bad=skip_bad)
+    elif fmt == "tar":
+        rows = read_tar_members(spark, path, skip_bad=skip_bad)
+    else:
+        raise ValueError(f"fmt must be 'zip' or 'tar', got {fmt!r}")
+    return _documents_from_member_rows(
+        rows,
+        ["archive", "member"],
+        "payload",
+        F.element_at(F.split(F.col("archive"), "/"), -1),
+        max_doc_chars,
+        width_mode,
+    )
+
+
 def documents_from_warc(
     spark: SparkSession,
     path: str,
@@ -292,28 +354,17 @@ def documents_from_warc(
     One task per WARC via :func:`read_warc_records`; for one giant WARC
     use sources/warc_split.py and feed its rows to the same projection."""
     recs = read_warc_records(spark, path, skip_bad=skip_bad)
-    docs = (
+    return _documents_from_member_rows(
         recs.filter(
             (F.col("warc_type") == "response")
             & F.col("http_body").isNotNull()
-        )
-        .select(
-            F.xxhash64("archive", "record_id").alias("doc_id"),
-            F.col("http_body").cast("string").alias("text"),
-            F.lit("und").alias("lang"),
-            F.element_at(F.split(F.col("archive"), "/"), -1).alias("source"),
-        )
+        ),
+        ["archive", "record_id"],
+        "http_body",
+        F.element_at(F.split(F.col("archive"), "/"), -1),
+        max_doc_chars,
+        width_mode,
     )
-    if max_doc_chars is not None:
-        from amsterdam_map_data_wrangling_spark.operators.widerow import (
-            bound_doc_width,
-        )
-
-        docs = bound_doc_width(
-            docs, "doc_id", "text", max_doc_chars, mode=width_mode
-        )
-    # n_chars LAST: in chunk mode it must describe the bounded part
-    return docs.withColumn("n_chars", F.length("text").cast("long"))
 
 
 WARC_STATS_SCHEMA = (

@@ -375,3 +375,51 @@ def test_documents_from_warc_guardrail(spark, tmp_path):
     off = documents_from_warc(spark, str(d), max_doc_chars=None)
     assert off.columns == ["doc_id", "text", "lang", "source", "n_chars"]
     assert off.count() == 2
+
+
+def test_documents_from_archives_zip_and_tar(spark, tmp_path):
+    """The bundle→corpus twin: zip/tar members become width-bounded
+    documents through the same guardrail tail as the WARC path."""
+    import io
+    import tarfile
+    import zipfile
+
+    from amsterdam_map_data_wrangling_spark.sources.archives import (
+        documents_from_archives,
+    )
+
+    big = " ".join(f"t{i}" for i in range(4_000))
+    d = tmp_path / "bundles"
+    d.mkdir()
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("docs/a.txt", "tiny zip doc")
+        zf.writestr("docs/b.txt", big)
+    (d / "bundle-1.zip").write_bytes(zbuf.getvalue())
+
+    docs = documents_from_archives(spark, str(d), max_doc_chars=5_000)
+    rows = docs.collect()
+    assert len({r.doc_id for r in rows}) == 2
+    assert all(r.source == "bundle-1.zip" for r in rows)
+    whole = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.part_idx)):
+        whole[r.doc_id] = whole.get(r.doc_id, "") + r.text
+    assert set(whole.values()) == {"tiny zip doc", big}
+    assert all(len(r.text) <= 5_000 for r in rows)
+    assert any(r.n_parts > 1 for r in rows), "big member must split"
+
+    t = tmp_path / "tars"
+    t.mkdir()
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        data = b"tar member text"
+        info = tarfile.TarInfo("m.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    (t / "corpus.tar.gz").write_bytes(tbuf.getvalue())
+    tdocs = documents_from_archives(spark, str(t), fmt="tar").collect()
+    assert len(tdocs) == 1 and tdocs[0].text == "tar member text"
+    assert tdocs[0].source == "corpus.tar.gz"
+
+    with pytest.raises(ValueError, match="fmt"):
+        documents_from_archives(spark, str(d), fmt="rar")
