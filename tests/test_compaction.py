@@ -91,3 +91,37 @@ def test_should_compact_thresholds():
 
     # empty listing -> nothing to do
     assert not should_compact([])["compact"]
+
+
+def test_compact_if_needed_paths(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.compaction import (
+        compact_if_needed,
+    )
+
+    # pathological layout: 80 tiny files -> compacts
+    src = str(tmp_path / "src")
+    spark.range(2_000).withColumn("v", F.col("id") * 2).repartition(
+        80
+    ).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    audit = compact_if_needed(
+        spark, src, dst, target_bytes=64 * 1024 * 1024, min_excess_files=16
+    )
+    assert audit["compacted"] and audit["n_input_files"] == 80
+    assert audit["n_output_rows"] == 2_000
+    got = spark.read.parquet(dst)
+    assert got.count() == 2_000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2_000 * 1_999
+
+    # healthy layout: decision is a no-op, dst untouched
+    healthy = str(tmp_path / "healthy")
+    spark.range(100).coalesce(1).write.parquet(healthy)
+    audit2 = compact_if_needed(
+        spark, healthy, str(tmp_path / "never"), min_excess_files=16
+    )
+    assert not audit2["compacted"]
+    import os
+
+    assert not os.path.exists(str(tmp_path / "never"))
