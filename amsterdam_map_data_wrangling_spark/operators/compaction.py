@@ -92,6 +92,7 @@ def compact_if_needed(
     target_bytes: int = 128 * 1024 * 1024,
     filecount_slack: float = 4.0,
     min_excess_files: int = 64,
+    recursive: bool = False,
 ) -> dict:
     """The maintenance-pass entry point: one listing decides
     (:func:`should_compact`) and, only when the layout warrants it, one
@@ -105,17 +106,15 @@ def compact_if_needed(
     per table per maintenance window keeps the lake inside the measured
     flat band without rewriting healthy tables (the no-op path is a
     driver-side listing, no Spark job)."""
-    files = [
-        (p, sz)
-        for p, sz in list_files(spark, src_dir)
-        if p.endswith(".parquet")
-    ]
+    files = list_files(spark, src_dir, suffix=".parquet", recursive=recursive)
     decision = should_compact(
         files, target_bytes, filecount_slack, min_excess_files
     )
     if not decision["compact"]:
         return {**decision, "compacted": False}
-    audit = compact_parquet_dir(spark, src_dir, dst_dir, target_bytes)
+    audit = compact_parquet_dir(
+        spark, src_dir, dst_dir, target_bytes, recursive=recursive
+    )
     return {**decision, **audit, "compacted": True}
 
 
@@ -124,6 +123,7 @@ def compact_parquet_dir(
     src_dir: str,
     dst_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    recursive: bool = False,
 ) -> dict[str, int]:
     """Compact every ``*.parquet`` under ``src_dir`` into ``dst_dir``
     with one output file per planned group (singleton groups of
@@ -135,11 +135,11 @@ def compact_parquet_dir(
     merges partitions map-side)."""
     # Hadoop-FS listing (not os.listdir) so the maintenance job runs
     # against hdfs:// / s3a:// tables, not just the driver's disk.
-    files = [
-        (p, sz)
-        for p, sz in list_files(spark, src_dir)
-        if p.endswith(".parquet")
-    ]
+    # recursive=True consumes partitioned / per-epoch sink trees
+    # (epoch=<id>/part-*.parquet) as one flat compaction input — right
+    # for FINISHED ingests; an active stream's epoch dirs must keep
+    # their per-epoch overwrite idempotence, so compact only aged trees.
+    files = list_files(spark, src_dir, suffix=".parquet", recursive=recursive)
     groups = compaction_plan(files, target_bytes)
     for i, group in enumerate(groups):
         df = spark.read.parquet(*group).coalesce(1)

@@ -52,16 +52,35 @@ def read_text_file(spark: SparkSession, path: str) -> str:
 
 
 def list_files(
-    spark: SparkSession, dir_path: str, suffix: str | None = None
+    spark: SparkSession,
+    dir_path: str,
+    suffix: str | None = None,
+    recursive: bool = False,
 ) -> list[tuple[str, int]]:
-    """Non-recursive (path, size_bytes) listing of plain files under
-    ``dir_path`` on any Hadoop scheme, sorted by path for deterministic
-    downstream planning."""
+    """(path, size_bytes) listing of plain files under ``dir_path`` on
+    any Hadoop scheme, sorted by path for deterministic downstream
+    planning. ``recursive=True`` (r16) walks subdirectories via the
+    FileSystem's own listFiles iterator — the shape a partitioned or
+    per-epoch streaming-sink tree has (``epoch=<id>/part-*.parquet``),
+    so compaction can consume it directly."""
     fs, hpath = _fs_and_path(spark, dir_path)
     out: list[tuple[str, int]] = []
-    for status in fs.listStatus(hpath):
-        if status.isFile():
-            out.append((status.getPath().toString(), int(status.getLen())))
+    if recursive:
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            status = it.next()
+            if status.isFile():
+                out.append(
+                    (status.getPath().toString(), int(status.getLen()))
+                )
+    else:
+        for status in fs.listStatus(hpath):
+            if status.isFile():
+                out.append(
+                    (status.getPath().toString(), int(status.getLen()))
+                )
+    if suffix is not None:
+        out = [(p, sz) for p, sz in out if p.endswith(suffix)]
     return sorted(out)
 
 

@@ -125,3 +125,59 @@ def test_compact_if_needed_paths(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "never"))
+
+
+def test_streaming_epoch_tree_compacts_byte_identically(spark, tmp_path):
+    """The composed lifecycle (r16 axis → fix, end to end): a ranged
+    streaming ingest leaves a per-epoch small-files tree; the
+    maintenance pass (compact_if_needed, recursive) flattens an AGED
+    tree into target-sized files with the corpus content byte-identical.
+    Active streams keep their epoch dirs (idempotent overwrite); only
+    finished ingests compact."""
+    import hashlib
+
+    from amsterdam_map_data_wrangling_spark.operators.compaction import (
+        compact_if_needed,
+    )
+    from amsterdam_map_data_wrangling_spark.streaming.ingest import (
+        start_ranged_warc_ingest,
+    )
+
+    from .test_archives import _warc_record
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    for a in range(3):
+        (land / f"shard_{a}.warc").write_bytes(
+            b"".join(
+                _warc_record(f"s{a}r{i}", "metadata", f"http://s{a}/{i}",
+                             (f"payload {a}:{i} ".encode()) * 40)
+                for i in range(5)
+            )
+        )
+        # one epoch per shard: maxFilesPerTrigger=1
+        q = start_ranged_warc_ingest(
+            spark, str(land), out, ckpt, split_bytes=2048,
+            max_files_per_trigger=1, available_now=True,
+        )
+        q.awaitTermination()
+
+    def corpus(path):
+        return {
+            (r.record_id, hashlib.md5(bytes(r.payload)).hexdigest())
+            for r in spark.read.parquet(path).collect()
+        }
+
+    before = corpus(out)
+    assert len(before) == 15
+
+    dst = str(tmp_path / "compacted")
+    audit = compact_if_needed(
+        spark, out, dst, min_excess_files=4, recursive=True
+    )
+    assert audit["compacted"], f"epoch tree must trip the threshold: {audit}"
+    assert audit["n_input_files"] > audit["n_groups"]
+    assert corpus(dst) == before
+    assert audit["n_output_rows"] == 15
