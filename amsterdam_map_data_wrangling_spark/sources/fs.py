@@ -104,13 +104,27 @@ def file_exists(spark: SparkSession, path: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _parquet_footers(path: str):
+#: footer-probe file-count budget: the probe must stay O(bounded), not
+#: O(n_files) — on a many-small-files table (the r16 axis measured 17k
+#: files for 17 MB) an exact probe would issue one ranged GET per file,
+#: costing more than the plan choice saves. Past the budget the probe
+#: answers None and every adaptive caller takes its ROBUST plan
+#: (chunked windows / segmented kernels), which is value-identical by
+#: the oracle gates and the right default on a layout that degenerate.
+PROBE_MAX_FILES = 64
+
+
+def _parquet_footers(path: str, max_files: int = PROBE_MAX_FILES):
     """Resolve ``path`` — a bare local path or any pyarrow-supported URI
     — to a list of parquet footer metadata objects (one per file;
     non-recursive directory layout, matching Spark's parquet output
-    shape). None when the path shape is unexpected or empty. Footer
-    reads are O(KB) per file regardless of data size: on an object
-    store this is one ranged GET per file, never a data scan."""
+    shape). None when the path shape is unexpected, empty, or holds
+    more than ``max_files`` parquet files (see PROBE_MAX_FILES — the
+    fail-safe direction, never a guess from a sample: col_max from a
+    sample could MISS the one wide document, and null_frac from a
+    sample would be an estimate presented as a fact). Footer reads are
+    O(KB) per file regardless of data size: on an object store this is
+    one ranged GET per file, never a data scan."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -129,7 +143,7 @@ def _parquet_footers(path: str):
         )
     else:
         return None
-    if not files:
+    if not files or len(files) > max_files:
         return None
     return [pq.read_metadata(f, filesystem=filesystem) for f in files]
 

@@ -91,3 +91,24 @@ def test_plans_reexport_is_the_ported_probe():
 
     assert _parquet_col_max is parquet_col_max
     assert _parquet_col_null_frac is parquet_col_null_frac
+
+
+def test_probe_file_count_budget_fails_safe(tmp_path):
+    """O(bounded), not O(n_files): past PROBE_MAX_FILES the probe
+    answers None (adaptive callers take their robust plan) instead of
+    issuing one footer read per file — the r16 many-small-files axis
+    measured 17k files for 17 MB, where an exact probe would cost more
+    than the plan choice saves."""
+    from amsterdam_map_data_wrangling_spark.sources import fs as fsmod
+
+    d = tmp_path / "many"
+    d.mkdir()
+    t = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    for i in range(fsmod.PROBE_MAX_FILES + 1):
+        pq.write_table(t, d / f"part-{i:05d}.parquet")
+    assert parquet_col_max(str(d), "k") is None
+    assert parquet_col_null_frac(str(d), "k") is None
+    # exactly at the budget the probe still answers exactly
+    (d / f"part-{fsmod.PROBE_MAX_FILES:05d}.parquet").unlink()
+    assert parquet_col_max(str(d), "k") == 2
+    assert parquet_col_null_frac(str(d), "k") == 0.0
