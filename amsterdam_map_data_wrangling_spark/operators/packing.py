@@ -107,3 +107,59 @@ def pack_sequences(
         return pd.DataFrame(rows)
 
     return base.groupBy("shard").applyInPandas(ffd, _PACK_SCHEMA)
+
+
+def training_order_shuffle(
+    df: DataFrame,
+    id_col: str,
+    shards: int,
+    seed: str = "spark-graft",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training order (r16): every row
+    gets a portable pseudo-random rank ``_rank = md5("order"|seed|id)``
+    and a shard ``_shard = rank % shards``; sorting each shard by
+    ``_rank`` yields a reproducible uniform-random permutation of the
+    corpus — the curation→trainer handoff where "shuffle once, read
+    sequentially forever" is the 100 TB discipline (a trainer must
+    never re-shuffle petabytes per epoch; vary ``seed`` per epoch to
+    re-deal).
+
+    Guarantees, all pytest-pinned:
+    - DETERMINISTIC and retry-stable: rank depends only on (seed, id) —
+      never on partitioning, task retries, or row order (the same
+      md5-derived-key discipline as the samplers and ``pack_sequences``).
+    - UNIFORM: md5 bits are equidistributed, so shard sizes concentrate
+      at n/shards and within-shard order is uniform-random.
+    - ONE SHUFFLE: ``repartition(shards, _shard)`` then
+      ``sortWithinPartitions(_rank)`` — the sort is shard-local, no
+      global range exchange, no driver coordination. Writers emit one
+      file per shard; readers stream shards in any order and rows
+      within a shard in rank order.
+
+    Output: the input columns + ``_shard`` (int) + ``_rank`` (the
+    sort key, kept for audit/resume — a checkpointed trainer can seek
+    to the last consumed rank)."""
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    rank = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("order"),
+                    F.lit(seed),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = df.withColumn("_rank", rank).withColumn(
+        "_shard", (F.col("_rank") % shards).cast("int")
+    )
+    return ranked.repartition(shards, "_shard").sortWithinPartitions(
+        "_rank"
+    )

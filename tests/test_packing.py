@@ -79,3 +79,48 @@ def test_pack_rejects_bad_context(spark, sized):
     df, _ = sized
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tokens", 0)
+
+
+def test_training_order_shuffle_contract(spark):
+    """Deterministic global shuffle: permutation of the input, stable
+    across runs and partitionings, uniform shard sizes, different under
+    a different seed, shard-local rank order."""
+    from amsterdam_map_data_wrangling_spark.operators.packing import (
+        training_order_shuffle,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = training_order_shuffle(df, "doc_id", shards=16, seed="e0")
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == set(range(10_000))  # permutation
+
+    # deterministic across runs AND input partitionings
+    again = training_order_shuffle(
+        df.repartition(7), "doc_id", shards=16, seed="e0"
+    ).collect()
+    key = lambda rs: sorted((r.doc_id, r._shard, r._rank) for r in rs)
+    assert key(again) == key(rows)
+
+    # a different seed re-deals the order
+    other = training_order_shuffle(df, "doc_id", shards=16, seed="e1")
+    assert key(other.collect()) != key(rows)
+
+    # uniform shard sizes: all within 20% of n/shards at n=10k
+    from collections import Counter
+
+    sizes = Counter(r._shard for r in rows)
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 1.2 * (10_000 / 16)
+    assert min(sizes.values()) > 0.8 * (10_000 / 16)
+
+    # within-shard rank order is what a sequential reader sees
+    per_shard = {}
+    for r in out.rdd.mapPartitions(
+        lambda it: [[(x.doc_id, x._rank) for x in it]]
+    ).collect():
+        if r:
+            ranks = [rk for _d, rk in r]
+            assert ranks == sorted(ranks)
+
+    with pytest.raises(ValueError, match="shards"):
+        training_order_shuffle(df, "doc_id", shards=0)
