@@ -220,12 +220,19 @@ def bound_doc_width(
     columns (text replaced by the part) + ``part_idx``, ``n_parts``,
     ``oversize``; ``(id, part_idx)`` is the row identity downstream.
 
-    Scale: the narrow branch is the registered scan untouched (the
-    filter is a pushed parquet predicate on a length expression's
-    input); the wide branch shuffles ONLY the oversized docs' bytes.
-    At 100 TB this is the difference between a recommendation and a
-    guarantee: every task downstream of ingest has a kernel floor of
-    ``max_doc_chars``, not of the largest crawled page."""
+    Scale: the narrow branch is the registered scan untouched; the
+    wide branch's segmentation runs in the reading task (the one pass
+    over the bytes that is unavoidable). Like :func:`token_segments`,
+    the explode alone is NARROW — an in-flight consumer that feeds a
+    heavy per-row kernel directly should ``repartition`` after this
+    call to spread one document's parts across tasks. The primary use
+    is INGEST (write the bounded relation; see
+    ``sources/archives.documents_from_warc``): the written table's
+    rows are bounded, so every later scan splits at row-group
+    boundaries into balanced tasks and every Arrow batch stays small —
+    at 100 TB this is the difference between a recommendation and a
+    guarantee: the kernel floor is ``max_doc_chars``, not the largest
+    crawled page."""
     if mode not in ("chunk", "flag"):
         raise ValueError(f"mode must be 'chunk' or 'flag', got {mode!r}")
     text = F.col(text_col)
