@@ -127,14 +127,27 @@ def training_order_shuffle(
     Guarantees, all pytest-pinned:
     - DETERMINISTIC and retry-stable: rank depends only on (seed, id) —
       never on partitioning, task retries, or row order (the same
-      md5-derived-key discipline as the samplers and ``pack_sequences``).
+      md5-derived-key discipline as the samplers and ``pack_sequences``)
+      — and the sort key is ``(_shard, _rank, id)``: the id tiebreaker
+      makes the order TOTAL for unique ids, so a 60-bit rank collision
+      (expected ~40 at the 10^10-row corpus this operator targets — the
+      r16 verdict's tie hole) cannot legally reorder across retries.
     - UNIFORM: md5 bits are equidistributed, so shard sizes concentrate
       at n/shards and within-shard order is uniform-random.
     - ONE SHUFFLE: ``repartition(shards, _shard)`` then
-      ``sortWithinPartitions(_rank)`` — the sort is shard-local, no
-      global range exchange, no driver coordination. Writers emit one
-      file per shard; readers stream shards in any order and rows
-      within a shard in rank order.
+      ``sortWithinPartitions(_shard, _rank, id)`` — the sort is
+      shard-local, no global range exchange, no driver coordination.
+
+    PARTITION ≠ SHARD — the writer contract: ``repartition(shards,
+    "_shard")`` HASH-partitions the shard value, so several ``_shard``
+    values can share a task and ~1/e of tasks are empty (r16 ADVICE).
+    The leading ``_shard`` sort key keeps co-resident shards contiguous
+    (never interleaved), but "one file per shard" is the WRITER's job:
+    the intended consumer is ``.write.partitionBy("_shard")``, which
+    splits each task's output by shard value into
+    ``_shard=<k>/part-*`` files whose row order is the shard's rank
+    order. A plain per-partition writer would emit multi-shard files —
+    contiguous per shard, but not the one-file-per-shard layout.
 
     Output: the input columns + ``_shard`` (int) + ``_rank`` (the
     sort key, kept for audit/resume — a checkpointed trainer can seek
@@ -161,5 +174,5 @@ def training_order_shuffle(
         "_shard", (F.col("_rank") % shards).cast("int")
     )
     return ranked.repartition(shards, "_shard").sortWithinPartitions(
-        "_rank"
+        "_shard", "_rank", id_col
     )

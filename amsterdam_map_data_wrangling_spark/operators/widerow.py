@@ -236,8 +236,15 @@ def bound_doc_width(
     if mode not in ("chunk", "flag"):
         raise ValueError(f"mode must be 'chunk' or 'flag', got {mode!r}")
     text = F.col(text_col)
+    # NULL text is width 0, not width NULL: length(NULL) is NULL, which
+    # matches NEITHER <=cap nor >cap, so an uncoalesced filter pair
+    # silently DROPPED null-text rows from chunk mode while flag mode
+    # kept them (with a NULL oversize) — the two modes disagreed on row
+    # count and "no document may vanish" was violated (r16 ADVICE).
+    # Both modes route NULLs through the narrow/false path.
+    width = F.coalesce(F.length(text), F.lit(0))
     if mode == "flag":
-        return df.withColumn("oversize", F.length(text) > max_doc_chars)
+        return df.withColumn("oversize", width > max_doc_chars)
 
     seg_chars = max(4, (2 * max_doc_chars) // 3)
     # repair headroom: part ≤ seg+probe ≤ cap, and the segmenter's
@@ -249,18 +256,18 @@ def bound_doc_width(
         F.col("part_idx"),
         F.col("n_parts"),
         (
-            (F.col("n_parts") == 1) & (F.length(text) > max_doc_chars)
+            (F.col("n_parts") == 1) & (width > max_doc_chars)
         ).alias("oversize"),
     ]
 
     narrow = (
-        df.filter(F.length(text) <= max_doc_chars)
+        df.filter(width <= max_doc_chars)
         .withColumn("part_idx", F.lit(0).cast("long"))
         .withColumn("n_parts", F.lit(1).cast("long"))
         .select(*out_cols)
     )
     wide = segment_text_safe(
-        df.filter(F.length(text) > max_doc_chars),
+        df.filter(width > max_doc_chars),
         id_col,
         text_col,
         seg_chars,

@@ -88,9 +88,16 @@ _GRAPH_MEMO_MAX = 16
 
 
 def _memo_put(key: tuple, value: object) -> None:
-    while len(_GRAPH_MEMO) >= _GRAPH_MEMO_MAX:
-        _GRAPH_MEMO.pop(next(iter(_GRAPH_MEMO)))
-    _GRAPH_MEMO[key] = value
+    # eviction + insert run under the master lock: with the per-key
+    # build locks, two threads putting DIFFERENT keys at capacity could
+    # both select the same oldest key and the second unguarded pop
+    # raised KeyError (r16 ADVICE — concurrent catalog execution is
+    # exactly the scenario the locks added). pop(..., None) is
+    # belt-and-braces against any future caller outside the lock.
+    with _GRAPH_MEMO_MASTER:
+        while len(_GRAPH_MEMO) >= _GRAPH_MEMO_MAX:
+            _GRAPH_MEMO.pop(next(iter(_GRAPH_MEMO)), None)
+        _GRAPH_MEMO[key] = value
 
 
 #: per-key build locks (r16 concurrent-catalog probe): the memo's

@@ -127,6 +127,40 @@ def test_compact_if_needed_paths(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "never"))
 
 
+def test_compact_empty_src_returns_zero_audit(spark, tmp_path):
+    """r16 ADVICE: a src with no matching parquet files plans zero
+    groups, so nothing is written — the audit must short-circuit to the
+    zero result instead of listing the never-created dst (the direct-
+    caller regression the footer audit introduced)."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    (src / "notes.txt").write_text("not parquet")
+    audit = compact_parquet_dir(
+        spark, str(src), str(tmp_path / "never_dst")
+    )
+    assert audit == {"n_input_files": 0, "n_groups": 0, "n_output_rows": 0}
+    assert not os.path.exists(str(tmp_path / "never_dst"))
+
+
+def test_audit_rows_falls_back_to_spark_count(spark, tmp_path, monkeypatch):
+    """r16 ADVICE: pyarrow cannot open every Hadoop scheme (s3a://
+    without mapping, hdfs:// without libhdfs) — a footer-path failure
+    must fall back to ONE Spark-side count of the output, never fail a
+    maintenance pass whose rewrite already succeeded."""
+    import pyarrow.parquet as pq
+
+    from amsterdam_map_data_wrangling_spark.operators import compaction
+
+    out = str(tmp_path / "out")
+    spark.range(321).coalesce(1).write.parquet(out)
+
+    def _boom(*a, **k):
+        raise OSError("scheme not supported (simulated s3a://)")
+
+    monkeypatch.setattr(pq, "read_metadata", _boom)
+    assert compaction._audit_rows(spark, out) == 321
+
+
 def test_streaming_epoch_tree_compacts_byte_identically(spark, tmp_path):
     """The composed lifecycle (r16 axis → fix, end to end): a ranged
     streaming ingest leaves a per-epoch small-files tree; the

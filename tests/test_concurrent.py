@@ -106,3 +106,29 @@ def test_memo_builds_once_under_contention(spark):
         f"pair relation built {len(real_builds)}x by 8 concurrent "
         f"consumers of one key"
     )
+
+
+def test_memo_eviction_is_thread_safe():
+    """r16 ADVICE: _memo_put's FIFO eviction was check-then-act — at
+    capacity, two threads putting DIFFERENT keys could both select the
+    same oldest key and the second pop raised KeyError. Eviction +
+    insert now run under the master lock. This hammers the exact
+    scenario: the memo pinned at capacity, 16 threads inserting 2,000
+    distinct keys — any KeyError propagates and fails the test — and
+    the bound must hold throughout."""
+    from amsterdam_map_data_wrangling_spark.plans import dedup
+
+    dedup.clear_graph_memo()
+    for i in range(dedup._GRAPH_MEMO_MAX):
+        dedup._memo_put(("seed", i), i)
+    assert len(dedup._GRAPH_MEMO) == dedup._GRAPH_MEMO_MAX
+
+    def put_many(worker):
+        for i in range(125):
+            dedup._memo_put(("w", worker, i), i)
+            assert len(dedup._GRAPH_MEMO) <= dedup._GRAPH_MEMO_MAX
+
+    with ThreadPoolExecutor(16) as ex:
+        list(ex.map(put_many, range(16)))  # re-raises any KeyError
+    assert len(dedup._GRAPH_MEMO) == dedup._GRAPH_MEMO_MAX
+    dedup.clear_graph_memo()

@@ -113,14 +113,58 @@ def test_training_order_shuffle_contract(spark):
     assert max(sizes.values()) < 1.2 * (10_000 / 16)
     assert min(sizes.values()) > 0.8 * (10_000 / 16)
 
-    # within-shard rank order is what a sequential reader sees
-    per_shard = {}
-    for r in out.rdd.mapPartitions(
-        lambda it: [[(x.doc_id, x._rank) for x in it]]
+    # within-shard rank order is what a sequential reader sees. The
+    # task sort key is (_shard, _rank, id): repartition HASH-partitions
+    # the shard value, so a task can host several shards — they must be
+    # CONTIGUOUS (never interleaved) and each shard's run rank-ordered,
+    # which is exactly what write.partitionBy("_shard") needs to emit
+    # per-shard files in rank order (r16 ADVICE: partition != shard).
+    for part in out.rdd.mapPartitions(
+        lambda it: [[(x._shard, x._rank, x.doc_id) for x in it]]
     ).collect():
-        if r:
-            ranks = [rk for _d, rk in r]
-            assert ranks == sorted(ranks)
+        assert part == sorted(part)  # shard-major, rank-then-id within
 
     with pytest.raises(ValueError, match="shards"):
         training_order_shuffle(df, "doc_id", shards=0)
+
+
+def test_training_order_shuffle_total_order_tiebreak(spark):
+    """The r16 verdict's tie hole, closed: the sort key carries the id
+    as a tiebreaker after the 60-bit md5 rank, so the order is TOTAL
+    for unique ids — at the operator's own 10^10-row target (~40
+    expected rank collisions) tied rows cannot legally reorder across
+    task retries. A true md5-prefix collision is not constructible in a
+    test (finding one is a 2^30-work birthday search per pair), so the
+    pin is mechanical on both levels Spark exposes:
+
+    1. the optimized plan's Sort node lists all three keys in order;
+    2. the function's own sort semantics on a forced tie — rows sorted
+       with an equal (_shard, _rank) prefix order by id — via the same
+       sortWithinPartitions key tuple the operator uses.
+    """
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.operators.packing import (
+        training_order_shuffle,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = training_order_shuffle(df, "doc_id", shards=4, seed="tie")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    sort_line = next(ln for ln in plan.splitlines() if "Sort [" in ln)
+    i_shard = sort_line.index("_shard")
+    i_rank = sort_line.index("_rank")
+    i_id = sort_line.index("doc_id")
+    assert i_shard < i_rank < i_id, sort_line
+
+    # forced-tie semantics: constant (_shard, _rank) → id decides
+    tied = spark.createDataFrame(
+        [(d, 0, 7) for d in (5, 3, 9, 1)], ["doc_id", "_shard", "_rank"]
+    )
+    ordered = (
+        tied.repartition(1, "_shard")
+        .sortWithinPartitions("_shard", "_rank", "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in ordered] == [1, 3, 5, 9]

@@ -392,3 +392,38 @@ def test_bound_doc_width_flag_mode_and_validation(spark, guardrail_corpus):
 
     with pytest.raises(ValueError, match="mode"):
         bound_doc_width(guardrail_corpus, mode="quarantine")
+
+
+def test_bound_doc_width_null_text_never_vanishes(spark):
+    """r16 ADVICE: length(NULL) is NULL, which matches neither <=cap nor
+    >cap — an uncoalesced filter pair silently DROPPED null-text rows
+    from chunk mode while flag mode kept them. Both modes must keep the
+    row, agree on row count, and treat NULL as width 0 (narrow, not
+    oversize)."""
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        bound_doc_width,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "short", "en"), (3, "w " * 9_000, "nl")],
+        "doc_id long, text string, lang string",
+    )
+    chunked = bound_doc_width(
+        df, "doc_id", "text", max_doc_chars=6_000, mode="chunk"
+    ).collect()
+    flagged = bound_doc_width(
+        df, "doc_id", "text", max_doc_chars=6_000, mode="flag"
+    ).collect()
+
+    assert {r.doc_id for r in chunked} == {1, 2, 3}
+    assert {r.doc_id for r in flagged} == {1, 2, 3}
+    null_parts = [r for r in chunked if r.doc_id == 1]
+    assert len(null_parts) == 1
+    p = null_parts[0]
+    assert p.text is None and p.part_idx == 0 and p.n_parts == 1
+    assert p.oversize is False  # False, not NULL — modes agree
+    assert {r.doc_id: r.oversize for r in flagged} == {
+        1: False,
+        2: False,
+        3: True,
+    }
