@@ -138,8 +138,11 @@ def _load_all() -> None:
 #:   r14 front = the r11 front again (with the three r14 oracle
 #:               re-contracts)
 #:   r15 front = the r12 front again (with the two r15 re-contracts)
-#:   r16 front = the r13 front again (section (s) below)
-#:   r17 front = the r14 front again (section (t) park), and so on.
+#:   r16 front = the r13 front again
+#:   r17 front = the r14 front again (section (v) below, with the
+#:               ann_rand_lsh → bound_doc_width_roundtrip retirement
+#:               swap)
+#:   r18 front = the r15 front again (section (w) park), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -150,89 +153,32 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 16 rotation: front (slots 1-50) ----
-    # (s) the 50 r13-front queries (the r10 cohort: gap_log2_hist +
-    #     the 49 re-gated r06-greens, incl. the r13-re-contracted
-    #     dedup_edit_refine), in registration order - their freshest
-    #     verdict window is r13, three distinct windows back after
-    #     this round's gates. Pre-parked at r15's slots 51-100 for
-    #     exactly this rotation. NO oracle changes this round; the
-    #     material re-gates are the three ADAPTIVE WINDOW-LEVER
-    #     queries whose CODE changed at r15 with unchanged oracles
-    #     (event_gap_stats, funnel_conversion, session_window_per_user
-    #     - r15 landed data-adaptive footer-probe plans: read the
-    #     key's NULL fraction from the parquet footers, pick the
-    #     chunked plan at >=10% nulls, else the registered naive plan
-    #     which wins at uniform and <=10%-hot per the r14 crossover).
-    #     They re-gate here with their cohort per the changed-code
-    #     rule, closing the stalest driver verdicts in the repo
-    #     (r15 verdict, "What's missing" #1).
-    "dedup_keep_canonical",
-    "dedup_edit_refine",
-    "audio_dims",
-    "video_dims",
-    "count_global",
-    "distinct_users_union",
-    "custkeys_intersect",
-    "custkeys_except",
-    "topk_group_distinct",
-    "topk_group_count",
-    "topk_order_limit",
-    "like_filter_count",
-    "scan_filter_project",
-    "pct_shares",
-    "runtime_bloom_filter_join",
-    "local_supplier_volume",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "event_gap_stats",
-    "weekly_cohort_retention",
-    "funnel_conversion",
-    "key_skew_profile",
-    "zorder_layout_stats",
-    "asof_last_click_before_error",
-    "interval_overlap_balances",
-    "above_avg_orders_per_customer",
-    "segment_event_counts",
-    "gap_log2_hist",
-    "cms_heavy_hitters",
-    "text_stats",
-    "term_freq_topk",
-    "bigram_topk",
-    "lang_id_confusion",
-    "chunk_documents_udtf",
-    "repetition_stats",
-    "benchmark_contamination",
-    "mixture_proportional_sample",
-    "dup_span_coverage",
-    "tumbling_window_stats",
-    "sliding_window_by_type",
-    "session_window_per_user",
-    "interval_join_click_error",
-    "json_props_stats",
-    "value_percentiles_by_type",
-    "equi_depth_histogram",
-    "expectations_report",
-    "python_datasource_stats",
-    "nested_json_shred",
-    "snapshot_table_diff",
-    "map_ops_surface",
-    # ---- window boundary (slot 50) ----
-    # (t) park: the 50 r14-front queries (the r11 cohort, incl. the
-    #     three r14 re-contracts), in registration order - their
-    #     verdict window is r14, 2 distinct windows back after this
-    #     round's front gates; parked immediately past the window so
-    #     they are r17's entire front. THREE of them changed CODE at
-    #     r15 with unchanged oracles and re-gate at r17 with this
-    #     cohort per the changed-code rule: gap_sessionization (the
-    #     fourth adaptive footer-probe window lever - NOTE: r11
-    #     cohort, r14-gated; a prior comment here mislabeled it as
-    #     "the r15 front", fixed per the r15 verdict "What's wrong"
-    #     #1) and dedup_minhash_pairs / dedup_minhash_portable_pairs
-    #     (the r15 collapse-first clone-proof default, verified
-    #     hash-neutral at both SFs in pytest). Safety net until r17 =
-    #     tests/test_skew.py half-null oracle gates + the pinned
-    #     minhash equivalence tests + the r15 close sweeps (150/150).
+    # ---- round 17 rotation: front (slots 1-50) ----
+    # (v) the r14-front cohort (the r11 cohort, incl. the three r14
+    #     re-contracts) - their freshest verdict window is r14, three
+    #     distinct windows back after this round's gates. Pre-parked at
+    #     r16's slots 51-100 for exactly this rotation. This front
+    #     re-gates the repo's entire stale-verdict mass (r16 verdict
+    #     "Next round" #1): the SEVEN queries whose CODE changed at
+    #     r15/r16 with unchanged oracles re-gate with their cohort per
+    #     the changed-code rule - gap_sessionization (adaptive
+    #     footer-probe window lever + the r16 pyarrow.fs probe port),
+    #     pii_redaction_stats / unigram_lm_scores (wide-row levers +
+    #     probe port), dedup_minhash_pairs / dedup_minhash_portable_pairs
+    #     (r15 collapse-first clone-proof default), dedup_clusters /
+    #     near_dup_pagerank (r16 memo-lock refactor, plus this round's
+    #     eviction-under-master-lock fix).
+    #     ONE retirement this round (the saturation policy's escape
+    #     hatch, exercised r08/r11/r12 precedent): ann_rand_lsh leaves
+    #     the registry (lowest marginal evidence - the closest twin of
+    #     the still-gated ann_sign_lsh: identical bucket-join +
+    #     exact-cosine plan shape, only the hash family differs;
+    #     semantics stay value-gated in tests/test_retired.py) and its
+    #     slot goes to bound_doc_width_roundtrip - the driver gate for
+    #     the r16 headline ingest-width guardrail (r16 verdict "Next
+    #     round" #4: byte-exact reassembly md5 witness + cap residual
+    #     against a string-algebra oracle, the warc_roundtrip_stats
+    #     pattern). N stays exactly 150.
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
@@ -261,7 +207,7 @@ _GATE_PRIORITY: list[str] = [
     "nation_volume_shipping",
     "knn_cosine_brute",
     "ann_sign_lsh",
-    "ann_rand_lsh",
+    "bound_doc_width_roundtrip",
     "ann_ivf",
     "embedding_near_dup_pairs",
     "ann_sq8_rerank",
@@ -283,13 +229,72 @@ _GATE_PRIORITY: list[str] = [
     "variant_json_stats",
     "null_semantics_audit",
     "xml_roundtrip_stats",
-    # (u) the 50 r15-front queries (the r08/r12 lineage cohort with
-    #     the two r15 re-contracts: normalize_phone_lengths HUGEINT
-    #     oracle, running_revenue_per_customer exact-cents chunked
-    #     prefix sum) are deliberately unlisted - they append in
-    #     registration order behind the park (verdicts r15, the
-    #     freshest cohort) and become r18's front:
-    #     dedup_minhash_portable, ..., salted_user_event_stats.
+    # ---- window boundary (slot 50) ----
+    # (w) park: the 50 r15-front queries (the r08/r12 lineage cohort
+    #     with the two r15 re-contracts: normalize_phone_lengths
+    #     HUGEINT oracle, running_revenue_per_customer exact-cents
+    #     chunked prefix sum), in their r15 gate order - their verdict
+    #     window is r15, 2 distinct windows back after this round's
+    #     front gates; parked immediately past the window so they are
+    #     r18's entire front. NO code or oracle changes touch this
+    #     cohort this round.
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "geo_way_lengths",
+    "frame_sample_stats",
+    "warc_roundtrip_stats",
+    "pricing_summary",
+    "join_revenue_by_priority",
+    "ordered_position_per_group",
+    "topn_per_group",
+    "running_revenue_per_customer",
+    "rollup_revenue",
+    "eav_pivot_wide",
+    "window_function_zoo",
+    "bag_set_ops",
+    "cube_revenue",
+    "dataset_split_stats",
+    "embedding_label_centroids",
+    "minhash_recall_curve",
+    "dedup_cluster_size_hist",
+    "event_transition_counts",
+    "scd2_state_durations",
+    "cohort_retention",
+    "ks_split_drift",
+    "chi2_type_weekday",
+    "vocab_jaccard_sources",
+    "equal_freq_deciles",
+    "spearman_autocorr_daily_revenue",
+    "minmax_scale_bins",
+    "token_diversity_by_source",
+    "nearest_centroid_confusion",
+    "rfm_segment_counts",
+    "dq_audit_star",
+    "neardup_degree_hist",
+    "basket_lift_pairs",
+    "daily_peak_concurrency",
+    "revenue_concentration",
+    "ab_test_zscore",
+    "embedding_label_stats",
+    "embedding_norm_zscores",
+    "doc_rolling_fingerprint",
+    "stratified_sample_counts",
+    "quality_scores",
+    "quality_components",
+    "chunk_documents",
+    "normalize_phone_lengths",
+    "normalize_postcode_formats",
+    "split_tag_keys_agg",
+    "eav_unpivot_topk",
+    "table_stats",
+    "salted_user_event_stats",
+    # (x) the 50 r16-front queries (the r10/r13 lineage cohort:
+    #     gap_log2_hist + the 49 re-gated r06-greens, freshly gated at
+    #     r16 incl. the three adaptive window-lever re-gates) are
+    #     deliberately unlisted - they append in registration order
+    #     behind the park (verdicts r16, the freshest cohort) and
+    #     become r19's front: dedup_keep_canonical, ...,
+    #     map_ops_surface.
 ]
 
 

@@ -191,18 +191,25 @@ def _rand_lsh_sql(bits: int = 8, dim: int = 64, k: int = 3) -> str:
     """
 
 
-@query(
-    "ann_rand_lsh",
-    _rand_lsh_sql(8, 64, 3),
-    "ANN via SEEDED random-hyperplane LSH: 8 planes with md5-derived "
-    "integer coefficients (inlined literals, reproducible from the seed "
-    "alone), signs taken over exact-int quantized projections so both "
-    "engines compute identical buckets — the production LSH family, where "
-    "axis-aligned sign codes skew on correlated embeddings. Scale: "
-    "identical to ann_sign_lsh — corpus shuffles once on the code, "
-    "queries broadcast, exact cosine only within the bucket.",
-)
+#: RETIRED from the gate registry at r17 under the N=150 saturation
+#: policy (its slot went to bound_doc_width_roundtrip — the r16 verdict
+#: asked for a driver gate on the round's headline operator). Lowest-
+#: marginal-evidence criterion: of the six gated ANN variants this was
+#: the closest twin (ann_sign_lsh shares the identical bucket-join +
+#: exact-cosine-within-bucket plan shape; only the hash family differs),
+#: and the seeded-plane/quantized-projection semantics stay value-gated
+#: against this same oracle in tests/test_retired.py.
+ANN_RAND_LSH_ORACLE = _rand_lsh_sql(8, 64, 3)
+
+
 def ann_rand_lsh(spark, sf_dir):
+    """ANN via SEEDED random-hyperplane LSH: 8 planes with md5-derived
+    integer coefficients (inlined literals, reproducible from the seed
+    alone), signs taken over exact-int quantized projections so both
+    engines compute identical buckets — the production LSH family, where
+    axis-aligned sign codes skew on correlated embeddings. Scale:
+    identical to ann_sign_lsh — corpus shuffles once on the code,
+    queries broadcast, exact cosine only within the bucket."""
     from amsterdam_map_data_wrangling_spark.operators.similarity import (
         ann_rand_lsh_topk,
     )

@@ -1631,3 +1631,80 @@ def dup_span_removal(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "bound_doc_width_roundtrip",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             repeat(text || ' ', CAST(1 + doc_id % 9 AS INTEGER)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS orig_len,
+           length(t) > 1200 AS is_wide,
+           md5(t) AS reassembled_md5,
+           CAST(0 AS BIGINT) AS cap_violations
+    FROM w
+    """,
+    "The r16 ingest-width guardrail, driver-gated end-to-end (r16 "
+    "verdict 'Next round' #4, the warc_roundtrip_stats pattern): an "
+    "oversized corpus is synthesized engine-side from the documents "
+    "table by pure string algebra (text repeated 1-9x, so widths span "
+    "narrow to ~4x the 1,200-char cap), bound_doc_width(mode='chunk') "
+    "splits it, and the gate reassembles each document from its parts "
+    "ordered by part_idx — per-doc md5 + length of the REASSEMBLED "
+    "text must equal the DuckDB oracle's md5 + length of the original "
+    "(byte-exact reassembly: a dropped, duplicated, reordered, or "
+    "clipped part mismatches the value hash), while cap_violations "
+    "counts parts wider than the cap outside the loud single-part "
+    "pathology against the oracle's literal 0 (the pii_redaction_stats "
+    "residual contract; the corpus has only short tokens, so boundary "
+    "repair always succeeds and every part is genuinely capped). "
+    "Scale: the narrow branch is the scan untouched; segmentation runs "
+    "in the reading task; reassembly here is gate instrumentation only "
+    "— production ingests WRITE the bounded relation instead "
+    "(sources/archives.documents_from_warc).",
+)
+def bound_doc_width_roundtrip(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.widerow import (
+        bound_doc_width,
+    )
+
+    cap = 1_200
+    (documents,) = _t(spark, sf_dir, "documents")
+    widened = documents.select(
+        "doc_id",
+        F.expr("repeat(text || ' ', CAST(1 + doc_id % 9 AS INT))").alias(
+            "text"
+        ),
+    )
+    parts = bound_doc_width(
+        widened, "doc_id", "text", max_doc_chars=cap, mode="chunk"
+    )
+    reassembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("part_idx", "text"))),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            reassembled.alias("_re"),
+            F.sum(
+                (
+                    (F.length("text") > cap) & (F.col("n_parts") > 1)
+                ).cast("long")
+            ).alias("cap_violations"),
+        )
+        .select(
+            "doc_id",
+            F.length("_re").cast("long").alias("orig_len"),
+            (F.length("_re") > cap).alias("is_wide"),
+            F.md5("_re").alias("reassembled_md5"),
+            "cap_violations",
+        )
+    )

@@ -69,35 +69,42 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-16 evidence policy: the 50 r13-front queries (the oldest
-    # cohort — their last DISTINCT verdict window is r13, three windows
-    # back after this round's gates) take the whole front (re-gating the
-    # three r15 adaptive window-lever code changes with their cohort:
-    # event_gap_stats, funnel_conversion, session_window_per_user); the
-    # r14-front cohort (verdict window r14, incl. the r15-changed
-    # gap_sessionization and minhash pair) parks at slots 51-100 as
-    # r17's front; the freshly-gated r15 cohort appends unlisted at
-    # 101-150 (r18's front). (The general freshness invariant is
-    # asserted mechanically in tests/test_gate_freshness.py — this pins
-    # only the current round's specific obligations.)
+    # round-17 evidence policy: the 50 r14-front queries (the oldest
+    # cohort — their last DISTINCT verdict window is r14, three windows
+    # back after this round's gates) take the whole front, re-gating
+    # the seven r15/r16 changed-code queries with their cohort
+    # (gap_sessionization, pii_redaction_stats, unigram_lm_scores,
+    # both minhash pair variants, dedup_clusters, near_dup_pagerank) —
+    # with ONE retirement swap: ann_rand_lsh left the registry (its
+    # oracle compare lives in tests/test_retired.py) and its slot holds
+    # bound_doc_width_roundtrip, the r16 ingest-width guardrail's
+    # driver gate. The r15-front cohort parks at slots 51-100 as r18's
+    # front; the freshly-gated r16 cohort appends unlisted at 101-150
+    # (r19's front). (The general freshness invariant is asserted
+    # mechanically in tests/test_gate_freshness.py — this pins only the
+    # current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r13 = set(json.loads((repo / "CORRECTNESS_r13.json").read_text()))
     r14 = set(json.loads((repo / "CORRECTNESS_r14.json").read_text()))
     r15 = set(json.loads((repo / "CORRECTNESS_r15.json").read_text()))
-    assert set(ordered[:50]) == r13, (
-        "round-16 window must be the 50 r13-front queries (the oldest "
-        "cohort) verbatim"
+    r16 = set(json.loads((repo / "CORRECTNESS_r16.json").read_text()))
+    assert set(ordered[:50]) == (r14 - {"ann_rand_lsh"}) | {
+        "bound_doc_width_roundtrip"
+    }, (
+        "round-17 window must be the 50 r14-front queries (the oldest "
+        "cohort) with the ann_rand_lsh → bound_doc_width_roundtrip "
+        "retirement swap"
     )
-    assert set(ordered[50:100]) == r14, (
-        "the r14-front cohort must park at slots 51-100 (r17's front)"
+    assert set(ordered[50:100]) == r15, (
+        "the r15-front cohort must park at slots 51-100 (r18's front)"
     )
-    assert set(ordered[100:]) == r15, (
-        "the freshly-gated r15 cohort appends at slots 101-150"
+    assert set(ordered[100:]) == r16, (
+        "the freshly-gated r16 cohort appends at slots 101-150"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
+    assert "ann_rand_lsh" not in ordered  # retired at r17
 
 
 def test_package_init_registers_every_query_module():

@@ -118,3 +118,21 @@ def test_retired_spatial_radius_pairs_still_matches_oracle(spark):
         compare(build(spark, SF_ORACLE), con, oracle)
     finally:
         con.close()
+
+
+def test_retired_ann_rand_lsh_still_matches_oracle(spark):
+    """Retired r17 (slot went to bound_doc_width_roundtrip): the seeded
+    random-hyperplane LSH — the closest twin of the still-gated
+    ann_sign_lsh (identical bucket-join + exact-cosine plan shape, only
+    the hash family differs) — still matches its inlined-plane
+    exact-int oracle."""
+    from amsterdam_map_data_wrangling_spark.plans.similarity import (
+        ANN_RAND_LSH_ORACLE,
+        ann_rand_lsh,
+    )
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(ann_rand_lsh(spark, SF_ORACLE), con, ANN_RAND_LSH_ORACLE)
+    finally:
+        con.close()
