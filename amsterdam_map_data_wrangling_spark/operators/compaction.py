@@ -71,7 +71,16 @@ def should_compact(
     break-even: compacting the 17k-file twin cost ~2 catalog passes of
     wall and returned ~2.1 normalized passes of savings per subsequent
     pass). Driver-side metadata math only — callers feed it the same
-    ``list_files`` listing :func:`compact_parquet_dir` consumes."""
+    ``list_files`` listing :func:`compact_parquet_dir` consumes.
+
+    OBJECT-STORE TABLES: the local curve's per-file coefficient was
+    ~10-17 ms/file/catalog-pass at ~0 metadata latency; at 20-50 ms per
+    GET every scan pays >= 2 RTTs per file (open + footer), 3-8x the
+    local coefficient, so the degradation that local FS reaches at
+    ratio 4 arrives at ratio ~0.5-1.3 there (r17 latency axis,
+    ``scripts/archive/objectstore_latency_r17.json``). Call this with
+    ``filecount_slack=1.5`` for s3a/s3/gs tables; the default stays
+    tuned to the measured local curve."""
     n = len(sizes)
     total = sum(sz for _p, sz in sizes)
     ideal = max(1, -(-total // target_bytes))  # ceil
@@ -193,10 +202,24 @@ def _audit_rows(spark: SparkSession, dst_dir: str) -> int:
         return pq.read_metadata(hadoop_path).num_rows
 
     try:
-        return sum(
-            _rows(p)
+        # footer GETs are latency-bound on an object store (~0 bytes,
+        # 1 RTT each) — fan out like the footer probes do
+        # (sources/fs.PROBE_FANOUT; measured serial 64 files @ 50 ms
+        # RTT ≈ 6.5 s vs ~0.9 s fanned, r17 latency axis)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from amsterdam_map_data_wrangling_spark.sources.fs import (
+            PROBE_FANOUT,
+        )
+
+        targets = [
+            p
             for p, _sz in list_files(spark, dst_dir)
             if p.endswith(".parquet")
-        )
+        ]
+        if not targets:
+            return 0
+        with ThreadPoolExecutor(min(PROBE_FANOUT, len(targets))) as ex:
+            return sum(ex.map(_rows, targets))
     except Exception:
         return spark.read.parquet(dst_dir).count()

@@ -114,7 +114,20 @@ def file_exists(spark: SparkSession, path: str) -> bool:
 PROBE_MAX_FILES = 64
 
 
-def _parquet_footers(path: str, max_files: int = PROBE_MAX_FILES):
+#: footer-read fan-out: object-store footer probes are LATENCY-bound,
+#: not bandwidth-bound (one ranged GET of a few KB per file). The r17
+#: latency axis measured the probe at budget (64 files, 50 ms RTT):
+#: 3.35 s serial vs 0.31 s with this fan-out (10.7x), and on local FS
+#: the pool costs ~25 ms at 64 files — negligible against the plan
+#: delta the probe buys (scripts/archive/objectstore_latency_r17.json).
+#: 16 concurrent metadata GETs is far below any object store's
+#: per-prefix request ceiling.
+PROBE_FANOUT = 16
+
+
+def _parquet_footers(
+    path: str, max_files: int = PROBE_MAX_FILES, filesystem=None
+):
     """Resolve ``path`` — a bare local path or any pyarrow-supported URI
     — to a list of parquet footer metadata objects (one per file;
     non-recursive directory layout, matching Spark's parquet output
@@ -124,11 +137,19 @@ def _parquet_footers(path: str, max_files: int = PROBE_MAX_FILES):
     sample could MISS the one wide document, and null_frac from a
     sample would be an estimate presented as a fact). Footer reads are
     O(KB) per file regardless of data size: on an object store this is
-    one ranged GET per file, never a data scan."""
+    one ranged GET per file, never a data scan — issued
+    ``PROBE_FANOUT`` at a time because the cost there is round trips,
+    not bytes. ``filesystem`` (any ``pyarrow.fs.FileSystem``) overrides
+    URI dispatch — the hook for credentialed stores and for the
+    latency-shaped wrapper the r17 axis measures with."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
-    if "://" in path:
+    if filesystem is not None:
+        p = path
+    elif "://" in path:
         filesystem, p = pafs.FileSystem.from_uri(path)
     else:
         filesystem, p = pafs.LocalFileSystem(), path
@@ -145,17 +166,22 @@ def _parquet_footers(path: str, max_files: int = PROBE_MAX_FILES):
         return None
     if not files or len(files) > max_files:
         return None
-    return [pq.read_metadata(f, filesystem=filesystem) for f in files]
+    if len(files) == 1:
+        return [pq.read_metadata(files[0], filesystem=filesystem)]
+    with ThreadPoolExecutor(min(PROBE_FANOUT, len(files))) as ex:
+        return list(
+            ex.map(lambda f: pq.read_metadata(f, filesystem=filesystem), files)
+        )
 
 
-def parquet_col_max(path: str, col: str) -> "int | None":
+def parquet_col_max(path: str, col: str, filesystem=None) -> "int | None":
     """MAX of a column from parquet footer statistics, driver-side (no
     Spark job) — None when the path shape is unexpected or any row
     group lacks the statistic, so callers fall back to a real scan or
     their bounded plan. Handles a single parquet file and a
     directory-of-files layout on any pyarrow filesystem."""
     try:
-        footers = _parquet_footers(path)
+        footers = _parquet_footers(path, filesystem=filesystem)
         if footers is None:
             return None
         mx = None
@@ -171,7 +197,9 @@ def parquet_col_max(path: str, col: str) -> "int | None":
         return None
 
 
-def parquet_col_null_frac(path: str, col: str) -> "float | None":
+def parquet_col_null_frac(
+    path: str, col: str, filesystem=None
+) -> "float | None":
     """NULL fraction of a column from parquet footer statistics,
     driver-side (no Spark job) — None when the path shape is unexpected
     or any row group lacks a null count. Same probe family as
@@ -179,7 +207,7 @@ def parquet_col_null_frac(path: str, col: str) -> "float | None":
     one-window-partition-per-key plan the wrong one (r15 high-null
     soak)."""
     try:
-        footers = _parquet_footers(path)
+        footers = _parquet_footers(path, filesystem=filesystem)
         if footers is None:
             return None
         nulls = rows = 0

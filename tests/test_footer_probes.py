@@ -112,3 +112,99 @@ def test_probe_file_count_budget_fails_safe(tmp_path):
     (d / f"part-{fsmod.PROBE_MAX_FILES:05d}.parquet").unlink()
     assert parquet_col_max(str(d), "k") == 2
     assert parquet_col_null_frac(str(d), "k") == 0.0
+
+
+def test_probes_accept_explicit_filesystem_and_fan_out(parquet_dir):
+    """r17 object-store latency axis: the probes take an explicit
+    ``pyarrow.fs.FileSystem`` (the hook for credentialed stores and the
+    latency-shaped wrapper), answers are identical to local dispatch,
+    and footer reads fan out through a thread pool (PROBE_FANOUT) —
+    order-preserving, so col_max/null_frac see every footer exactly
+    once."""
+    from pyarrow import fs as pafs
+
+    from amsterdam_map_data_wrangling_spark.sources import fs as fs_mod
+
+    class Counting(pafs.FileSystemHandler):
+        def __init__(self):
+            self.calls = 0
+            self._fs = pafs.LocalFileSystem()
+
+        def get_type_name(self):
+            return "counting"
+
+        def __eq__(self, other):
+            return self is other
+
+        def __ne__(self, other):
+            return self is not other
+
+        def get_file_info(self, paths):
+            self.calls += 1
+            return self._fs.get_file_info(paths)
+
+        def get_file_info_selector(self, selector):
+            self.calls += 1
+            return self._fs.get_file_info(selector)
+
+        def open_input_file(self, path):
+            self.calls += 1
+            return self._fs.open_input_file(path)
+
+        def open_input_stream(self, path):
+            self.calls += 1
+            return self._fs.open_input_stream(path)
+
+        def normalize_path(self, path):
+            return self._fs.normalize_path(path)
+
+        def create_dir(self, path, recursive):
+            raise NotImplementedError
+
+        def delete_dir(self, path):
+            raise NotImplementedError
+
+        def delete_dir_contents(self, path, missing_dir_ok=False):
+            raise NotImplementedError
+
+        def delete_root_dir_contents(self):
+            raise NotImplementedError
+
+        def delete_file(self, path):
+            raise NotImplementedError
+
+        def move(self, src, dest):
+            raise NotImplementedError
+
+        def copy_file(self, src, dest):
+            raise NotImplementedError
+
+        def open_append_stream(self, path, metadata):
+            raise NotImplementedError
+
+        def open_output_stream(self, path, metadata):
+            raise NotImplementedError
+
+    handler = Counting()
+    wrapped = pafs.PyFileSystem(handler)
+    assert (
+        parquet_col_max(str(parquet_dir), "k", filesystem=wrapped) == 907
+    )
+    assert parquet_col_null_frac(
+        str(parquet_dir), "k", filesystem=wrapped
+    ) == pytest.approx(0.4)
+    # 2 probes x (1 stat + 1 selector + 2 file opens) = 8 round trips
+    assert handler.calls == 8
+
+    # fan-out must not change answers even at pool size 1 (the serial
+    # degenerate) or wider than the file count
+    old = fs_mod.PROBE_FANOUT
+    try:
+        for fanout in (1, 64):
+            fs_mod.PROBE_FANOUT = fanout
+            assert (
+                parquet_col_max(str(parquet_dir), "k", filesystem=wrapped)
+                == 907
+            )
+    finally:
+        fs_mod.PROBE_FANOUT = old
