@@ -168,3 +168,50 @@ def test_training_order_shuffle_total_order_tiebreak(spark):
         .collect()
     )
     assert [r.doc_id for r in ordered] == [1, 3, 5, 9]
+
+
+def test_training_order_shuffle_partitionby_writer_roundtrip(
+    spark, tmp_path
+):
+    """The documented writer contract, end to end: the intended
+    consumer is ``write.partitionBy("_shard")`` — each shard lands in
+    its own ``_shard=<k>/`` directory, and a sequential read of one
+    shard's files yields exactly that shard's rows in rank order (what
+    a trainer streams). Also pins that every shard directory exists and
+    the union is the full corpus."""
+    import os
+
+    from amsterdam_map_data_wrangling_spark.operators.packing import (
+        training_order_shuffle,
+    )
+
+    n, shards = 2_000, 8
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = training_order_shuffle(df, "doc_id", shards=shards, seed="w0")
+    dst = str(tmp_path / "corpus")
+    out.write.partitionBy("_shard").parquet(dst)
+
+    dirs = sorted(
+        d for d in os.listdir(dst) if d.startswith("_shard=")
+    )
+    assert len(dirs) == shards
+
+    expected = {
+        r.doc_id: (r._shard, r._rank) for r in out.collect()
+    }
+    seen = set()
+    for d in dirs:
+        k = int(d.split("=")[1])
+        rows = spark.read.parquet(os.path.join(dst, d)).collect()
+        ranks = [expected[r.doc_id][1] for r in rows]
+        assert all(expected[r.doc_id][0] == k for r in rows)
+        # single-writer-task shards read back in rank order
+        part_files = [
+            f
+            for f in os.listdir(os.path.join(dst, d))
+            if f.endswith(".parquet")
+        ]
+        if len(part_files) == 1:
+            assert ranks == sorted(ranks)
+        seen.update(r.doc_id for r in rows)
+    assert seen == set(range(n))
