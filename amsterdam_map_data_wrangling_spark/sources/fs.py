@@ -111,7 +111,20 @@ def file_exists(spark: SparkSession, path: str) -> bool:
 #: answers None and every adaptive caller takes its ROBUST plan
 #: (chunked windows / segmented kernels), which is value-identical by
 #: the oracle gates and the right default on a layout that degenerate.
-PROBE_MAX_FILES = 64
+#:
+#: 256, raised from the r16 value of 64 (r17): the r17 sf10 soak caught
+#: the 64-file budget misclassifying a HEALTHY big-table layout as
+#: degenerate — the 100x events table is 100 x ~target-size files (a
+#: normal partitioned write), the probe answered None, and
+#: session_window_per_user paid the chunked fail-safe on a dense-key
+#: corpus (measured 1.4x the naive plan it should have taken; same for
+#: the other three window levers). With the r17 fan-out the exact probe
+#: at 256 files costs ~16 RTT waves ≈ 0.8 s at 50 ms/GET (and ~5 ms
+#: local) — under the smallest measured plan delta — while a table
+#: past 256 files at healthy sizes is large enough that the chunked
+#: plans' overhead amortizes anyway. Never a sample: within budget the
+#: answer is exact over every footer; past it, None.
+PROBE_MAX_FILES = 256
 
 
 #: footer-read fan-out: object-store footer probes are LATENCY-bound,
