@@ -208,3 +208,27 @@ def test_probes_accept_explicit_filesystem_and_fan_out(parquet_dir):
             )
     finally:
         fs_mod.PROBE_FANOUT = old
+
+
+def test_healthy_many_file_layout_probes_exactly(tmp_path):
+    """The r17 sf10-soak finding, pinned: a ~100-file table is a
+    HEALTHY partitioned layout at scale (the 100x events table), not a
+    degenerate one — the probe must answer exactly there, because a
+    None sends every adaptive window lever to its chunked fail-safe on
+    a corpus whose dense keys want the naive plan (measured 2.6x on
+    session_window_per_user before PROBE_MAX_FILES rose to 256). If a
+    future change drops the budget below ~real-table file counts, this
+    goes red without needing a 100x soak to notice."""
+    from amsterdam_map_data_wrangling_spark.sources import fs as fsmod
+
+    assert fsmod.PROBE_MAX_FILES >= 128, (
+        "budget below healthy big-table file counts — the sf10 regression"
+    )
+    d = tmp_path / "healthy_events"
+    d.mkdir()
+    t = pa.table({"user_id": pa.array([1, 2, 3], type=pa.int64())})
+    for i in range(100):
+        pq.write_table(t, d / f"part-{i:05d}.parquet")
+    # dense keys → exact 0.0, never None: the naive-plan signal
+    assert parquet_col_null_frac(str(d), "user_id") == 0.0
+    assert parquet_col_max(str(d), "user_id") == 3
