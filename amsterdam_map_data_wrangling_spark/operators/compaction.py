@@ -177,39 +177,17 @@ def _audit_rows(spark: SparkSession, dst_dir: str) -> int:
     footer-path failure falls back to one Spark-side count of the
     OUTPUT — still single-read of the compacted bytes, never of the
     inputs (r16 ADVICE: the audit must not fail a maintenance pass
-    whose rewrite already succeeded)."""
-    import pyarrow.parquet as pq
-
-    def _rows(hadoop_path: str) -> int:
-        # Hadoop's Path.toString says "file:/x" (single slash) for
-        # local; pyarrow wants a bare path or a proper "scheme://" URI
-        if hadoop_path.startswith("file:"):
-            p = hadoop_path[len("file:"):]
-            while p.startswith("//"):
-                p = p[1:]
-            return pq.read_metadata(p).num_rows
-        if "://" in hadoop_path:
-            from pyarrow import fs as pafs
-
-            # Hadoop scheme → pyarrow scheme (s3a/s3n are S3)
-            uri = hadoop_path
-            for hadoop_scheme in ("s3a://", "s3n://"):
-                if uri.startswith(hadoop_scheme):
-                    uri = "s3://" + uri[len(hadoop_scheme):]
-                    break
-            filesystem, p = pafs.FileSystem.from_uri(uri)
-            return pq.read_metadata(p, filesystem=filesystem).num_rows
-        return pq.read_metadata(hadoop_path).num_rows
-
+    whose rewrite already succeeded). Scheme dispatch and the fanned
+    footer reads are the SHARED fs.py helpers (r17 review: two drifting
+    copies of the same loop is how the probes missed the s3a mapping
+    the audit had)."""
     try:
         # footer GETs are latency-bound on an object store (~0 bytes,
-        # 1 RTT each) — fan out like the footer probes do
-        # (sources/fs.PROBE_FANOUT; measured serial 64 files @ 50 ms
-        # RTT ≈ 6.5 s vs ~0.9 s fanned, r17 latency axis)
-        from concurrent.futures import ThreadPoolExecutor
-
+        # 1 RTT each) — fanned PROBE_FANOUT wide (r17 latency axis:
+        # 64 files @ 50 ms RTT = 3.35 s serial vs 0.31 s fanned)
         from amsterdam_map_data_wrangling_spark.sources.fs import (
-            PROBE_FANOUT,
+            pyarrow_fs_for,
+            read_parquet_footers,
         )
 
         targets = [
@@ -219,7 +197,12 @@ def _audit_rows(spark: SparkSession, dst_dir: str) -> int:
         ]
         if not targets:
             return 0
-        with ThreadPoolExecutor(min(PROBE_FANOUT, len(targets))) as ex:
-            return sum(ex.map(_rows, targets))
+        # one listing → one filesystem: every path shares dst_dir's
+        # scheme (Hadoop's Path.toString form, e.g. "file:/x")
+        filesystem, _ = pyarrow_fs_for(targets[0])
+        paths = [pyarrow_fs_for(p)[1] for p in targets]
+        return sum(
+            md.num_rows for md in read_parquet_footers(paths, filesystem)
+        )
     except Exception:
         return spark.read.parquet(dst_dir).count()

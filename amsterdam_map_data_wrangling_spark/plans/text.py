@@ -1638,7 +1638,8 @@ def dup_span_removal(spark, sf_dir):
     """
     WITH w AS (
       SELECT doc_id,
-             repeat(text || ' ', CAST(1 + doc_id % 9 AS INTEGER)) AS t
+             repeat(coalesce(text, '') || ' ',
+                    CAST(1 + doc_id % 9 AS INTEGER)) AS t
       FROM documents
     )
     SELECT doc_id,
@@ -1674,11 +1675,15 @@ def bound_doc_width_roundtrip(spark, sf_dir):
 
     cap = 1_200
     (documents,) = _t(spark, sf_dir, "documents")
+    # coalesce BEFORE widening, both engines: DuckDB's repeat(NULL||x)
+    # is NULL (orig_len/md5 NULL) while Spark's array_join would skip a
+    # NULL part (md5('')) — a null-bearing corpus would diverge (r17
+    # review). '' || ' ' also keeps the null-doc row a real 1-part doc.
     widened = documents.select(
         "doc_id",
-        F.expr("repeat(text || ' ', CAST(1 + doc_id % 9 AS INT))").alias(
-            "text"
-        ),
+        F.expr(
+            "repeat(coalesce(text, '') || ' ', CAST(1 + doc_id % 9 AS INT))"
+        ).alias("text"),
     )
     parts = bound_doc_width(
         widened, "doc_id", "text", max_doc_chars=cap, mode="chunk"

@@ -117,14 +117,64 @@ def file_exists(spark: SparkSession, path: str) -> bool:
 #: degenerate — the 100x events table is 100 x ~target-size files (a
 #: normal partitioned write), the probe answered None, and
 #: session_window_per_user paid the chunked fail-safe on a dense-key
-#: corpus (measured 1.4x the naive plan it should have taken; same for
+#: corpus (measured 2.6x the naive plan it should have taken; same for
 #: the other three window levers). With the r17 fan-out the exact probe
-#: at 256 files costs ~16 RTT waves ≈ 0.8 s at 50 ms/GET (and ~5 ms
-#: local) — under the smallest measured plan delta — while a table
+#: at 256 files costs a MEASURED 0.92 s at 50 ms/GET (13.0 s serial;
+#: ~40 ms local) — under the smallest measured plan delta — while a table
 #: past 256 files at healthy sizes is large enough that the chunked
 #: plans' overhead amortizes anyway. Never a sample: within budget the
 #: answer is exact over every footer; past it, None.
 PROBE_MAX_FILES = 256
+
+
+def pyarrow_fs_for(path: str):
+    """(filesystem, fs_path) for a bare local path or any URI, mapping
+    the Hadoop-only schemes pyarrow does not recognize to their pyarrow
+    twin (``s3a://``/``s3n://`` → ``s3://``) and normalizing Hadoop's
+    single-slash local form (``file:/x``). The ONE place scheme
+    dispatch lives — the footer probes and the compaction audit both
+    resolve through here (r17 review: the audit had the mapping, the
+    probes did not, so every probe on an s3a:// table silently answered
+    None and the adaptive plans paid the chunked fail-safe — the exact
+    misclassification the budget fix closed for local layouts)."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("file:"):
+        p = path[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return pafs.LocalFileSystem(), p
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    return pafs.FileSystem.from_uri(hadoop_to_pyarrow_uri(path))
+
+
+def hadoop_to_pyarrow_uri(uri: str) -> str:
+    """Rewrite Hadoop-only schemes to the pyarrow scheme that serves the
+    same store (``s3a://``/``s3n://`` → ``s3://``); other URIs pass
+    through untouched."""
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if uri.startswith(hadoop_scheme):
+            return "s3://" + uri[len(hadoop_scheme):]
+    return uri
+
+
+def read_parquet_footers(files: list, filesystem) -> list:
+    """Footer metadata for each path in ``files`` (order-preserving),
+    fanned ``PROBE_FANOUT`` wide — object-store footer reads are
+    latency-bound, not bandwidth-bound (r17 axis: 64 files @ 50 ms RTT
+    = 3.35 s serial vs 0.31 s fanned). Shared by the probes and the
+    compaction audit so retry/scheme policy cannot drift between them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    if len(files) == 1:
+        return [pq.read_metadata(files[0], filesystem=filesystem)]
+    with ThreadPoolExecutor(min(PROBE_FANOUT, len(files))) as ex:
+        return list(
+            ex.map(lambda f: pq.read_metadata(f, filesystem=filesystem), files)
+        )
 
 
 #: footer-read fan-out: object-store footer probes are LATENCY-bound,
@@ -154,18 +204,15 @@ def _parquet_footers(
     ``PROBE_FANOUT`` at a time because the cost there is round trips,
     not bytes. ``filesystem`` (any ``pyarrow.fs.FileSystem``) overrides
     URI dispatch — the hook for credentialed stores and for the
-    latency-shaped wrapper the r17 axis measures with."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    import pyarrow.parquet as pq
+    latency-shaped wrapper the r17 axis measures with. Default dispatch
+    goes through :func:`pyarrow_fs_for`, so Hadoop-only schemes
+    (``s3a://``) resolve instead of silently answering None."""
     from pyarrow import fs as pafs
 
     if filesystem is not None:
         p = path
-    elif "://" in path:
-        filesystem, p = pafs.FileSystem.from_uri(path)
     else:
-        filesystem, p = pafs.LocalFileSystem(), path
+        filesystem, p = pyarrow_fs_for(path)
     info = filesystem.get_file_info(p)
     if info.type == pafs.FileType.File:
         files = [p]
@@ -179,12 +226,7 @@ def _parquet_footers(
         return None
     if not files or len(files) > max_files:
         return None
-    if len(files) == 1:
-        return [pq.read_metadata(files[0], filesystem=filesystem)]
-    with ThreadPoolExecutor(min(PROBE_FANOUT, len(files))) as ex:
-        return list(
-            ex.map(lambda f: pq.read_metadata(f, filesystem=filesystem), files)
-        )
+    return read_parquet_footers(files, filesystem)
 
 
 def parquet_col_max(path: str, col: str, filesystem=None) -> "int | None":

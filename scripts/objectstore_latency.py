@@ -170,7 +170,11 @@ def main() -> None:
     import tempfile
 
     base = tempfile.mkdtemp(prefix="oslat_")
-    counts = [4, 16, 64]
+    # always include the CURRENT shipped budget as the worst case —
+    # never a hardcoded historical value (r17 review: the first cut
+    # measured 64 after the budget had moved to 256)
+    budget = fs_mod.PROBE_MAX_FILES
+    counts = sorted({4, 16, 64, budget})
     rtts = [0.0, 0.02, 0.05]
     dirs = {n: make_dir(base, n) for n in counts}
 
@@ -204,7 +208,7 @@ def main() -> None:
             ),
         }
 
-    budget = probes["n64_rtt50ms"]
+    budget_walls = probes[f"n{budget}_rtt50ms"]
     result = {
         "axis": "object-store latency / metadata round trips (r17)",
         "method": (
@@ -227,13 +231,16 @@ def main() -> None:
             ),
         },
         "probe_budget_check": {
-            "worst_case": "64 files at 50 ms RTT",
-            "serial_wall_s": budget["serial"]["wall_s"],
-            "fanned_wall_s": budget["fanned16"]["wall_s"],
+            "worst_case": f"{budget} files (= PROBE_MAX_FILES) at 50 ms RTT",
+            "serial_wall_s": budget_walls["serial"]["wall_s"],
+            "fanned_wall_s": budget_walls["fanned16"]["wall_s"],
             "verdict": (
-                "PROBE_MAX_FILES=64 stands WITH the r17 fan-out: the "
-                "fanned probe at budget costs well under the seconds the "
-                "adaptive plan choice saves; the serial shape did not"
+                f"PROBE_MAX_FILES={budget} with the r17 fan-out: the "
+                f"fanned probe at budget costs "
+                f"{budget_walls['fanned16']['wall_s']} s at 50 ms/GET — "
+                f"it must stay under the smallest plan delta the probe "
+                f"buys (~2 s at gate scale); the serial shape "
+                f"({budget_walls['serial']['wall_s']} s) does not"
             ),
         },
     }

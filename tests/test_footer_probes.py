@@ -232,3 +232,33 @@ def test_healthy_many_file_layout_probes_exactly(tmp_path):
     # dense keys → exact 0.0, never None: the naive-plan signal
     assert parquet_col_null_frac(str(d), "user_id") == 0.0
     assert parquet_col_max(str(d), "user_id") == 3
+
+
+def test_scheme_dispatch_is_shared_and_maps_hadoop_schemes(tmp_path):
+    """r17 review finding: the compaction audit mapped s3a://→s3:// but
+    the probes did not, so every probe on an s3a:// table silently
+    answered None (the chunked-fail-safe toll, permanently, on object
+    stores). Scheme dispatch now lives in ONE place — pin the mapping,
+    the Hadoop single-slash file:/ form, and that probes resolve
+    through it."""
+    from amsterdam_map_data_wrangling_spark.sources.fs import (
+        hadoop_to_pyarrow_uri,
+        pyarrow_fs_for,
+    )
+
+    assert hadoop_to_pyarrow_uri("s3a://b/k/t.parquet") == "s3://b/k/t.parquet"
+    assert hadoop_to_pyarrow_uri("s3n://b/k") == "s3://b/k"
+    assert hadoop_to_pyarrow_uri("gs://b/k") == "gs://b/k"
+    assert hadoop_to_pyarrow_uri("/bare/path") == "/bare/path"
+
+    d = tmp_path / "one"
+    d.mkdir()
+    t = pa.table({"k": pa.array([7, None], type=pa.int64())})
+    pq.write_table(t, d / "part-0.parquet")
+    # Hadoop's Path.toString local form: file:/x (single slash)
+    fs1, p1 = pyarrow_fs_for(f"file:{d}")
+    fs2, p2 = pyarrow_fs_for(str(d))
+    assert p1 == p2 == str(d)
+    # and the probe itself answers through the file:/ form
+    assert parquet_col_max(f"file:{d}", "k") == 7
+    assert parquet_col_null_frac(f"file:{d}", "k") == pytest.approx(0.5)

@@ -427,3 +427,39 @@ def test_bound_doc_width_null_text_never_vanishes(spark):
         2: False,
         3: True,
     }
+
+
+def test_bound_doc_width_gate_oracle_on_null_corpus(spark, tmp_path):
+    """r17 review finding, closed: DuckDB's repeat(NULL || ' ', n) is
+    NULL while Spark's array_join skips a NULL part — an uncoalesced
+    gate would diverge (NULL/NULL/NULL vs 0/''-md5/false) on the first
+    null-bearing corpus. Both engines now coalesce BEFORE widening;
+    pin the gate hash-green on a corpus with NULL text (plus narrow
+    and wide docs so all three branches run)."""
+    import duckdb
+
+    from amsterdam_map_data_wrangling_spark.plans.catalog import QUERIES
+
+    rows = [
+        (0, None, "en", "s", 0),
+        (1, "tiny doc here", "en", "s", 13),
+        (7, _word_stream(7, 400), "nl", "s", 0),  # widens past the cap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "nulldocs"
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    q = QUERIES["bound_doc_width_roundtrip"]
+    got = sorted(tuple(r) for r in q.build(spark, str(sf)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    assert got == want and len(got) == 3
+    by_id = {r[0]: r for r in got}
+    # the null doc is a real 1-repeat ' ' document on both engines
+    assert by_id[0][1] == 1 and by_id[0][4] == 0  # orig_len=1, no violations
