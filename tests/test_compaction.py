@@ -215,3 +215,29 @@ def test_streaming_epoch_tree_compacts_byte_identically(spark, tmp_path):
     assert audit["n_input_files"] > audit["n_groups"]
     assert corpus(dst) == before
     assert audit["n_output_rows"] == 15
+
+
+def test_object_store_slack_guidance_changes_the_decision():
+    """The r17 latency axis's operating guidance, made executable: a
+    layout at ~2x the ideal file count is NOT worth compacting on local
+    FS (per-file cost ~13 ms/catalog-pass; the measured local threshold
+    is ratio 4) but IS on an object store (>= 2 RTTs per file per scan
+    = 3-8x the local coefficient, so the local ratio-4 degradation
+    arrives at ~0.5-1.3) — callers there pass filecount_slack=1.5."""
+    from amsterdam_map_data_wrangling_spark.operators.compaction import (
+        should_compact,
+    )
+
+    target = 128 * 1024 * 1024
+    # 200 files of ~1.28 MB over ~256 MB of data: ideal 2, ratio 100 —
+    # obviously compact everywhere. Borderline case: ratio ~2.
+    borderline = [(f"f{i}", 64 * 1024 * 1024) for i in range(130)]
+    # 130 x 64 MB = 8320 MB -> ideal 65 -> ratio 2.0, excess 65 files
+    local = should_compact(borderline, target)  # default slack 4.0
+    objstore = should_compact(borderline, target, filecount_slack=1.5)
+    assert local["filecount_ratio"] == 2.0
+    assert not local["compact"], "ratio 2 is inside the local flat band"
+    assert objstore["compact"], (
+        "ratio 2 costs 3-8x more per file at 20-50 ms/GET — the "
+        "documented object-store slack must trigger the rewrite"
+    )
