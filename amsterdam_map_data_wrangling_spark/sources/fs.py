@@ -136,13 +136,25 @@ def pyarrow_fs_for(path: str):
     resolve through here (r17 review: the audit had the mapping, the
     probes did not, so every probe on an s3a:// table silently answered
     None and the adaptive plans paid the chunked fail-safe — the exact
-    misclassification the budget fix closed for local layouts)."""
+    misclassification the budget fix closed for local layouts).
+
+    A ``file://`` URI with a non-empty authority (``file://host/x`` —
+    a remote-host file reference) RAISES instead of silently probing
+    the wrong local path ``/host/x`` (r17 ADVICE): every caller wraps
+    probes in the fail-safe try/except, so the raise lands as None →
+    the bounded plan, never a wrong answer."""
     from pyarrow import fs as pafs
 
     if path.startswith("file:"):
         p = path[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
+        if p.startswith("//"):
+            authority, _, tail = p[2:].partition("/")
+            if authority:
+                raise ValueError(
+                    f"file URI with non-empty authority (remote host) is "
+                    f"not a local path: {path!r}"
+                )
+            p = "/" + tail
         return pafs.LocalFileSystem(), p
     if "://" not in path:
         return pafs.LocalFileSystem(), path
@@ -152,7 +164,15 @@ def pyarrow_fs_for(path: str):
 def hadoop_to_pyarrow_uri(uri: str) -> str:
     """Rewrite Hadoop-only schemes to the pyarrow scheme that serves the
     same store (``s3a://``/``s3n://`` → ``s3://``); other URIs pass
-    through untouched."""
+    through untouched. Azure coverage (r17 ADVICE, verified against
+    pyarrow 16.1): ``abfs://`` / ``abfss://`` need NO rewrite —
+    ``FileSystem.from_uri`` dispatches both to AzureFileSystem natively
+    (pinned in tests/test_footer_probes.py). KNOWN UNMAPPED: the legacy
+    blob-endpoint schemes ``wasb://`` / ``wasbs://`` have no pyarrow
+    twin (the abfs rewrite would swap the blob endpoint for the dfs
+    endpoint — not guaranteed-equivalent on non-HNS accounts), so
+    probes on wasb tables answer None and adaptive callers take their
+    bounded plan: a documented limitation, not a silent one."""
     for hadoop_scheme in ("s3a://", "s3n://"):
         if uri.startswith(hadoop_scheme):
             return "s3://" + uri[len(hadoop_scheme):]
