@@ -153,93 +153,47 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 17 rotation: front (slots 1-50) ----
-    # (v) the r14-front cohort (the r11 cohort, incl. the three r14
-    #     re-contracts) - their freshest verdict window is r14, three
-    #     distinct windows back after this round's gates. Pre-parked at
-    #     r16's slots 51-100 for exactly this rotation. This front
-    #     re-gates the repo's entire stale-verdict mass (r16 verdict
-    #     "Next round" #1): the SEVEN queries whose CODE changed at
-    #     r15/r16 with unchanged oracles re-gate with their cohort per
-    #     the changed-code rule - gap_sessionization (adaptive
-    #     footer-probe window lever + the r16 pyarrow.fs probe port),
-    #     pii_redaction_stats / unigram_lm_scores (wide-row levers +
-    #     probe port), dedup_minhash_pairs / dedup_minhash_portable_pairs
-    #     (r15 collapse-first clone-proof default), dedup_clusters /
-    #     near_dup_pagerank (r16 memo-lock refactor, plus this round's
-    #     eviction-under-master-lock fix).
-    #     ONE retirement this round (the saturation policy's escape
-    #     hatch, exercised r08/r11/r12 precedent): ann_rand_lsh leaves
-    #     the registry (lowest marginal evidence - the closest twin of
-    #     the still-gated ann_sign_lsh: identical bucket-join +
-    #     exact-cosine plan shape, only the hash family differs;
-    #     semantics stay value-gated in tests/test_retired.py) and its
-    #     slot goes to bound_doc_width_roundtrip - the driver gate for
-    #     the r16 headline ingest-width guardrail (r16 verdict "Next
-    #     round" #4: byte-exact reassembly md5 witness + cap residual
-    #     against a string-algebra oracle, the warc_roundtrip_stats
-    #     pattern). N stays exactly 150.
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_minhash_portable_pairs",
-    "dedup_simhash_bands",
-    "sorted_neighborhood_window",
-    "near_dup_transitivity",
-    "near_dup_pagerank",
-    "incremental_dedup_stats",
-    "leakage_free_split",
-    "winsorize_price_stats",
-    "robust_z_by_priority",
-    "unigram_lm_scores",
-    "weighted_sample_per_group",
-    "ols_price_trend_by_priority",
-    "geo_haversine_radius",
-    "geo_nn_on_sphere",
-    "multimodal_features",
-    "multimodal_dims",
-    "audio_levels",
-    "image_pixel_stats",
-    "star_join_customers_by_region",
-    "range_join_balance_bands",
-    "gap_sessionization",
-    "nation_volume_shipping",
-    "knn_cosine_brute",
-    "ann_sign_lsh",
-    "bound_doc_width_roundtrip",
-    "ann_ivf",
-    "embedding_near_dup_pairs",
-    "ann_sq8_rerank",
-    "ann_pq_adc",
-    "sketch_users_by_type",
-    "sketch_value_quantiles",
-    "sparse_cosine_pairs",
-    "bloom_vocab_overlap",
-    "decontaminate_stats",
-    "bm25_search",
-    "quality_filter_pipeline",
-    "tfidf_top_terms",
-    "token_budget_pack_sharded",
-    "pii_redaction_stats",
-    "dup_span_removal",
-    "resample_locf_daily",
-    "trailing_window_revenue",
-    "salted_join_hot_customer",
-    "variant_json_stats",
-    "null_semantics_audit",
-    "xml_roundtrip_stats",
-    # ---- window boundary (slot 50) ----
-    # (w) park: the 50 r15-front queries (the r08/r12 lineage cohort
-    #     with the two r15 re-contracts: normalize_phone_lengths
-    #     HUGEINT oracle, running_revenue_per_customer exact-cents
-    #     chunked prefix sum), in their r15 gate order - their verdict
-    #     window is r15, 2 distinct windows back after this round's
-    #     front gates; parked immediately past the window so they are
-    #     r18's entire front. NO code or oracle changes touch this
-    #     cohort this round.
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
+    # ---- round 18 rotation: front (slots 1-50) ----
+    # (y) the r15-front cohort (the r08/r12 lineage), owed this round's
+    #     window (verdicts r15, three distinct windows back after this
+    #     round's gates), MINUS five retirements + PLUS five entrants:
+    #
+    #     FIVE RETIREMENTS (the saturation policy's escape hatch —
+    #     r08/r11/r12/r17 precedent — exercised five-wide because this
+    #     front owes five slots at once: three to the r17 verdict's #1
+    #     changed-code ask and two to its #2/#3 new-operator-gate asks;
+    #     the freshness arithmetic permits no park for displaced
+    #     r15-cohort names, so the displaced five must leave the
+    #     registry, each the lowest-marginal-evidence member of a
+    #     family that stays value-gated):
+    #       dedup_minhash_portable  (signatures are a strict
+    #         sub-computation of r17-green dedup_minhash_portable_pairs)
+    #       dedup_simhash_portable  (construction twin of r17-green
+    #         dedup_simhash_bands)
+    #       dedup_cluster_size_hist (rollup over the same shared
+    #         component relation r17-green dedup_clusters gates)
+    #       neardup_degree_hist     (rollup over the same pair relation
+    #         r17-green near_dup_transitivity/pagerank gate)
+    #       quality_components      (computed inside r17-green
+    #         quality_filter_pipeline; quality_scores keeps the
+    #         composite relation in this front)
+    #     All five keep their full oracle compares in
+    #     tests/test_retired.py. N: 150 - 5 + 2 = 147.
+    #
+    #     FIVE ENTRANTS:
+    #       session_window_per_user / event_gap_stats /
+    #       funnel_conversion — the three r16-cohort adaptive window
+    #         levers whose PLAN-SELECTION INPUTS changed at r17
+    #         (PROBE_MAX_FILES 64->256, 16-wide footer fan-out, unified
+    #         scheme dispatch, sources/fs.py) — fronted out of cycle
+    #         per the changed-code rule (r17 verdict "Next round" #1).
+    #       training_shuffle_order — first driver gate for
+    #         operators/packing.py:training_order_shuffle (r17 verdict
+    #         #2; the curation->trainer handoff, previously pytest-only).
+    #       compaction_plan_ffd — first driver gate for
+    #         operators/compaction.py compaction_plan + should_compact
+    #         (r17 verdict #3; recursive-CTE FFD replay, both slack
+    #         branches witnessed).
     "geo_way_lengths",
     "frame_sample_stats",
     "warc_roundtrip_stats",
@@ -256,7 +210,6 @@ _GATE_PRIORITY: list[str] = [
     "dataset_split_stats",
     "embedding_label_centroids",
     "minhash_recall_curve",
-    "dedup_cluster_size_hist",
     "event_transition_counts",
     "scd2_state_durations",
     "cohort_retention",
@@ -270,7 +223,6 @@ _GATE_PRIORITY: list[str] = [
     "nearest_centroid_confusion",
     "rfm_segment_counts",
     "dq_audit_star",
-    "neardup_degree_hist",
     "basket_lift_pairs",
     "daily_peak_concurrency",
     "revenue_concentration",
@@ -280,7 +232,6 @@ _GATE_PRIORITY: list[str] = [
     "doc_rolling_fingerprint",
     "stratified_sample_counts",
     "quality_scores",
-    "quality_components",
     "chunk_documents",
     "normalize_phone_lengths",
     "normalize_postcode_formats",
@@ -288,13 +239,70 @@ _GATE_PRIORITY: list[str] = [
     "eav_unpivot_topk",
     "table_stats",
     "salted_user_event_stats",
-    # (x) the 50 r16-front queries (the r10/r13 lineage cohort:
-    #     gap_log2_hist + the 49 re-gated r06-greens, freshly gated at
-    #     r16 incl. the three adaptive window-lever re-gates) are
-    #     deliberately unlisted - they append in registration order
-    #     behind the park (verdicts r16, the freshest cohort) and
-    #     become r19's front: dedup_keep_canonical, ...,
-    #     map_ops_surface.
+    "session_window_per_user",
+    "event_gap_stats",
+    "funnel_conversion",
+    "training_shuffle_order",
+    "compaction_plan_ffd",
+    # ---- window boundary (slot 50) ----
+    # (z) park: the 47 remaining r16-front queries (the r10/r13
+    #     lineage cohort minus the three levers fronted above), in
+    #     their r16 gate order - their verdict window is r16, two
+    #     distinct windows back after this round's front gates; parked
+    #     immediately past the window so they are r19's front (47
+    #     slots; 3 spare slots free for r19 obligations). NO code or
+    #     oracle changes touch this cohort this round.
+    "dedup_keep_canonical",
+    "dedup_edit_refine",
+    "audio_dims",
+    "video_dims",
+    "count_global",
+    "distinct_users_union",
+    "custkeys_intersect",
+    "custkeys_except",
+    "topk_group_distinct",
+    "topk_group_count",
+    "topk_order_limit",
+    "like_filter_count",
+    "scan_filter_project",
+    "pct_shares",
+    "runtime_bloom_filter_join",
+    "local_supplier_volume",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "weekly_cohort_retention",
+    "key_skew_profile",
+    "zorder_layout_stats",
+    "asof_last_click_before_error",
+    "interval_overlap_balances",
+    "above_avg_orders_per_customer",
+    "segment_event_counts",
+    "gap_log2_hist",
+    "cms_heavy_hitters",
+    "text_stats",
+    "term_freq_topk",
+    "bigram_topk",
+    "lang_id_confusion",
+    "chunk_documents_udtf",
+    "repetition_stats",
+    "benchmark_contamination",
+    "mixture_proportional_sample",
+    "dup_span_coverage",
+    "tumbling_window_stats",
+    "sliding_window_by_type",
+    "interval_join_click_error",
+    "json_props_stats",
+    "value_percentiles_by_type",
+    "equi_depth_histogram",
+    "expectations_report",
+    "python_datasource_stats",
+    "nested_json_shred",
+    "snapshot_table_diff",
+    "map_ops_surface",
+    # (aa) the 50 r17-front queries (verdicts r17, the freshest
+    #     cohort) are deliberately unlisted - they append in
+    #     registration order behind the park and become r20's front:
+    #     dedup_exact_groups, ..., xml_roundtrip_stats.
 ]
 
 

@@ -496,9 +496,16 @@ def dedup_keep_canonical(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_minhash_portable",
-    r"""
+#: dedup_minhash_portable — RETIRED from the gate registry at round 18
+#: (the N-saturation policy's retirement mechanism; slot freed for the
+#: r18 front's five entrants: the three probe-affected r16-cohort
+#: levers + the two new operator gates). Lowest marginal evidence in
+#: the minhash family: its signature relation is a strict
+#: SUB-COMPUTATION of the still-gated dedup_minhash_portable_pairs
+#: (r17 green), which builds the identical md5 universal-hash
+#: signatures and then value-gates the banding join and pair expansion
+#: on top. The full oracle compare lives on in tests/test_retired.py.
+MINHASH_PORTABLE_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
       FROM documents WHERE doc_id % 10 = 0
@@ -521,17 +528,9 @@ def dedup_keep_canonical(spark, sf_dir):
            min((521  * h + 83)  % 2147483647) AS h6,
            min((1031 * h + 163) % 2147483647) AS h7
     FROM hashed GROUP BY id
-    """,
-    "MinHash signatures with an md5-derived universal-hash family — the "
-    "oracle-gated verification twin of dedup_minhash_pairs (whose xxhash64 "
-    "families DuckDB cannot replay value-for-value — that query hash-gates "
-    "the exact-dup recall invariant instead). Verifies "
-    "the construction value-for-value: shingling, per-shingle hash, k "
-    "family transforms, min-aggregation — on a deterministic 1-in-10 doc "
-    "subset (the md5 anchor is ~2x the cost of the production hash; a "
-    "value-exact check doesn't need the whole corpus). Scale: identical "
-    "plan shape to the production path — one map-side-partial groupBy(id).",
-)
+    """
+
+
 def dedup_minhash_portable(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.operators.dedup import (
         minhash_signatures_portable,
@@ -654,9 +653,15 @@ def dedup_minhash_portable_pairs(spark, sf_dir):
     return expand_rep_pairs(fp, reps, pairs, w=3)
 
 
-@query(
-    "dedup_simhash_portable",
-    r"""
+#: dedup_simhash_portable — RETIRED from the gate registry at round 18
+#: (same retirement batch as dedup_minhash_portable above). Nearest
+#: twin: the still-gated dedup_simhash_bands (r17 green) shares the
+#: SimHash construction (token hash → per-bit votes → sign-threshold
+#: code) and value-gates its banding behavior; this query's only
+#: marginal evidence was the md5-anchored value-exactness of the bit
+#: votes, which lives on as a full oracle compare in
+#: tests/test_retired.py.
+SIMHASH_PORTABLE_ORACLE = r"""
     WITH tok AS (
       SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS t
       FROM documents WHERE doc_id % 10 = 0
@@ -677,14 +682,9 @@ def dedup_minhash_portable_pairs(spark, sf_dir):
         code=" + ".join(
             f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
         ),
-    ),
-    "16-bit SimHash with an md5-derived token hash — the oracle-gated "
-    "verification twin of dedup_simhash_bands (xxhash64 there, gated via "
-    "its case-sensitive exact-dup invariant). "
-    "Verifies bit votes and sign-threshold code value-for-value on a "
-    "deterministic 1-in-10 doc subset. Scale: one groupBy(id) with 16 "
-    "partial sums — no pairwise work.",
-)
+    )
+
+
 def dedup_simhash_portable(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.operators.dedup import simhash_portable
 

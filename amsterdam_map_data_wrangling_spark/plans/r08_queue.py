@@ -375,7 +375,14 @@ def cluster_hist_build(spark, sf_dir):
     )
 
 
-QUEUE["dedup_cluster_size_hist"] = (cluster_hist_build, CLUSTER_HIST_ORACLE)
+# dedup_cluster_size_hist — RETIRED from the gate registry at round 18
+# (saturation-policy retirement batch). Lowest marginal evidence in
+# the dedup-graph family: a two-rollup histogram over the SAME
+# session-shared component relation the still-gated dedup_clusters /
+# dedup_keep_canonical / near_dup_pagerank value-gate (r17 green) —
+# the component labels it aggregates are hash-verified there. Full
+# oracle compare lives on in tests/test_retired.py.
+CLUSTER_HIST_RETIRED = (cluster_hist_build, CLUSTER_HIST_ORACLE)
 
 
 #: first-order event-transition counts — the Markov-chain feature
@@ -1388,7 +1395,12 @@ def degree_hist_build(spark, sf_dir):
     ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
 
 
-QUEUE["neardup_degree_hist"] = (degree_hist_build, DEGREE_ORACLE)
+# neardup_degree_hist — RETIRED from the gate registry at round 18
+# (same batch as dedup_cluster_size_hist above). A two-rollup degree
+# histogram over the SAME df-capped pair relation the still-gated
+# near_dup_transitivity / near_dup_pagerank value-gate (r17 green).
+# Full oracle compare lives on in tests/test_retired.py.
+DEGREE_HIST_RETIRED = (degree_hist_build, DEGREE_ORACLE)
 
 
 #: grid-bucketed spatial radius join — the distributed spatial-join
@@ -1531,7 +1543,7 @@ SPATIAL_RETIRED = (spatial_build, SPATIAL_ORACLE)
 #: (with this whitelist) on the queue already.
 BNLJ_OK = {
     "minhash_recall_curve",  # broadcast 1-row recall denominators stitch
-    "dedup_cluster_size_hist",  # corpus-count x component-count 1-row stitch
+    # dedup_cluster_size_hist held a slot here until its r18 retirement
     "ks_split_drift",  # broadcast 1-row (n_train, n_holdout) totals
     "chi2_type_weekday",  # broadcast 1-row grand-total stitch
     "rfm_segment_counts",  # broadcast 1-row global max order date

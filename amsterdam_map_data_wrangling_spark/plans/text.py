@@ -466,9 +466,17 @@ def quality_filter_pipeline(spark, sf_dir):
     )
 
 
-@query(
-    "quality_components",
-    r"""
+#: quality_components — RETIRED from the gate registry at round 18
+#: (same retirement batch as the dedup portable twins; slots freed for
+#: the three probe-affected r16-cohort levers + the two new operator
+#: gates). Lowest marginal evidence in the quality family: the same
+#: component machinery (punct/stopword/upper ratios from
+#: functions/text.py) is computed INSIDE the still-gated
+#: quality_filter_pipeline (r17 green — features-before-dedup stage),
+#: and quality_scores keeps the composite per-doc quality relation
+#: gated in this cohort. The full oracle compare lives on in
+#: tests/test_retired.py.
+QUALITY_COMPONENTS_ORACLE = r"""
     SELECT doc_id,
            round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
                  / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
@@ -481,13 +489,9 @@ def quality_filter_pipeline(spark, sf_dir):
            round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
                  / CAST(length(text) AS DOUBLE), 4) AS upper_ratio
     FROM documents
-    """,
-    "The remaining classic quality-filter components: punctuation ratio, "
-    "stopword ratio, uppercase ratio per document (complements "
-    "quality_scores' length/diversity/token-length). Scale: narrow "
-    "per-row expressions, no shuffle — at 100 TB these are WHERE-clause "
-    "material computed inside the scan stage.",
-)
+    """
+
+
 def quality_components(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.functions.text import (
         punct_ratio,
@@ -1711,5 +1715,76 @@ def bound_doc_width_roundtrip(spark, sf_dir):
             (F.length("_re") > cap).alias("is_wide"),
             F.md5("_re").alias("reassembled_md5"),
             "cap_violations",
+        )
+    )
+
+
+@query(
+    "training_shuffle_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('order|spark-graft|'
+                || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rnk
+      FROM documents
+    )
+    SELECT CAST(rnk % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY rnk, doc_id)) AS order_md5,
+           CAST(min(rnk) AS BIGINT) AS first_rank,
+           CAST(max(rnk) AS BIGINT) AS last_rank
+    FROM ranked GROUP BY 1
+    """,
+    "Driver gate for operators/packing.py:training_order_shuffle — the "
+    "curation→trainer handoff (shuffle once, read sequentially forever; "
+    "r17 verdict 'Next round' #2, previously pytest-only). Runs the REAL "
+    "operator (portable md5 rank, shard = rank % 8, total order "
+    "(_shard, _rank, id)), then witnesses the order per shard: count + "
+    "md5 of the doc_ids concatenated in the shard's exact rank order + "
+    "the rank endpoints. The oracle replays the portable rank in DuckDB "
+    "(string_agg ORDER BY rnk, doc_id), so a hash match pins shard "
+    "assignment, rank values, AND the total tie-broken order "
+    "value-for-value — the same witness shape as leakage_free_split. "
+    "The physical within-partition layout (sortWithinPartitions + "
+    "partitionBy writer contract) stays pinned in tests/test_packing.py; "
+    "this gate pins the SEMANTIC order those files must carry. Scale: "
+    "the operator is one hash-repartition + shard-local sort (no global "
+    "range exchange); the witness agg is gate-only, never a production "
+    "read path.",
+)
+def training_shuffle_order(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.packing import (
+        training_order_shuffle,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    shuffled = training_order_shuffle(
+        documents.select("doc_id"), "doc_id", shards=8
+    )
+    # array_sort on struct(_rank, doc_id) sorts by field order = exactly
+    # the operator's (_rank, id) sort key within the shard
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_rank"), F.col("doc_id")))
+    )
+    return (
+        shuffled.groupBy("_shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(ordered, lambda s: s["doc_id"].cast("string")),
+                )
+            ).alias("order_md5"),
+            F.min("_rank").alias("first_rank"),
+            F.max("_rank").alias("last_rank"),
+        )
+        .select(
+            F.col("_shard").alias("shard"),
+            "n_docs",
+            "order_md5",
+            "first_rank",
+            "last_rank",
         )
     )

@@ -1072,3 +1072,168 @@ def xml_roundtrip_stats(spark, sf_dir):
         )
         .orderBy("key", "value")
     )
+
+
+#: compaction gate constants: small synthetic target so the md5-derived
+#: byte sizes exercise every planner branch (open-bin first fit, new-bin
+#: fallback, oversize singletons) at a deterministic 400-file metadata
+#: relation; doc_id % 29 seeds ~3% oversize files. The derived ratio
+#: (~2.6 at sf0.01) sits deliberately BETWEEN the local slack (4.0) and
+#: the object-store slack (1.5), so the two decision flags witness both
+#: sides of the threshold in one result.
+_CMP_TARGET = 1_000_000
+_CMP_FILES = 400
+
+
+@query(
+    "compaction_plan_ffd",
+    f"""
+    WITH RECURSIVE picked AS (
+      SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_CMP_FILES}
+    ), sized AS (
+      SELECT 'f' || CAST(doc_id AS VARCHAR) AS path,
+             CASE WHEN doc_id % 29 = 0
+                  THEN {_CMP_TARGET} + ('0x' || substr(md5('cmpsize|spark-graft|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 500000
+                  ELSE 1 + ('0x' || substr(md5('cmpsize|spark-graft|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 700000
+             END AS sz
+      FROM picked
+    ), files AS (
+      SELECT path, sz, row_number() OVER (ORDER BY sz DESC, path) AS rn
+      FROM sized
+    ), steps AS (
+      SELECT 0 AS i, CAST([] AS BIGINT[]) AS fills, CAST([] AS INT[]) AS assign
+      UNION ALL
+      SELECT s.i + 1,
+             CASE WHEN p.pos IS NULL THEN list_append(s.fills, f.sz)
+                  ELSE list_transform(s.fills,
+                         (u, j) -> CASE WHEN j = p.pos THEN u + f.sz
+                                        ELSE u END)
+             END,
+             list_append(s.assign, CAST(coalesce(p.pos, len(s.fills) + 1) AS INT))
+      FROM steps s
+      JOIN files f ON f.rn = s.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN f.sz >= {_CMP_TARGET} THEN NULL
+                    ELSE nullif(list_position(
+                           list_transform(s.fills,
+                             u -> u + f.sz <= {_CMP_TARGET}
+                                  AND u < {_CMP_TARGET}),
+                           true), 0)
+               END AS pos) p
+    ), final AS (
+      SELECT assign FROM steps WHERE i = (SELECT count(*) FROM files)
+    ), assigned AS (
+      SELECT f.path, f.sz, a.grp
+      FROM files f
+      JOIN (SELECT unnest(assign) AS grp,
+                   generate_subscripts(assign, 1) AS rn
+            FROM final) a USING (rn)
+    ), decision AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(sz) AS BIGINT) AS total_bytes,
+             CAST(greatest(1, (CAST(sum(sz) AS BIGINT) + {_CMP_TARGET - 1})
+                              // {_CMP_TARGET}) AS BIGINT) AS ideal_files
+      FROM sized
+    ), flags AS (
+      SELECT n_files, total_bytes, ideal_files,
+             round(n_files / CAST(ideal_files AS DOUBLE), 1)
+               AS filecount_ratio,
+             (n_files / CAST(ideal_files AS DOUBLE) > 4.0
+              AND n_files - ideal_files >= 64) AS compact_default,
+             (n_files / CAST(ideal_files AS DOUBLE) > 1.5
+              AND n_files - ideal_files >= 64) AS compact_objstore
+      FROM decision
+    )
+    SELECT a.path, CAST(a.sz AS BIGINT) AS sz_bytes, a.grp,
+           CAST(count(*) OVER (PARTITION BY a.grp) AS BIGINT)
+             AS group_n_files,
+           CAST(sum(a.sz) OVER (PARTITION BY a.grp) AS BIGINT)
+             AS group_bytes,
+           a.sz >= {_CMP_TARGET} AS oversize,
+           f.n_files, f.total_bytes, f.ideal_files, f.filecount_ratio,
+           f.compact_default, f.compact_objstore
+    FROM assigned a CROSS JOIN flags f
+    """,
+    "Driver gate for operators/compaction.py — the first-fit-decreasing "
+    "plan (compaction_plan) and the compact/skip decision "
+    "(should_compact) replayed value-for-value by a recursive-CTE FFD "
+    "in DuckDB (r17 verdict 'Next round' #3; the unrolled-loop oracle "
+    "family). A 400-file (path, size) metadata relation is derived from "
+    "the documents table by portable md5 algebra (sizes span open-bin "
+    "fits, new-bin fallbacks, and ~3% oversize singletons); the REAL "
+    "planner runs driver-side — exactly its production deployment, "
+    "where the input is a driver-side file listing — and the result "
+    "carries every per-file bin assignment (group id in bin-creation "
+    "order, group fill, oversize flag) plus both decision branches: "
+    "compact_default (local slack 4.0 — False here, ratio ~2.6) and "
+    "compact_objstore (slack 1.5 — True), so one hash match pins the "
+    "full FFD placement sequence AND the threshold algebra either side "
+    "of the measured break-even. The bounded 400-row collect IS the "
+    "operator's contract (metadata-only planner; listings are "
+    "file-count-sized, never data-sized).",
+)
+def compaction_plan_ffd(spark, sf_dir):
+    import hashlib
+
+    from amsterdam_map_data_wrangling_spark.operators.compaction import (
+        compaction_plan,
+        should_compact,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ids = [
+        r.doc_id
+        for r in documents.select("doc_id")
+        .orderBy("doc_id")
+        .limit(_CMP_FILES)
+        .collect()
+    ]
+
+    def h(i: int) -> int:
+        return int(
+            hashlib.md5(f"cmpsize|spark-graft|{i}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    sizes = [
+        (
+            f"f{i}",
+            (_CMP_TARGET + h(i) % 500_000)
+            if i % 29 == 0
+            else (1 + h(i) % 700_000),
+        )
+        for i in ids
+    ]
+    groups = compaction_plan(sizes, _CMP_TARGET)
+    dec = should_compact(sizes, _CMP_TARGET)  # local slack 4.0
+    dec_os = should_compact(sizes, _CMP_TARGET, filecount_slack=1.5)
+    szmap = dict(sizes)
+    rows = []
+    for gi, paths in enumerate(groups, 1):
+        gb = sum(szmap[p] for p in paths)
+        for p in paths:
+            rows.append(
+                (
+                    p,
+                    szmap[p],
+                    gi,
+                    len(paths),
+                    gb,
+                    szmap[p] >= _CMP_TARGET,
+                    dec["n_files"],
+                    dec["total_bytes"],
+                    dec["ideal_files"],
+                    dec["filecount_ratio"],
+                    dec["compact"],
+                    dec_os["compact"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "path string, sz_bytes long, grp int, group_n_files long, "
+        "group_bytes long, oversize boolean, n_files long, "
+        "total_bytes long, ideal_files long, filecount_ratio double, "
+        "compact_default boolean, compact_objstore boolean",
+    )

@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 NAMES = [
     "dedup_clusters",
     "dedup_keep_canonical",
-    "dedup_cluster_size_hist",
+    "near_dup_pagerank",  # memo consumer (cluster_size_hist retired r18)
     "near_dup_transitivity",
     "dedup_ngram_jaccard",
     "topk_group_count",

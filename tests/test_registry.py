@@ -69,42 +69,58 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-17 evidence policy: the 50 r14-front queries (the oldest
-    # cohort — their last DISTINCT verdict window is r14, three windows
-    # back after this round's gates) take the whole front, re-gating
-    # the seven r15/r16 changed-code queries with their cohort
-    # (gap_sessionization, pii_redaction_stats, unigram_lm_scores,
-    # both minhash pair variants, dedup_clusters, near_dup_pagerank) —
-    # with ONE retirement swap: ann_rand_lsh left the registry (its
-    # oracle compare lives in tests/test_retired.py) and its slot holds
-    # bound_doc_width_roundtrip, the r16 ingest-width guardrail's
-    # driver gate. The r15-front cohort parks at slots 51-100 as r18's
-    # front; the freshly-gated r16 cohort appends unlisted at 101-150
-    # (r19's front). (The general freshness invariant is asserted
-    # mechanically in tests/test_gate_freshness.py — this pins only the
-    # current round's specific obligations.)
+    # round-18 evidence policy: the r15-front cohort (the oldest — its
+    # last DISTINCT verdict window is r15, three windows back after
+    # this round's gates) takes the front, with FIVE retirement swaps
+    # (each family stays value-gated by an r17-green sibling; full
+    # oracle compares live in tests/test_retired.py) making room for
+    # five entrants: the three r16-cohort adaptive window levers whose
+    # plan-selection inputs changed at r17 (PROBE_MAX_FILES 64->256,
+    # footer fan-out, scheme dispatch — the changed-code rule), plus
+    # the first driver gates for training_order_shuffle and the
+    # compaction planner. The remaining 47 r16-front queries park at
+    # slots 51-97 (r19's front); the freshly-gated r17 cohort appends
+    # unlisted at 98-147 (r20's front). (The general freshness
+    # invariant is asserted mechanically in tests/test_gate_freshness.py
+    # — this pins only the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r14 = set(json.loads((repo / "CORRECTNESS_r14.json").read_text()))
     r15 = set(json.loads((repo / "CORRECTNESS_r15.json").read_text()))
     r16 = set(json.loads((repo / "CORRECTNESS_r16.json").read_text()))
-    assert set(ordered[:50]) == (r14 - {"ann_rand_lsh"}) | {
-        "bound_doc_width_roundtrip"
+    r17 = set(json.loads((repo / "CORRECTNESS_r17.json").read_text()))
+    retired_r18 = {
+        "dedup_minhash_portable",
+        "dedup_simhash_portable",
+        "dedup_cluster_size_hist",
+        "neardup_degree_hist",
+        "quality_components",
+    }
+    fronted_levers = {
+        "session_window_per_user",
+        "event_gap_stats",
+        "funnel_conversion",
+    }
+    assert set(ordered[:50]) == (r15 - retired_r18) | fronted_levers | {
+        "training_shuffle_order",
+        "compaction_plan_ffd",
     }, (
-        "round-17 window must be the 50 r14-front queries (the oldest "
-        "cohort) with the ann_rand_lsh → bound_doc_width_roundtrip "
-        "retirement swap"
+        "round-18 window must be the 45 surviving r15-front queries "
+        "plus the three probe-affected r16-cohort levers plus the two "
+        "new operator gates"
     )
-    assert set(ordered[50:100]) == r15, (
-        "the r15-front cohort must park at slots 51-100 (r18's front)"
+    assert set(ordered[50:97]) == r16 - fronted_levers, (
+        "the 47 remaining r16-front queries must park at slots 51-97 "
+        "(r19's front)"
     )
-    assert set(ordered[100:]) == r16, (
-        "the freshly-gated r16 cohort appends at slots 101-150"
+    assert set(ordered[97:]) == r17, (
+        "the freshly-gated r17 cohort appends at slots 98-147"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
     assert "ann_rand_lsh" not in ordered  # retired at r17
+    for q in retired_r18:
+        assert q not in ordered  # retired at r18
 
 
 def test_package_init_registers_every_query_module():

@@ -73,6 +73,12 @@ def test_retired_are_not_registered(spark):
         ("uniform_sample_per_group", "dup_span_removal"),
         ("token_budget_pack", "leakage_free_split"),
         ("spatial_radius_pairs", "geo_way_lengths"),
+        # r18 batch: five slots freed for the five r18 front entrants
+        ("dedup_minhash_portable", "training_shuffle_order"),
+        ("dedup_simhash_portable", "compaction_plan_ffd"),
+        ("dedup_cluster_size_hist", "session_window_per_user"),
+        ("neardup_degree_hist", "event_gap_stats"),
+        ("quality_components", "funnel_conversion"),
     ]:
         assert retired not in QUERIES
         assert occupant in QUERIES  # the slot's new occupant
@@ -134,5 +140,98 @@ def test_retired_ann_rand_lsh_still_matches_oracle(spark):
     con = duckdb_con(SF_ORACLE)
     try:
         compare(ann_rand_lsh(spark, SF_ORACLE), con, ANN_RAND_LSH_ORACLE)
+    finally:
+        con.close()
+
+
+def test_retired_dedup_minhash_portable_still_matches_oracle(spark):
+    """Retired r18 (slot batch for the five r18 front entrants): the md5
+    universal-hash MinHash signatures — a strict sub-computation of the
+    still-gated dedup_minhash_portable_pairs — still match the oracle
+    value-for-value."""
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        MINHASH_PORTABLE_ORACLE,
+        dedup_minhash_portable,
+    )
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            dedup_minhash_portable(spark, SF_ORACLE),
+            con,
+            MINHASH_PORTABLE_ORACLE,
+        )
+    finally:
+        con.close()
+
+
+def test_retired_dedup_simhash_portable_still_matches_oracle(spark):
+    """Retired r18: the md5-anchored 16-bit SimHash construction (bit
+    votes + sign threshold) — construction twin of the still-gated
+    dedup_simhash_bands — still matches value-for-value."""
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        SIMHASH_PORTABLE_ORACLE,
+        dedup_simhash_portable,
+    )
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            dedup_simhash_portable(spark, SF_ORACLE),
+            con,
+            SIMHASH_PORTABLE_ORACLE,
+        )
+    finally:
+        con.close()
+
+
+def test_retired_quality_components_still_matches_oracle(spark):
+    """Retired r18: punct/stopword/upper ratios per doc — the same
+    component machinery the still-gated quality_filter_pipeline
+    composes — still match value-for-value."""
+    from amsterdam_map_data_wrangling_spark.plans.text import (
+        QUALITY_COMPONENTS_ORACLE,
+        quality_components,
+    )
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(
+            quality_components(spark, SF_ORACLE),
+            con,
+            QUALITY_COMPONENTS_ORACLE,
+        )
+    finally:
+        con.close()
+
+
+def test_retired_dedup_cluster_size_hist_still_matches_oracle(spark):
+    """Retired r18: the cluster-size histogram over the session-shared
+    component relation (labels hash-verified by the still-gated
+    dedup_clusters) still matches its oracle."""
+    from amsterdam_map_data_wrangling_spark.plans.r08_queue import (
+        CLUSTER_HIST_RETIRED,
+    )
+
+    build, oracle = CLUSTER_HIST_RETIRED
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(build(spark, SF_ORACLE), con, oracle)
+    finally:
+        con.close()
+
+
+def test_retired_neardup_degree_hist_still_matches_oracle(spark):
+    """Retired r18: the degree histogram over the df-capped near-dup
+    pair relation (pairs hash-verified by the still-gated
+    near_dup_transitivity/pagerank) still matches its oracle."""
+    from amsterdam_map_data_wrangling_spark.plans.r08_queue import (
+        DEGREE_HIST_RETIRED,
+    )
+
+    build, oracle = DEGREE_HIST_RETIRED
+    con = duckdb_con(SF_ORACLE)
+    try:
+        compare(build(spark, SF_ORACLE), con, oracle)
     finally:
         con.close()
