@@ -78,27 +78,24 @@ def _run_canary(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
-    sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
-    spark = get_spark(app_name="amdw-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+#: Close-decidability gate (r17 verdict "What's wrong" #1: five
+#: same-day r17 closes spanned ±7% normalized, and the committed
+#: artifact happened to land on the noisiest reading — the protocol
+#: let one noisy canary set the artifact number). A close whose
+#: noise_med_over_min exceeds this gate is NOT accepted as-is: the
+#: timed passes re-run once and the QUIETER of the two closes becomes
+#: the artifact (both noise readings are recorded under "close" so the
+#: retry is auditable). 1.15 sits above every quiet-box close on
+#: record (1.03-1.10) and below every reading that round-over-round
+#: comparison later had to discard (1.23+).
+NOISE_GATE = 1.15
+MAX_CLOSE_ATTEMPTS = 2
 
-    # Warm pass (untimed): run every query once so the timed pass measures
-    # steady-state plan execution, not whole-stage-codegen compilation and
-    # JIT warm-up. That is the number that scales to a long-running
-    # cluster job — codegen compiles once per plan shape, then executes
-    # for hours.
-    for spec in QUERIES.values():
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # three timed passes, min per query: single-shot numbers on a shared box
-    # carry ±10-15% scheduler/GC noise; the min is the stable steady-state.
-    # ALL pass times are recorded (bench_results.json "passes") so host
-    # noise and plan regressions are distinguishable from the artifact
-    # alone (round-4 verdict: a +30% min-drift on untouched queries was
-    # undecidable from min-of-3 without the spread).
+def _timed_passes(spark, sf_dir: str):
+    """Three timed passes over the catalog (min per query is the
+    steady-state), canary-bracketed at each pass start and end.
+    Returns (passes, canary_samples, noise_med_over_min)."""
     passes: dict[str, list[float]] = {name: [] for name in QUERIES}
     canary_samples: dict[str, list[float]] = {n: [] for n in CANARY_QUERIES}
     for _ in range(3):
@@ -139,7 +136,52 @@ def main() -> None:
     ratios = sorted(
         medians[n] / timings[n] for n in timings if timings[n] > 0
     )
-    noise_med_over_min = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
+    noise = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
+    return passes, canary_samples, noise
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name="amdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm pass (untimed): run every query once so the timed pass measures
+    # steady-state plan execution, not whole-stage-codegen compilation and
+    # JIT warm-up. That is the number that scales to a long-running
+    # cluster job — codegen compiles once per plan shape, then executes
+    # for hours.
+    for spec in QUERIES.values():
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # three timed passes, min per query: single-shot numbers on a shared box
+    # carry ±10-15% scheduler/GC noise; the min is the stable steady-state.
+    # ALL pass times are recorded (bench_results.json "passes") so host
+    # noise and plan regressions are distinguishable from the artifact
+    # alone (round-4 verdict: a +30% min-drift on untouched queries was
+    # undecidable from min-of-3 without the spread).
+    # CLOSE PROTOCOL (see NOISE_GATE): a close over the noise gate
+    # re-runs once; the quieter close is the artifact.
+    attempts: list[float] = []
+    best = None
+    for _ in range(MAX_CLOSE_ATTEMPTS):
+        result = _timed_passes(spark, sf_dir)
+        attempts.append(result[2])
+        if best is None or result[2] < best[2]:
+            best = result
+        if result[2] <= NOISE_GATE:
+            break
+    passes, canary_samples, noise_med_over_min = best
+    close_info = {
+        "noise_gate": NOISE_GATE,
+        "attempts_noise": attempts,
+        "accepted_attempt": attempts.index(noise_med_over_min) + 1,
+        "accepted": noise_med_over_min <= NOISE_GATE,
+    }
+
+    timings = {name: min(ts) for name, ts in passes.items()}
+    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in passes.items()}
 
     total = round(sum(timings.values()), 4)
     # canary ratio: median over the 3 canary queries of
@@ -193,6 +235,7 @@ def main() -> None:
         "budget_sec": budget,
         "over_budget": over,
         "sf": sf,
+        "close": close_info,
         "canary": {
             "queries": list(CANARY_QUERIES),
             "baseline_sec": CANARY_BASELINE_SEC,
@@ -227,6 +270,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 4),
                 "noise_med_over_min": noise_med_over_min,
+                "close_accepted": close_info["accepted"],
                 "canary_ratio": canary_ratio,
                 "value_normalized": value_normalized,
                 "budget_sec": budget,
