@@ -200,12 +200,22 @@ def read_parquet_footers(files: list, filesystem) -> list:
 #: footer-read fan-out: object-store footer probes are LATENCY-bound,
 #: not bandwidth-bound (one ranged GET of a few KB per file). The r17
 #: latency axis measured the probe at budget (64 files, 50 ms RTT):
-#: 3.35 s serial vs 0.31 s with this fan-out (10.7x), and on local FS
-#: the pool costs ~25 ms at 64 files — negligible against the plan
-#: delta the probe buys (scripts/archive/objectstore_latency_r17.json).
-#: 16 concurrent metadata GETs is far below any object store's
-#: per-prefix request ceiling.
-PROBE_FANOUT = 16
+#: 3.35 s serial vs 0.31 s fanned 16-wide (10.7x), and on local FS the
+#: pool costs ~25 ms at 64 files — negligible against the plan delta
+#: the probe buys (scripts/archive/objectstore_latency_r17.json).
+#:
+#: 32, raised from 16 (r18): the r17 walls used OPEN-only accounting
+#: (post-open NativeFile reads uninstrumented — a documented lower
+#: bound). The r18 axis intercepts the reads too (each parquet footer =
+#: 1 open + 1 tail read = 2 billable GETs, measured), and true
+#: accounting nearly doubled the budget-probe wall: 256 files at
+#: 50 ms/GET cost 1.74 s fanned 16-wide — only ~13% headroom under the
+#: ~2 s smallest plan delta that justifies probing at all. 32-wide
+#: restores it to a measured 1.01 s (~2x headroom,
+#: scripts/catalog_latency.py). 32 concurrent metadata GETs remains
+#: far below any object store's per-prefix request ceiling (thousands
+#: of GET/s), and the local-FS pool cost stays in the tens of ms.
+PROBE_FANOUT = 32
 
 
 def _parquet_footers(

@@ -319,3 +319,57 @@ def test_azure_schemes_resolve_or_are_documented():
         assert p == "cont/t"
     # wasb has no pyarrow twin: probes answer None via the fail-safe
     assert parquet_col_max("wasb://c@a.blob.core.windows.net/t", "k") is None
+
+
+def test_probe_true_get_accounting_is_bounded(tmp_path):
+    """r18 catalog-latency axis: with post-open reads intercepted (the
+    GETs a store actually bills), each footer probe costs a BOUNDED
+    number of billable calls — measured 2/footer (1 open + 1 tail read)
+    + 2 fixed (stat + selector) — and the fan-out pool does not change
+    the count. Asserted as a bound (<= 4/footer + 4 fixed), not
+    pyarrow's exact internal pattern (r17 ADVICE). The budget wall this
+    implies at 50 ms/GET is why PROBE_FANOUT is 32: 256 files x 2 GETs
+    / 32-wide ~= 1.0 s, under the ~2 s smallest plan delta; 16-wide
+    measured 1.74 s — only ~13% headroom
+    (scripts/catalog_latency.py, scripts/archive/catalog_latency_r18)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "catalog_latency",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scripts",
+            "catalog_latency.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyarrow import fs as pafs
+
+    from amsterdam_map_data_wrangling_spark.sources import fs as fsmod
+
+    d = tmp_path / "acct"
+    d.mkdir()
+    n = 8
+    t = pa.table({"k": pa.array([1, 2, None], type=pa.int64())})
+    for i in range(n):
+        pq.write_table(t, d / f"part-{i:05d}.parquet")
+
+    for fanout in (1, fsmod.PROBE_FANOUT):
+        handler = mod.ReadLatencyHandler(0.0)
+        wrapped = pafs.PyFileSystem(handler)
+        old = fsmod.PROBE_FANOUT
+        fsmod.PROBE_FANOUT = fanout
+        try:
+            assert (
+                parquet_col_null_frac(str(d), "k", filesystem=wrapped)
+                == pytest.approx(1 / 3)
+            )
+        finally:
+            fsmod.PROBE_FANOUT = old
+        assert handler.total_calls <= 4 * n + 4, handler.calls
+        # reads ARE intercepted (walls under this handler are true
+        # per-GET accounting, not the r17 lower bound)
+        assert handler.calls.get("read", 0) >= n
