@@ -299,7 +299,15 @@ _GATE_PRIORITY: list[str] = [
     "nested_json_shred",
     "snapshot_table_diff",
     "map_ops_surface",
-    # (aa) the 50 r17-front queries (verdicts r17, the freshest
+    # (aa) never-gated overflow (freshness policy point 3, bounded <= 5):
+    #     jpeg_pixel_stats — the r18 headline operator's driver gate
+    #     (operators/jpeg.py baseline-JPEG decode, closed-form DC
+    #     synthesis) — registered AFTER the r18 window was owed in full
+    #     to the r15 cohort + the five entrants, so it parks here,
+    #     immediately past the park, first in line for r19's front
+    #     (47 r16-cohort + this = 48 of r19's 50 slots).
+    "jpeg_pixel_stats",
+    # (ab) the 50 r17-front queries (verdicts r17, the freshest
     #     cohort) are deliberately unlisted - they append in
     #     registration order behind the park and become r20's front:
     #     dedup_exact_groups, ..., xml_roundtrip_stats.

@@ -518,3 +518,69 @@ def warc_roundtrip_stats(spark, sf_dir):
     ).cast("binary")
     media = documents.select(F.col("doc_id"), blob.alias("warc_bytes"))
     return warc_stats_from_payloads(media, "doc_id", "warc_bytes")
+
+
+@query(
+    "jpeg_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id FROM documents
+    ), gray AS (
+      SELECT media_id, 0 AS channel,
+             CAST(128 AS BIGINT) AS n_pixels,
+             CAST(64 * (v0 + v1) AS BIGINT) AS sum_val,
+             CAST(greatest(v0, v1) AS BIGINT) AS max_val,
+             CAST(8 * (v0 + v1) AS BIGINT) AS top_row_sum
+      FROM (
+        SELECT media_id,
+               (media_id * 7) % 256 AS v0,
+               (media_id * 7 + 31) % 256 AS v1
+        FROM m WHERE media_id % 2 = 0
+      )
+    ), color AS (
+      SELECT media_id, CAST(c.ch AS INTEGER) AS channel,
+             CAST(64 AS BIGINT) AS n_pixels,
+             CAST(64 * v AS BIGINT) AS sum_val,
+             CAST(v AS BIGINT) AS max_val,
+             CAST(8 * v AS BIGINT) AS top_row_sum
+      FROM (
+        SELECT media_id, ch,
+               CASE ch WHEN 0 THEN (media_id * 5) % 256
+                       WHEN 1 THEN (media_id * 3) % 256
+                       ELSE (media_id * 11) % 256 END AS v
+        FROM m, unnest([0, 1, 2]) AS c(ch)
+        WHERE media_id % 2 = 1
+      ) c
+    )
+    SELECT media_id, CAST(channel AS INTEGER) AS channel,
+           n_pixels, sum_val, max_val, top_row_sum
+    FROM gray
+    UNION ALL
+    SELECT media_id, channel, n_pixels, sum_val, max_val, top_row_sum
+    FROM color
+    """,
+    "FULL baseline-JPEG decode, gated end-to-end — the engine's first "
+    "LOSSY-family codec (operators/jpeg.py, r18; the format whose "
+    "absence kept decode_stub alive for images). Payloads are complete "
+    "spec-compliant JFIF files (Annex K Huffman tables, real entropy "
+    "coding, byte stuffing, restart markers on the grayscale half, a "
+    "non-unit DC quant step on the color half) and the mapInPandas "
+    "kernel runs the REAL decode: marker walk, Huffman, dequantize, "
+    "de-zigzag, float IDCT, level shift — then per-channel exact-int "
+    "stats over the storage-native YCbCr planes (the BMP twin gates "
+    "storage-order B/G/R for the same reason; RGB conversion is pinned "
+    "in tests/test_jpeg.py). The synthesis is DC-only, so the lossy "
+    "pipeline is exactly invertible and the oracle derives every "
+    "number from id algebra without touching bytes. AC coefficients, "
+    "4:2:0, and corruption behavior are pinned by the fuzz + "
+    "independent-IDCT tests. Scale: map-only; payload bytes never "
+    "leave the scanning executor.",
+)
+def jpeg_pixel_stats(spark, sf_dir):
+    from amsterdam_map_data_wrangling_spark.operators.jpeg import (
+        extract_jpeg_pixels,
+        synthesize_jpeg_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return extract_jpeg_pixels(synthesize_jpeg_payloads(documents, "doc_id"))

@@ -114,8 +114,12 @@ def test_gate_priority_orders_catalog():
         "the 47 remaining r16-front queries must park at slots 51-97 "
         "(r19's front)"
     )
-    assert set(ordered[97:]) == r17, (
-        "the freshly-gated r17 cohort appends at slots 98-147"
+    assert ordered[97] == "jpeg_pixel_stats", (
+        "the never-gated r18 overflow (baseline-JPEG gate) parks "
+        "immediately past the r16 park, first in line for r19"
+    )
+    assert set(ordered[98:]) == r17, (
+        "the freshly-gated r17 cohort appends at slots 99-148"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
     assert "ann_rand_lsh" not in ordered  # retired at r17
