@@ -386,7 +386,11 @@ class _BitReader:
                 return False
         else:
             self.pos += 1
-        self._acc = (self._acc << 8) | b
+        # keep ONLY the unread bits before appending (self-review r18:
+        # the unmasked accumulator grew one byte per fill forever, so a
+        # megabyte entropy stream made every shift/mask O(stream) — an
+        # O(n^2) decode, invisible on gate-sized images, real on photos)
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
         self._n += 8
         return True
 

@@ -275,3 +275,40 @@ def test_spark_synthesize_and_extract(spark):
                 assert r.sum_val == 64 * v
                 assert r.max_val == v
                 assert r.top_row_sum == 8 * v
+
+
+def test_bit_reader_accumulator_stays_bounded():
+    """Self-review r18: the entropy bit-reader's accumulator must hold
+    only unread bits — the unmasked version grew one byte per fill
+    forever, turning a megabyte-scale entropy stream into an O(n^2)
+    decode. Decode a many-block image and inspect the reader state via
+    a probe subclass."""
+    from amsterdam_map_data_wrangling_spark.operators import jpeg as J
+
+    rng = random.Random(11)
+    blocks = []
+    for _ in range(16 * 8):  # 128x64 grayscale, dense AC
+        blk = [0] * 64
+        blk[0] = rng.randint(-500, 500)
+        for _ in range(30):
+            blk[rng.randint(1, 63)] = rng.randint(-200, 200)
+        blocks.append(blk)
+    p = encode_baseline_jpeg(128, 64, [blocks], [(1, 1)], [_Q_ONES])
+
+    seen = []
+    orig_fill = J._BitReader._fill
+
+    def probed_fill(self):
+        out = orig_fill(self)
+        seen.append(self._acc.bit_length())
+        return out
+
+    J._BitReader._fill = probed_fill
+    try:
+        dec = decode_baseline_jpeg(p, coefficients_only=True)
+    finally:
+        J._BitReader._fill = orig_fill
+    assert dec is not None and dec[2][0] == blocks
+    assert seen and max(seen) <= 40, (
+        f"accumulator grew to {max(seen)} bits — unread-bit masking lost"
+    )
