@@ -71,19 +71,23 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     stdlib zlib + engine-side CRC walk and filter predictors), and
     G.711 µ-law/A-law companded telephony audio
     (:func:`extract_g711_levels`, spec-derived expansion tables pinned
-    against stdlib audioop); only lossy-codec data (JPEG entropy
-    stream, MP3/AAC frames, H.26x) lands here. The formal closure
-    (r8): :func:`decode_lossy_image` + :func:`extract_lossy_image_stats`
+    against stdlib audioop), and — since r18 — BASELINE SEQUENTIAL
+    JPEG pixels (``operators/jpeg.py:decode_baseline_jpeg``: full
+    Huffman entropy decode, dequantize, IDCT, chroma upsampling —
+    the first lossy-family codec the engine decodes itself); only the
+    remaining lossy codecs (progressive/arithmetic JPEG, MP3/AAC
+    frames, H.26x) land here. The formal closure (r8):
+    :func:`decode_lossy_image` + :func:`extract_lossy_image_stats`
     wire an OPTIONAL Pillow adapter with real Spark plumbing — when the
     deployment ships the library the path decodes; when it doesn't, the
     call lands back here and fails loudly on first touch."""
     raise NotImplementedError(
-        "lossy-codec decode requires image/audio libraries not present "
-        "in this container; wire a real decoder here (payload → "
-        "pixels/samples). WAV PCM, BMP, LZW GIF, and DEFLATE PNG "
-        "pixels decode for real in extract_audio_levels / "
-        "extract_image_pixels / extract_gif_pixels / "
-        "extract_png_pixels."
+        "non-baseline lossy-codec decode requires media libraries not "
+        "present in this container; wire a real decoder here (payload "
+        "→ pixels/samples). WAV PCM, BMP, LZW GIF, DEFLATE PNG, and "
+        "baseline JPEG pixels decode for real in extract_audio_levels "
+        "/ extract_image_pixels / extract_gif_pixels / "
+        "extract_png_pixels / operators.jpeg.extract_jpeg_pixels."
     )
 
 

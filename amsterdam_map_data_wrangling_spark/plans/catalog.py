@@ -92,12 +92,14 @@ def _load_all() -> None:
 #: registry (typo guard in _ordered); registered queries not listed append
 #: in registration order.
 #:
-#: Capacity math (N = 150, the saturation ceiling): 100 verdict slots
-#: exist per 2 rounds, so with N > 100 a bounded tail of at most
-#: (N - 100) = 50 UNCHANGED queries ages to 3 rounds (never beyond;
-#: must hold a verdict from two artifacts back; parked immediately past
-#: slot 50) — enforced mechanically by tests/test_gate_freshness.py
-#: plus the oracle-definition ledger (ORACLE_HASHES.json).
+#: Capacity math (150 is the saturation CEILING; N = 148 as of r18:
+#: 150 − 5 retirements + 2 operator gates + 1 never-gated overflow):
+#: 100 verdict slots exist per 2 rounds, so with N > 100 a bounded
+#: tail of at most (N − 100) UNCHANGED queries ages to 3 rounds (never
+#: beyond; must hold a verdict from two artifacts back; parked
+#: immediately past slot 50) — enforced mechanically by
+#: tests/test_gate_freshness.py plus the oracle-definition ledger
+#: (ORACLE_HASHES.json).
 #:
 #: SATURATION DECISION (round 8, recorded per the r07 verdict ask and
 #: SURVEY §8): register ALL 24 queue pairs — the catalog lands exactly

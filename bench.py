@@ -42,25 +42,31 @@ CANARY_QUERIES = (
     "winsorize_price_stats",
 )
 #: Calibration constants the ratio is measured against — RE-PINNED at
-#: the round-14 close (r13 verdict ask #3: the r12 pins were aging; two
-#: rounds of normalization against a fixed pin is fine, five would
-#: compound pin error into every cross-round claim). New pins = the
-#: 6-bracketed-sample canary medians of the r14-close bench run
-#: (77.7 s catalog total, noise 1.064, over_budget empty). BOUNDARY
-#: DOCUMENTATION for cross-epoch comparison: that run read ratio 1.095
-#: against the OLD (r12-close) pins, i.e. new_pin ≈ 1.095 x old_pin on
-#: the same box — divide a post-r14 ratio by nothing, but when
-#: comparing a post-r14 normalized value against a pre-r14 one,
-#: multiply the post-r14 value_normalized by 1.095 to express it in
-#: the r12-pin epoch (or read both raw + their own ratios). The old
-#: pins (r12 close): robust_z 1.1125, simhash_bands 0.904,
-#: winsorize 0.9923 — kept here and in git history so either epoch is
-#: recoverable. Valid for the default sf0.1 / local[32] config only;
-#: at any other sf the ratio is reported as null.
+#: the round-18 close (the r14 precedent: four rounds of drift against
+#: a fixed pin compounds pin error into every cross-round claim). The
+#: re-pin itself needed care: of three same-day r18 closes, the FIRST
+#: landed in a transiently fast host window (canaries 0.871 x the r14
+#: pins while the heavy queries were merely flat-to-faster raw — a
+#: one-reading re-pin there would have built the fast window into
+#: every future ratio); the second and third closes agree within 0.2%
+#: (canary 1.196 / 1.195 against that fast reading, i.e. ~1.042 x the
+#: r14 pins — mild aging, not a break). Pins = the third close's
+#: 6-bracketed-sample canary medians (80.49 s catalog total, 148
+#: queries, noise 1.100, close_accepted true, over_budget empty).
+#: BOUNDARY DOCUMENTATION for cross-epoch comparison: new_pin ≈
+#: 1.042 x r14_pin on the same box — to compare a post-r18
+#: value_normalized against a pre-r18 one, DIVIDE the post-r18 number
+#: by 1.042 to express it in the r14-pin epoch (r17's quiet 74.5
+#: normalized ≡ 77.6 in the r18-pin epoch; the r12 epoch chains
+#: through the r14 boundary factor 1.095). Old pins (r14 close):
+#: robust_z 1.2183, simhash_bands 0.9951, winsorize 0.8982 — kept here
+#: and in git history so every epoch is recoverable. Valid for the
+#: default sf0.1 / local[32] config only; at any other sf the ratio is
+#: reported as null.
 CANARY_BASELINE_SEC = {
-    "robust_z_by_priority": 1.2183,
-    "dedup_simhash_bands": 0.9951,
-    "winsorize_price_stats": 0.8982,
+    "robust_z_by_priority": 1.2035,
+    "dedup_simhash_bands": 1.0701,
+    "winsorize_price_stats": 0.9688,
 }
 
 
@@ -240,10 +246,11 @@ def main() -> None:
             "queries": list(CANARY_QUERIES),
             "baseline_sec": CANARY_BASELINE_SEC,
             "baseline_provenance": (
-                "r14 close canary medians (6 bracketed samples/query; "
-                "re-pinned from the r12-close pins, which read ratio "
-                "1.095 on the re-pin run — see CANARY_BASELINE_SEC "
-                "comment for the epoch boundary)"
+                "r18 close canary medians (6 bracketed samples/query; "
+                "third of three same-day closes — the stable host "
+                "regime; new_pin ~ 1.042 x r14_pin, see "
+                "CANARY_BASELINE_SEC for the epoch boundary; r14<-r12 "
+                "factor was 1.095)"
             ),
             "samples": canary_samples,
             "medians": canary_medians,
