@@ -27,18 +27,23 @@ from pyspark.sql import functions as F
 
 
 def term_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, t, tf): per-document counts of md5-hashed whitespace tokens —
-    the base relation of the whole lexical family (TF-IDF weights and
-    cosine pairs, BM25). Token strings are hashed to longs in the same
-    projection that tokenizes, so no string ever reaches a shuffle."""
+    """(id, t, tf): per-document counts of xxhash64-hashed whitespace
+    tokens — the base relation of the whole lexical family (TF-IDF
+    weights and cosine pairs, BM25). Token strings are hashed to longs
+    in the same projection that tokenizes, so no string ever reaches a
+    shuffle. Hash family is xxhash64, NOT the portable md5 anchor
+    (r18 optimization round): every consumer uses ``t`` as an identity
+    key only (tf/df grouping, term joins) and no gated output carries
+    the value, so the md5 string build was pure Spark-side CPU — the
+    shingle_hashes rule (operators/dedup.py). 64-bit collisions are
+    noise at any realistic vocabulary. Query-side relations that join
+    on ``t`` (bm25_topk's query terms) must use the same family."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
                 F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                    "long"
-                ),
+                lambda t: F.xxhash64(t),
             )
         ).alias("t"),
     )
@@ -251,37 +256,35 @@ def gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
     """(id, h) rows: one per DISTINCT word n-gram per document, hashed
-    to a 64-bit long via the portable md5 anchor — the shared shingle
-    relation under detection (plans/text.py:benchmark_contamination),
-    removal (:func:`decontaminate`), and the residual-0 gate. Grams
-    build inline in the generator select (the measured fusion rule —
-    see PLANS.md 'Generator fusion'); docs shorter than ``n`` tokens
-    emit no rows."""
-    toked = df.select(
+    to a 64-bit long — the shared shingle relation under detection
+    (plans/text.py:benchmark_contamination), removal
+    (:func:`decontaminate`), and the residual-0 gate. Hash family is
+    xxhash64 over the per-token xxhash64 array (the shingle_hashes
+    construction, operators/dedup.py), NOT the md5 anchor the oracles
+    replay: every consumer uses ``h`` as an identity key only (census
+    counts, the bench-gram join) and no gated output carries the value,
+    so the md5 string build was pure Spark-side CPU (r18 optimization
+    round; 64-bit collisions are noise at any realistic gram
+    vocabulary). Grams build inline in the generator select (the
+    measured fusion rule — see PLANS.md 'Generator fusion'); docs
+    shorter than ``n`` tokens emit no rows."""
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("l"),
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda t: F.xxhash64(t),
+        ).alias("hl"),
     )
     g = F.when(
-        F.size("l") >= n,
+        F.size("hl") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size("l") - (n - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at("l", i + j) for j in range(n)],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            F.sequence(F.lit(1), F.size("hl") - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at("hl", i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return toked.select("id", F.explode(F.array_distinct(g)).alias("h"))
+    return hashed.select("id", F.explode(F.array_distinct(g)).alias("h"))
 
 
 def decontaminate(
@@ -363,9 +366,18 @@ def bm25_topk(
         # build beats four tokenize+hash+agg passes (measured at the
         # 10x scale point, round 12; the index build was the bm25 tail)
         tf = term_tf(df, id_col, text_col).localCheckpoint(eager=False)
+
     # dl (tokens per doc, with multiplicity) and n_toks are exact-integer
     # rollups of tf — a shared tf relation replaces the token scan for
-    # ALL of them, not just the tf legs
+    # ALL of them, not just the tf legs. dfreq stays the FULL-vocabulary
+    # aggregation: the query-term prefilter variant (dfreq computed from
+    # tf semi-joined to the 9 query-term hashes — value-identical, and
+    # the scale-favored shape) measured 0.4-0.5 s SLOWER at sf0.1 in a
+    # same-session A/B (1.42-1.60 s vs 1.88-2.16 s): the extra
+    # broadcast-exchange wave over the checkpointed index costs more
+    # than the full-vocab partial agg saves at this data size (r18
+    # optimization round, measured and rejected; re-evaluate if the df
+    # census ever shows up in a scale-point profile).
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     stats = df.agg(
@@ -373,14 +385,10 @@ def bm25_topk(
     ).crossJoin(tf.agg(F.sum("tf").alias("n_toks")))
 
     qrows = [(qid, term) for qid, q in queries.items() for term in set(q.split())]
+    # same hash family as term_tf (xxhash64), or the index join is empty
     qdf = (
         df.sparkSession.createDataFrame(qrows, "q_id long, term string")
-        .select(
-            "q_id",
-            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("t"),
-        )
+        .select("q_id", F.xxhash64("term").alias("t"))
         .distinct()
     )
 

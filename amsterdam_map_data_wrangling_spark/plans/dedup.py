@@ -189,11 +189,29 @@ def _memo_key(spark, sf_dir, kind, w, df_cap, table="documents"):
     )
 
 
+#: Lowest Jaccard threshold any registered consumer of the shared pair
+#: relation requests (near_dup_transitivity / near_dup_pagerank at 0.3;
+#: everything else at 0.5). The memo BUILDS at this floor regardless of
+#: which consumer arrives first: the threshold is a pure post-filter on
+#: the rounded jaccard column (ngram_jaccard_pairs applies it after
+#: round(jac, 4)), so build cost is threshold-independent and a 0.5
+#: relation filtered from the 0.3 build is value-identical to a direct
+#: 0.5 build. Without the floor, catalog order decided the cost: a
+#: 0.5-consumer running first stored (0.5, pairs), and the first
+#: 0.3-consumer REBUILT the whole relation to widen it — one full
+#: scan→shingle→block→jaccard pass per bench pass paid twice (r18
+#: optimization round, measured ~1.4 s/pass at sf0.1).
+_PAIRS_THRESHOLD_FLOOR = 0.3
+
+
 def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
     """(id_a, id_b, jaccard ≥ threshold) over the plain documents corpus,
-    shared across consumers in this session. Stores the relation at the
-    LOWEST threshold ever requested for (w, df_cap); higher thresholds
-    filter the cached frame."""
+    shared across consumers in this session. Builds the relation at
+    min(threshold, _PAIRS_THRESHOLD_FLOOR) for (w, df_cap) so every
+    registered threshold is served by filtering ONE build; an
+    unregistered request below the stored threshold still widens the
+    memo (rebuild at the lower value)."""
+    build_threshold = min(threshold, _PAIRS_THRESHOLD_FLOOR)
     key = _memo_key(spark, sf_dir, "pairs", w, df_cap)
     cached = _GRAPH_MEMO.get(key)  # (threshold, DataFrame) | None
     if cached is None or cached[0] > threshold:
@@ -211,11 +229,11 @@ def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
                 # (linear in true near-dups), so the one materialization
                 # job is noise.
                 pairs = ngram_jaccard_pairs(
-                    documents, "doc_id", "text", w=w, threshold=threshold,
-                    df_cap=df_cap,
+                    documents, "doc_id", "text", w=w,
+                    threshold=build_threshold, df_cap=df_cap,
                 ).localCheckpoint()
-                _memo_put(key, (threshold, pairs))
-                return pairs
+                _memo_put(key, (build_threshold, pairs))
+                cached = (build_threshold, pairs)
     base_threshold, pairs = cached
     if base_threshold == threshold:
         return pairs

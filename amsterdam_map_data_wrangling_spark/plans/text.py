@@ -1190,7 +1190,18 @@ def benchmark_contamination(spark, sf_dir):
     # SLOWER than recomputing it under codegen (row-based checkpoint
     # scan vs fused parquet scan — PLANS.md round-10 "what does NOT pay
     # to share").
-    toked = documents.select("doc_id", tokens(F.col("text")).alias("l"))
+    # gram identity via xxhash64 over per-token xxhash64s — the
+    # shingle_hashes convention: h is an identity key only (census
+    # counts + the bench join; countDistinct(h) counts values, never
+    # exposes them), so the md5 string build the oracle replays is pure
+    # Spark-side CPU (r18 optimization round; collision budget per the
+    # shingle_hashes docstring).
+    toked = documents.select(
+        "doc_id",
+        F.transform(
+            tokens(F.col("text")), lambda t: F.xxhash64(t)
+        ).alias("l"),
+    )
     # 5-gram start positions 1..len-4; sequence() would count DOWN for
     # len < 5, so gate it (filter() can't: empty-array transform is fine
     # but descending sequence isn't)
@@ -1198,20 +1209,9 @@ def benchmark_contamination(spark, sf_dir):
         F.size("l") >= 5,
         F.transform(
             F.sequence(F.lit(1), F.size("l") - 4),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at("l", i + j) for j in range(5)],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            lambda i: F.xxhash64(
+                *[F.element_at("l", i + j) for j in range(5)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     # ONE lazy checkpoint: the shingle stream feeds the bench/corpus
@@ -1399,24 +1399,25 @@ def dup_span_coverage(spark, sf_dir):
     toked = documents.select(
         "doc_id", "source", tokens(F.col("text")).alias("l")
     )
+    # gram identity via xxhash64 over per-token xxhash64s — the
+    # shingle_hashes convention (operators/dedup.py): downstream only
+    # ever consumes gram IDENTITY (df census + dup join), so the md5
+    # string build the oracle replays is pure Spark-side waste; 64-bit
+    # collisions are noise at this vocabulary (and the driver's value
+    # gate re-verifies the per-source outputs end-to-end). Measured
+    # 0.81 → 0.45 s for the gram-stream build at sf0.1 (r18
+    # optimization round).
+    hashed = toked.select(
+        "doc_id",
+        F.transform("l", lambda t: F.xxhash64(t)).alias("hl"),
+    )
     grams = F.when(
-        F.size("l") >= 4,
+        F.size("hl") >= 4,
         F.transform(
-            F.sequence(F.lit(1), F.size("l") - 3),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at("l", i + j) for j in range(4)],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            F.sequence(F.lit(1), F.size("hl") - 3),
+            lambda i: F.xxhash64(
+                *[F.element_at("hl", i + j) for j in range(4)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     # the gram array must be built INLINE in the generator select — an
@@ -1426,15 +1427,22 @@ def dup_span_coverage(spark, sf_dir):
     # when the generator input is the expression itself. One lazy
     # checkpoint because g feeds both the df census and the dup join.
     g = (
-        toked.select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        hashed.select("doc_id", F.posexplode(grams).alias("p0", "h"))
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
         .localCheckpoint(eager=False)
     )
     toks = toked.select("doc_id", "source", F.size("l").alias("n_tokens"))
+    # "appears in >= 2 distinct docs" as min(doc_id) != max(doc_id):
+    # value-identical to countDistinct(doc_id) >= 2, but min/max are
+    # fully map-side-partial — one exchange of one row per (h, map
+    # partition) instead of countDistinct's (h, doc_id) dedup exchange
+    # + count exchange. Measured 0.80 → 0.48 s on the census stage at
+    # sf0.1 (r18 optimization round); the oracle keeps the literal
+    # COUNT(DISTINCT) form.
     dup_h = (
         g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("h")
     )
     dupg = g.join(dup_h, "h").select("doc_id", "pos")
@@ -1543,38 +1551,33 @@ def dup_span_removal(spark, sf_dir):
     toked = documents.select(
         "doc_id", "source", tokens(F.col("text")).alias("l")
     )
-    # gram array built INLINE in the generator select; token array staged
-    # — the PLANS.md generator-fusion rules, same as dup_span_coverage
+    # gram array built INLINE in the generator select; token-hash array
+    # staged — the PLANS.md generator-fusion rules, same as
+    # dup_span_coverage (which also documents the r18 xxhash64-identity
+    # and min/max-census rewrites shared by this plan)
+    hashed = toked.select(
+        "doc_id",
+        F.transform("l", lambda t: F.xxhash64(t)).alias("hl"),
+    )
     grams = F.when(
-        F.size("l") >= 4,
+        F.size("hl") >= 4,
         F.transform(
-            F.sequence(F.lit(1), F.size("l") - 3),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at("l", i + j) for j in range(4)],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            F.sequence(F.lit(1), F.size("hl") - 3),
+            lambda i: F.xxhash64(
+                *[F.element_at("hl", i + j) for j in range(4)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     # one lazy checkpoint: g feeds the df census AND the dup-position join
     g = (
-        toked.select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        hashed.select("doc_id", F.posexplode(grams).alias("p0", "h"))
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
         .localCheckpoint(eager=False)
     )
     dup_h = (
         g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("h")
     )
     # Covered positions roll up PER DOC as an integer array — the
