@@ -112,7 +112,10 @@ def unigram_logprob_scores(
     (default) keeps the registered plan byte-identical."""
 
     def _hash_tok(t):
-        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        # identity-only hash (counts + the model join; no gated output
+        # carries the value) — xxhash64, not the md5 anchor the oracle
+        # replays, per the shingle_hashes rule (r18 optimization round)
+        return F.xxhash64(t)
 
     if wide_chars is None:
         toks = df.select(

@@ -414,13 +414,27 @@ def geo_nn_on_sphere(spark, sf_dir):
         F.abs(F.col("x") - F.col("x_b")) <= 1320
     )
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("lat_b"), F.col("lon_b"))
-    # top-1 per point via min(struct(round(dist), id)) — identical
+    # top-1 per point via min() over ONE packed long — identical
     # (rounded-distance, id) tie-break as the oracle's row_number, but
     # partial-aggregatable: the map side reduces each point's candidates
     # to ONE row before the shuffle, where the former window shuffled and
     # sorted EVERY in-radius pair (output densifies linearly with point
-    # density, so at 10x density that sort was 13M rows).
-    best = F.min(F.struct(F.col("d"), F.col("nn_custkey"))).alias("m")
+    # density, so at 10x density that sort was 13M rows). The packing
+    # (r18 optimization round): min(struct(d, id)) plans as
+    # Sort + SortAggregate on BOTH sides of the exchange (struct min has
+    # no hash-agg buffer), re-sorting the whole candidate stream; packing
+    # cents(d) into the high bits of a long (d <= 250.00 -> cents <=
+    # 25000 < 2^15; id < 2^44 by the key-domain headroom note in
+    # PLANS.md) makes it a codegen HashAggregate. Lexicographic identity:
+    # equal d <=> equal cents (both engines compare the same rounded
+    # value), so min(pack) = pack(min(struct)). Decode is exact: cents
+    # div/mod are integer ops, and cents/100.0 is IEEE-correctly-rounded
+    # division producing the same double as round(dist, 2) (both are the
+    # nearest double to the same 2-decimal value).
+    packed = F.min(
+        F.round(F.col("d") * 100).cast("long") * F.lit(1 << 44).cast("long")
+        + F.col("nn_custkey")
+    ).alias("m")
     return (
         pts.join(cand_side, ["cy", "cx"])
         .filter(bbox & (F.col("id") != F.col("id_b")))
@@ -432,10 +446,16 @@ def geo_nn_on_sphere(spark, sf_dir):
         .filter(F.col("dist_m") <= 250.0)
         .select("custkey", "nn_custkey", F.round("dist_m", 2).alias("d"))
         .groupBy("custkey")
-        .agg(best)
+        .agg(packed)
         .select(
             "custkey",
-            F.col("m.nn_custkey").alias("nn_custkey"),
-            F.col("m.d").alias("dist_m"),
+            # integer-exact decode: the packed value (~25000 * 2^44)
+            # exceeds double's 53-bit mantissa, so the split MUST stay
+            # in long arithmetic — shift/mask, never the `/` operator
+            # (double division in Spark SQL)
+            F.col("m").bitwiseAND(F.lit((1 << 44) - 1)).alias("nn_custkey"),
+            (F.shiftright(F.col("m"), 44).cast("double") / F.lit(100.0)).alias(
+                "dist_m"
+            ),
         )
     )

@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame debug-context capture walks the Python
+        # stack and makes ~4 extra py4j round-trips on EVERY
+        # Column/DataFrame API call (pyspark/errors/utils.py _with_origin)
+        # to attach the user call site to error messages. Measured
+        # 2.18 ms -> 0.34 ms per Column op with it off (r18 optimization
+        # round); across this 148-query catalog, plan CONSTRUCTION was
+        # ~30% of the bench wall. Scale-independent: the cost is pure
+        # driver-side Python per API call, identical on a laptop or a
+        # 1000-executor cluster. The trade is less-precise call-site
+        # info in PySpark error messages — re-enable when debugging a
+        # plan-construction failure.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -62,13 +62,24 @@ class SynthDocsReader(DataSourceReader):
             for lo in range(0, self.n, step)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for doc_id in range(partition.start, partition.end):
-            yield (
-                doc_id,
-                LANGS[doc_id % len(LANGS)],
-                synth_text(partition.seed, doc_id),
-            )
+    def read(self, partition: _RangePartition) -> "Iterator":
+        # ONE Arrow RecordBatch per partition instead of per-row pickled
+        # tuples — the Python DataSource API accepts either, and the
+        # Arrow path skips the row-at-a-time serializer entirely
+        # (guide-§4 boundary rule; r18 optimization round). Row CONTENT
+        # is unchanged: same (seed, doc_id)-pure generation, same column
+        # order as schema().
+        import pyarrow as pa
+
+        ids = list(range(partition.start, partition.end))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array([LANGS[i % len(LANGS)] for i in ids]),
+                pa.array([synth_text(partition.seed, i) for i in ids]),
+            ],
+            names=["doc_id", "lang", "text"],
+        )
 
 
 class SynthDocsStreamReader(SimpleDataSourceStreamReader):
