@@ -358,6 +358,12 @@ def geo_way_lengths(spark, sf_dir):
     "candidates are density-bounded per cell, never all-pairs.",
 )
 def geo_nn_on_sphere(spark, sf_dir):
+    import os
+
+    from amsterdam_map_data_wrangling_spark.sources.fs import (
+        parquet_num_rows,
+    )
+
     pts = _points(spark, sf_dir, cell_units=1600)
     # materialize the documented "ONE shuffle of the corpus on the cell
     # key" explicitly: without it AQE broadcast-converts both (tiny,
@@ -370,9 +376,20 @@ def geo_nn_on_sphere(spark, sf_dir):
     # layout. (The 4 MiB cpu_parallel_floor window is the wrong guard
     # here: customer's bytes are tiny — the blow-up is the join fan-out,
     # which this plan knows about and the loader cannot.)
-    pts = pts.repartition(
-        spark.sparkContext.defaultParallelism, "cy", "cx"
-    )
+    #
+    # ROW-COUNT window (r18 optimization round): the fan-out is
+    # quadratic in ROWS (~9·n²/n_cells in-cell pairs), so the guard is
+    # the footer row count, not bytes. Below ~50k points the whole
+    # emission is < ~6M candidate pairs — under a second of one-core
+    # trig — and the exchange's fixed cost exceeds its benefit
+    # (measured 0.6 s at sf0.1's 15k points); the r11 wall fired at
+    # 150k (52M pairs), well above. An unreadable footer fails SAFE
+    # into the repartition (the production path).
+    n_pts = parquet_num_rows(os.path.join(sf_dir, "customer.parquet"))
+    if n_pts is None or n_pts >= 50_000:
+        pts = pts.repartition(
+            spark.sparkContext.defaultParallelism, "cy", "cx"
+        )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     # explode the CANDIDATE side into its 9 neighbor cells: the join on
     # (cy, cx) is then pure equi and each true pair matches exactly once

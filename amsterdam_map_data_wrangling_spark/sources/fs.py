@@ -259,6 +259,22 @@ def _parquet_footers(
     return read_parquet_footers(files, filesystem)
 
 
+def parquet_num_rows(path: str, filesystem=None) -> "int | None":
+    """Total row count from parquet footer metadata, driver-side (no
+    Spark job) — None when the path shape is unexpected, so callers
+    fall back to their fail-safe plan. Same probe family as
+    :func:`parquet_col_max`; used by plans whose cost grows with ROWS
+    rather than bytes (e.g. geo_nn_on_sphere's quadratic-in-density
+    candidate fan-out, where a KB-sized table can still explode)."""
+    try:
+        footers = _parquet_footers(path, filesystem=filesystem)
+        if footers is None:
+            return None
+        return sum(md.num_rows for md in footers)
+    except Exception:
+        return None
+
+
 def parquet_col_max(path: str, col: str, filesystem=None) -> "int | None":
     """MAX of a column from parquet footer statistics, driver-side (no
     Spark job) — None when the path shape is unexpected or any row

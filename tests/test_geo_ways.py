@@ -103,3 +103,50 @@ def test_geo_way_lengths_plan_one_way_shuffle_topk(spark):
     # — count the way_id exchange in the FINAL section only
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning(way_id") == 1
+
+
+def test_geo_nn_repartition_row_count_window(spark, tmp_path):
+    """geo_nn_on_sphere's probe-side cell repartition is gated on the
+    footer ROW COUNT (the candidate fan-out is quadratic in rows, not
+    bytes — r18): below 50k points the exchange's fixed cost exceeds
+    its benefit and the plan must skip it; at/above 50k (the r11 sf1
+    wall was 150k) it must fire. Both regimes pinned so neither the
+    small-corpus exchange nor the large-corpus single-task emission
+    can silently return."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amsterdam_map_data_wrangling_spark.sources.fs import (
+        parquet_num_rows,
+    )
+
+    # small regime: the shipped testdata (15k rows at sf0.1-shape
+    # SF_SMALL it's fewer) — no probe-side hash exchange on the cells
+    n_small = parquet_num_rows(f"{SF_SMALL}/customer.parquet")
+    assert n_small is not None and n_small < 50_000
+    plan_small = (
+        QUERIES["geo_nn_on_sphere"]
+        .build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Repartition" not in plan_small
+
+    # large regime: a synthetic 60k-row customer table (only c_custkey
+    # is consumed by the plan's point derivation)
+    big_dir = tmp_path / "big_sf"
+    big_dir.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(range(60_000), type=pa.int64())}),
+        str(big_dir / "customer.parquet"),
+    )
+    assert parquet_num_rows(str(big_dir / "customer.parquet")) == 60_000
+    plan_big = (
+        QUERIES["geo_nn_on_sphere"]
+        .build(spark, str(big_dir))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression [cy" in plan_big
