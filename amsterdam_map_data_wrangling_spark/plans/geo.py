@@ -358,6 +358,7 @@ def geo_way_lengths(spark, sf_dir):
     "candidates are density-bounded per cell, never all-pairs.",
 )
 def geo_nn_on_sphere(spark, sf_dir):
+    import decimal
     import os
 
     from amsterdam_map_data_wrangling_spark.sources.fs import (
@@ -439,18 +440,23 @@ def geo_nn_on_sphere(spark, sf_dir):
     # density, so at 10x density that sort was 13M rows). The packing
     # (r18 optimization round): min(struct(d, id)) plans as
     # Sort + SortAggregate on BOTH sides of the exchange (struct min has
-    # no hash-agg buffer), re-sorting the whole candidate stream; packing
-    # cents(d) into the high bits of a long (d <= 250.00 -> cents <=
-    # 25000 < 2^15; id < 2^44 by the key-domain headroom note in
-    # PLANS.md) makes it a codegen HashAggregate. Lexicographic identity:
-    # equal d <=> equal cents (both engines compare the same rounded
-    # value), so min(pack) = pack(min(struct)). Decode is exact: cents
-    # div/mod are integer ops, and cents/100.0 is IEEE-correctly-rounded
-    # division producing the same double as round(dist, 2) (both are the
-    # nearest double to the same 2-decimal value).
+    # no hash-agg buffer — and so does min_by with a struct ordering);
+    # packing cents(d) and the id into ONE DECIMAL(26,0) — cents * 10^19
+    # + id — makes it a codegen HashAggregate with map-side partials.
+    # Decimal, not a long: a 63-bit long cannot hold 15 bits of cents
+    # (d <= 250.00 -> cents <= 25000) plus an arbitrary int64 id — the
+    # shifted-key-domain contract (tests/test_key_domain_stress.py,
+    # KEY_SHIFT 9.2e14) overflows any long split, while id < 10^19
+    # holds for every non-negative int64. Lexicographic identity: equal
+    # d <=> equal cents (both engines compare the same rounded value),
+    # so min(pack) = pack(min(struct)). Decode is exact decimal
+    # arithmetic, and cents/100.0 is IEEE-correctly-rounded division
+    # producing the same double as round(dist, 2) (both are the nearest
+    # double to the same 2-decimal value).
+    _TEN19 = F.lit(decimal.Decimal(10**19))
     packed = F.min(
-        F.round(F.col("d") * 100).cast("long") * F.lit(1 << 44).cast("long")
-        + F.col("nn_custkey")
+        F.round(F.col("d") * 100).cast("decimal(5,0)") * _TEN19
+        + F.col("nn_custkey").cast("decimal(19,0)")
     ).alias("m")
     return (
         pts.join(cand_side, ["cy", "cx"])
@@ -466,13 +472,14 @@ def geo_nn_on_sphere(spark, sf_dir):
         .agg(packed)
         .select(
             "custkey",
-            # integer-exact decode: the packed value (~25000 * 2^44)
-            # exceeds double's 53-bit mantissa, so the split MUST stay
-            # in long arithmetic — shift/mask, never the `/` operator
-            # (double division in Spark SQL)
-            F.col("m").bitwiseAND(F.lit((1 << 44) - 1)).alias("nn_custkey"),
-            (F.shiftright(F.col("m"), 44).cast("double") / F.lit(100.0)).alias(
-                "dist_m"
-            ),
+            # exact decimal decode (never a double round-trip: the
+            # packed value is ~10^23, far past double's 53-bit mantissa)
+            F.pmod(F.col("m"), _TEN19).cast("long").alias("nn_custkey"),
+            (
+                ((F.col("m") - F.pmod(F.col("m"), _TEN19)) / _TEN19)
+                .cast("long")
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("dist_m"),
         )
     )

@@ -63,10 +63,31 @@ CANARY_QUERIES = (
 #: and in git history so every epoch is recoverable. Valid for the
 #: default sf0.1 / local[32] config only; at any other sf the ratio is
 #: reported as null.
+#: r18-OPTIMIZATION epoch boundary (second re-pin of round 18): the
+#: optimization pass sped up the CANARY QUERIES THEMSELVES (the
+#: engine-wide dataFrameDebugging=false plan-construction cut plus
+#: shared-path effects), so the canary stopped being a pure host-speed
+#: witness against the r18-build pins — a post-opt run on a 1.36x-slow
+#: host read canary_ratio 1.066 and OVERSTATED value_normalized by
+#: ~27%. Re-derivation, from a back-to-back same-host-window worktree
+#: A/B (round-open code 104.73 s raw @ canary 1.359 vs HEAD 88.76 s @
+#: 1.066, both closes quiet, noise 1.081/1.113): per-canary code
+#: speedup s(q) = open_median(q)/head_median(q) (1.230 / 1.483 /
+#: 1.233), new_pin(q) = r18-build pin(q) / s(q). Consistency witness:
+#: under these pins the HEAD leg's canary_ratio recomputes to exactly
+#: the open leg's 1.359 — the ratio again reads host speed only.
+#: BOUNDARY DOCUMENTATION: post-opt value_normalized numbers are
+#: directly comparable to r18-build-epoch numbers (the pins absorb the
+#: code change); the r18-build close of 80.49 normalized corresponds
+#: to 65.31 at this HEAD (0.847x, the same-box raw ratio). Old pins
+#: (r18-build close): robust_z 1.2035, simhash_bands 1.0701,
+#: winsorize 0.9688 — kept here and in git history so every epoch is
+#: recoverable; earlier epochs chain through the factors documented at
+#: each prior re-pin.
 CANARY_BASELINE_SEC = {
-    "robust_z_by_priority": 1.2035,
-    "dedup_simhash_bands": 1.0701,
-    "winsorize_price_stats": 0.9688,
+    "robust_z_by_priority": 0.9785,
+    "dedup_simhash_bands": 0.7214,
+    "winsorize_price_stats": 0.7856,
 }
 
 
@@ -246,11 +267,14 @@ def main() -> None:
             "queries": list(CANARY_QUERIES),
             "baseline_sec": CANARY_BASELINE_SEC,
             "baseline_provenance": (
-                "r18 close canary medians (6 bracketed samples/query; "
-                "third of three same-day closes — the stable host "
-                "regime; new_pin ~ 1.042 x r14_pin, see "
-                "CANARY_BASELINE_SEC for the epoch boundary; r14<-r12 "
-                "factor was 1.095)"
+                "r18-build pins divided by the per-canary CODE speedup "
+                "of the r18 OPTIMIZATION pass, measured by a same-host-"
+                "window worktree A/B (open 104.73 s @ 1.359 vs HEAD "
+                "88.76 s @ 1.066) — the optimization sped the canaries "
+                "themselves, so the old pins no longer read host speed; "
+                "see CANARY_BASELINE_SEC for the derivation and the "
+                "chain of earlier epoch factors (r18-build ~ 1.042 x "
+                "r14; r14 <- r12 factor 1.095)"
             ),
             "samples": canary_samples,
             "medians": canary_medians,
