@@ -302,8 +302,10 @@ def decontaminate(
     contaminated rows via a LEFT ANTI join on the gram hash match.
 
     ``bench`` needs the same (id, text) columns; its grams build with
-    the identical portable md5 anchor, so detection and removal can
-    never disagree. Scale: bench grams broadcast (the eval suites are
+    the identical xxhash64 shingle_hashes convention (r18: identity-only
+    keys — the hash values never reach a gated output, only gram
+    EQUALITY is consumed), so detection and removal can never disagree.
+    Scale: bench grams broadcast (the eval suites are
     small by nature), corpus grams stream map-side; the anti join keeps
     only never-matching doc ids — one distinct-doc shuffle, no corpus
     text ever moves for the decision. Gated as ``decontaminate_stats``
@@ -312,7 +314,7 @@ def decontaminate(
 
     # callers holding a session-shared (id, h) gram relation (see
     # plans/sparse.shared_gram5) pass the pre-split legs in; the hashes
-    # are the same portable md5 anchor either way
+    # are the same xxhash64 identity convention either way
     if bench_grams is None:
         bench_grams = (
             gram_hashes(bench, id_col, text_col, n).select("h").distinct()

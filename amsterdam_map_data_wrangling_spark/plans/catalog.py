@@ -144,7 +144,11 @@ def _load_all() -> None:
 #:   r17 front = the r14 front again (section (v) below, with the
 #:               ann_rand_lsh → bound_doc_width_roundtrip retirement
 #:               swap)
-#:   r18 front = the r15 front again (section (w) park), and so on.
+#:   r18 front = the r15 front again (with the five retirement swaps
+#:               and five entrants of section (ac)'s predecessor)
+#:   r19 front = the r16 cohort park + the jpeg_pixel_stats overflow +
+#:               two r18-optimization-changed queries in the spare
+#:               slots (changed-code rule), and so on.
 #: The r09 stall means BOTH parked cohorts exceeded the age-3 ceiling
 #: in wall-clock rounds; recovery is the fastest mathematically
 #: possible (oldest cohort first, the other parked immediately behind).
@@ -155,105 +159,25 @@ def _load_all() -> None:
 #: displacing an unchanged name one cycle later — the ledger test
 #: catches any verdict whose oracle definition drifted.
 _GATE_PRIORITY: list[str] = [
-    # ---- round 18 rotation: front (slots 1-50) ----
-    # (y) the r15-front cohort (the r08/r12 lineage), owed this round's
-    #     window (verdicts r15, three distinct windows back after this
-    #     round's gates), MINUS five retirements + PLUS five entrants:
-    #
-    #     FIVE RETIREMENTS (the saturation policy's escape hatch —
-    #     r08/r11/r12/r17 precedent — exercised five-wide because this
-    #     front owes five slots at once: three to the r17 verdict's #1
-    #     changed-code ask and two to its #2/#3 new-operator-gate asks;
-    #     the freshness arithmetic permits no park for displaced
-    #     r15-cohort names, so the displaced five must leave the
-    #     registry, each the lowest-marginal-evidence member of a
-    #     family that stays value-gated):
-    #       dedup_minhash_portable  (signatures are a strict
-    #         sub-computation of r17-green dedup_minhash_portable_pairs)
-    #       dedup_simhash_portable  (construction twin of r17-green
-    #         dedup_simhash_bands)
-    #       dedup_cluster_size_hist (rollup over the same shared
-    #         component relation r17-green dedup_clusters gates)
-    #       neardup_degree_hist     (rollup over the same pair relation
-    #         r17-green near_dup_transitivity/pagerank gate)
-    #       quality_components      (computed inside r17-green
-    #         quality_filter_pipeline; quality_scores keeps the
-    #         composite relation in this front)
-    #     All five keep their full oracle compares in
-    #     tests/test_retired.py. N: 150 - 5 + 2 = 147.
-    #
-    #     FIVE ENTRANTS:
-    #       session_window_per_user / event_gap_stats /
-    #       funnel_conversion — the three r16-cohort adaptive window
-    #         levers whose PLAN-SELECTION INPUTS changed at r17
-    #         (PROBE_MAX_FILES 64->256, 16-wide footer fan-out, unified
-    #         scheme dispatch, sources/fs.py) — fronted out of cycle
-    #         per the changed-code rule (r17 verdict "Next round" #1).
-    #       training_shuffle_order — first driver gate for
-    #         operators/packing.py:training_order_shuffle (r17 verdict
-    #         #2; the curation->trainer handoff, previously pytest-only).
-    #       compaction_plan_ffd — first driver gate for
-    #         operators/compaction.py compaction_plan + should_compact
-    #         (r17 verdict #3; recursive-CTE FFD replay, both slack
-    #         branches witnessed).
-    "geo_way_lengths",
-    "frame_sample_stats",
-    "warc_roundtrip_stats",
-    "pricing_summary",
-    "join_revenue_by_priority",
-    "ordered_position_per_group",
-    "topn_per_group",
-    "running_revenue_per_customer",
-    "rollup_revenue",
-    "eav_pivot_wide",
-    "window_function_zoo",
-    "bag_set_ops",
-    "cube_revenue",
-    "dataset_split_stats",
-    "embedding_label_centroids",
-    "minhash_recall_curve",
-    "event_transition_counts",
-    "scd2_state_durations",
-    "cohort_retention",
-    "ks_split_drift",
-    "chi2_type_weekday",
-    "vocab_jaccard_sources",
-    "equal_freq_deciles",
-    "spearman_autocorr_daily_revenue",
-    "minmax_scale_bins",
-    "token_diversity_by_source",
-    "nearest_centroid_confusion",
-    "rfm_segment_counts",
-    "dq_audit_star",
-    "basket_lift_pairs",
-    "daily_peak_concurrency",
-    "revenue_concentration",
-    "ab_test_zscore",
-    "embedding_label_stats",
-    "embedding_norm_zscores",
-    "doc_rolling_fingerprint",
-    "stratified_sample_counts",
-    "quality_scores",
-    "chunk_documents",
-    "normalize_phone_lengths",
-    "normalize_postcode_formats",
-    "split_tag_keys_agg",
-    "eav_unpivot_topk",
-    "table_stats",
-    "salted_user_event_stats",
-    "session_window_per_user",
-    "event_gap_stats",
-    "funnel_conversion",
-    "training_shuffle_order",
-    "compaction_plan_ffd",
-    # ---- window boundary (slot 50) ----
-    # (z) park: the 47 remaining r16-front queries (the r10/r13
-    #     lineage cohort minus the three levers fronted above), in
-    #     their r16 gate order - their verdict window is r16, two
-    #     distinct windows back after this round's front gates; parked
-    #     immediately past the window so they are r19's front (47
-    #     slots; 3 spare slots free for r19 obligations). NO code or
-    #     oracle changes touch this cohort this round.
+    # ---- round 19 rotation: front (slots 1-50) ----
+    # (ac) the 47 r16-front queries (the r10/r13 lineage cohort minus
+    #     the three adaptive-window levers fronted at r18), owed this
+    #     round's window in full (verdicts r16, three distinct windows
+    #     back after this round's gates), in their r16 gate order;
+    #     PLUS the never-gated r18 overflow jpeg_pixel_stats (first in
+    #     line per policy point 3); PLUS — in the two spare slots — two
+    #     of the r18-optimization-changed queries fronted out of cycle
+    #     per the changed-code rule and the r18 VERDICT's #9 ask (the
+    #     r18 driver sample covered none of the 15 changed paths):
+    #       near_dup_transitivity — the shared-pair-memo threshold-floor
+    #         rewrite's largest beneficiary (2.04 -> 0.45 s);
+    #       geo_nn_on_sphere — the packed-decimal top-1 aggregate +
+    #         row-count repartition window (the most structurally
+    #         changed plan of the round).
+    #     The remaining 13 r18-changed queries hold r17 verdicts and
+    #     re-front with their cohort at r20 (two windows back — within
+    #     the ceiling). NO retirements this round (an optimization
+    #     round must not drop queries); N stays 148.
     "dedup_keep_canonical",
     "dedup_edit_refine",
     "audio_dims",
@@ -301,18 +225,67 @@ _GATE_PRIORITY: list[str] = [
     "nested_json_shred",
     "snapshot_table_diff",
     "map_ops_surface",
-    # (aa) never-gated overflow (freshness policy point 3, bounded <= 5):
-    #     jpeg_pixel_stats — the r18 headline operator's driver gate
-    #     (operators/jpeg.py baseline-JPEG decode, closed-form DC
-    #     synthesis) — registered AFTER the r18 window was owed in full
-    #     to the r15 cohort + the five entrants, so it parks here,
-    #     immediately past the park, first in line for r19's front
-    #     (47 r16-cohort + this = 48 of r19's 50 slots).
     "jpeg_pixel_stats",
-    # (ab) the 50 r17-front queries (verdicts r17, the freshest
-    #     cohort) are deliberately unlisted - they append in
-    #     registration order behind the park and become r20's front:
-    #     dedup_exact_groups, ..., xml_roundtrip_stats.
+    "near_dup_transitivity",
+    "geo_nn_on_sphere",
+    # ---- window boundary (slot 50) ----
+    # (ad) park: the 48 remaining r17-front queries (minus the two
+    #     fronted above), in their r17 gate order — their verdict
+    #     window is r17, two distinct windows back after this round's
+    #     front gates; parked immediately past the window so they are
+    #     r20's front. NO oracle changes touch this cohort this round.
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_minhash_portable_pairs",
+    "dedup_simhash_bands",
+    "sorted_neighborhood_window",
+    "near_dup_pagerank",
+    "incremental_dedup_stats",
+    "leakage_free_split",
+    "winsorize_price_stats",
+    "robust_z_by_priority",
+    "unigram_lm_scores",
+    "weighted_sample_per_group",
+    "ols_price_trend_by_priority",
+    "geo_haversine_radius",
+    "multimodal_features",
+    "multimodal_dims",
+    "audio_levels",
+    "image_pixel_stats",
+    "star_join_customers_by_region",
+    "range_join_balance_bands",
+    "gap_sessionization",
+    "nation_volume_shipping",
+    "knn_cosine_brute",
+    "ann_sign_lsh",
+    "bound_doc_width_roundtrip",
+    "ann_ivf",
+    "embedding_near_dup_pairs",
+    "ann_sq8_rerank",
+    "ann_pq_adc",
+    "sketch_users_by_type",
+    "sketch_value_quantiles",
+    "sparse_cosine_pairs",
+    "bloom_vocab_overlap",
+    "decontaminate_stats",
+    "bm25_search",
+    "quality_filter_pipeline",
+    "tfidf_top_terms",
+    "token_budget_pack_sharded",
+    "pii_redaction_stats",
+    "dup_span_removal",
+    "resample_locf_daily",
+    "trailing_window_revenue",
+    "salted_join_hot_customer",
+    "variant_json_stats",
+    "null_semantics_audit",
+    "xml_roundtrip_stats",
+    # (ae) the 50 r18-front queries (verdicts r18, the freshest
+    #     cohort) are deliberately unlisted — they append in
+    #     registration order behind the park and become r21's front:
+    #     geo_way_lengths, ..., compaction_plan_ffd.
 ]
 
 

@@ -34,6 +34,8 @@ cell per axis.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -358,7 +360,6 @@ def geo_way_lengths(spark, sf_dir):
     "candidates are density-bounded per cell, never all-pairs.",
 )
 def geo_nn_on_sphere(spark, sf_dir):
-    import decimal
     import os
 
     from amsterdam_map_data_wrangling_spark.sources.fs import (
@@ -453,11 +454,6 @@ def geo_nn_on_sphere(spark, sf_dir):
     # arithmetic, and cents/100.0 is IEEE-correctly-rounded division
     # producing the same double as round(dist, 2) (both are the nearest
     # double to the same 2-decimal value).
-    _TEN19 = F.lit(decimal.Decimal(10**19))
-    packed = F.min(
-        F.round(F.col("d") * 100).cast("decimal(5,0)") * _TEN19
-        + F.col("nn_custkey").cast("decimal(19,0)")
-    ).alias("m")
     return (
         pts.join(cand_side, ["cy", "cx"])
         .filter(bbox & (F.col("id") != F.col("id_b")))
@@ -469,17 +465,41 @@ def geo_nn_on_sphere(spark, sf_dir):
         .filter(F.col("dist_m") <= 250.0)
         .select("custkey", "nn_custkey", F.round("dist_m", 2).alias("d"))
         .groupBy("custkey")
-        .agg(packed)
-        .select(
-            "custkey",
-            # exact decimal decode (never a double round-trip: the
-            # packed value is ~10^23, far past double's 53-bit mantissa)
-            F.pmod(F.col("m"), _TEN19).cast("long").alias("nn_custkey"),
-            (
-                ((F.col("m") - F.pmod(F.col("m"), _TEN19)) / _TEN19)
-                .cast("long")
-                .cast("double")
-                / F.lit(100.0)
-            ).alias("dist_m"),
-        )
+        .agg(F.min(_nn_pack(F.col("d"), F.col("nn_custkey"))).alias("m"))
+        .select("custkey", *_nn_decode(F.col("m")))
     )
+
+
+#: 10^19 as an exact decimal literal — the id field width of the packed
+#: top-1 aggregate below (every NON-NEGATIVE int64 id < 10^19).
+_NN_TEN19 = decimal.Decimal(10**19)
+
+
+def _nn_pack(d_col, id_col):
+    """(rounded-distance, id) packed into ONE DECIMAL(26,0):
+    cents(d) * 10^19 + id. PRECONDITION: id >= 0 (a negative id wraps
+    through pmod in the decode and breaks the lexicographic order —
+    enforced by tests/test_geo_ways.py::test_geo_nn_pack_decode_contract
+    and exercised at the shifted-key domain by
+    tests/test_key_domain_stress.py). Lexicographic identity: equal
+    d <=> equal cents, so min(pack) = pack(min(struct(d, id)))."""
+    return F.round(d_col * 100).cast("decimal(5,0)") * F.lit(
+        _NN_TEN19
+    ) + id_col.cast("decimal(19,0)")
+
+
+def _nn_decode(m_col):
+    """Exact decimal decode of :func:`_nn_pack` (never a double
+    round-trip: the packed value is ~10^23, far past double's 53-bit
+    mantissa); cents/100.0 is IEEE-correctly-rounded division producing
+    the same double as round(dist, 2)."""
+    ten19 = F.lit(_NN_TEN19)
+    return [
+        F.pmod(m_col, ten19).cast("long").alias("nn_custkey"),
+        (
+            ((m_col - F.pmod(m_col, ten19)) / ten19)
+            .cast("long")
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("dist_m"),
+    ]

@@ -1167,9 +1167,11 @@ def repetition_stats(spark, sf_dir):
     "training-data pipeline runs before a model sees the corpus: which "
     "training documents share an exact 5-gram with the held-out "
     "benchmark set (here: doc_id % 13 == 0 stands in for the benchmark; "
-    "in production it's the actual eval suites). Shingles are hashed to "
-    "64-bit longs via the portable md5 anchor and deduplicated per doc "
-    "BEFORE the join, so no shingle strings ever move. Scale: the "
+    "in production it's the actual eval suites). Engine-side, shingles "
+    "are hashed to 64-bit longs via xxhash64 identity hashing (the "
+    "oracle keeps its portable md5 anchor — COUNTS are compared, never "
+    "hash values) and deduplicated per doc BEFORE the join, so no "
+    "shingle strings ever move. Scale: the "
     "benchmark side is small by nature -> broadcast hash join against "
     "the corpus shingle stream (map-side, zero corpus shuffle); the "
     "only exchanges are the tiny distinct-aggregates. The 5-gram width "

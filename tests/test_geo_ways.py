@@ -150,3 +150,67 @@ def test_geo_nn_repartition_row_count_window(spark, tmp_path):
         .toString()
     )
     assert "RepartitionByExpression [cy" in plan_big
+
+
+def test_geo_nn_pack_decode_contract(spark):
+    """r18 ADVICE: the packed-decimal top-1 aggregate assumes
+    NON-NEGATIVE ids (a negative id wraps through pmod in the decode
+    and breaks the lexicographic order). Pin (a) the exact pack/decode
+    round-trip across the full non-negative int64 domain including both
+    boundaries, and (b) that min(pack) picks the same winner as the
+    (rounded-distance, id) struct order it replaces."""
+    from pyspark.sql import functions as F
+
+    from amsterdam_map_data_wrangling_spark.plans.geo import (
+        _nn_decode,
+        _nn_pack,
+    )
+
+    rows = [
+        (0.0, 0),
+        (0.01, 1),
+        (250.0, 9223372036854775807),  # max int64 < 10^19: id field holds
+        (123.45, 920_000_000_000_000),  # the shifted-key stress domain
+        (249.99, 42),
+    ]
+    df = spark.createDataFrame(rows, "d double, nn_custkey bigint")
+    got = (
+        df.select(_nn_pack(F.col("d"), F.col("nn_custkey")).alias("m"))
+        .select(*_nn_decode(F.col("m")))
+        .collect()
+    )
+    assert sorted((r.dist_m, r.nn_custkey) for r in got) == sorted(rows)
+
+    # min(pack) == pack of the struct-min (the aggregate's identity)
+    winner = (
+        df.agg(F.min(_nn_pack(F.col("d"), F.col("nn_custkey"))).alias("m"))
+        .select(*_nn_decode(F.col("m")))
+        .first()
+    )
+    assert (winner.dist_m, winner.nn_custkey) == (0.0, 0)
+
+    # the documented precondition: ids in every geo_nn input domain are
+    # non-negative (customer keys; the stress suite shifts POSITIVE).
+    # A negative id does NOT round-trip — this pins WHY the contract
+    # exists; widening the id domain requires a new packing. Two
+    # failure modes: |id| small → pmod lands just under 10^19, ABOVE
+    # int64, and the ANSI cast fails LOUD;
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    neg = spark.createDataFrame([(1.0, -5)], "d double, nn_custkey bigint")
+    with pytest.raises(ArithmeticException, match="CAST_OVERFLOW"):
+        neg.select(_nn_pack(F.col("d"), F.col("nn_custkey")).alias("m")).select(
+            *_nn_decode(F.col("m"))
+        ).first()
+
+    # ... |id| large (pmod under 2^63) → silently WRONG value
+    neg2 = spark.createDataFrame(
+        [(1.0, -2_000_000_000_000_000_000)], "d double, nn_custkey bigint"
+    )
+    decoded = (
+        neg2.select(_nn_pack(F.col("d"), F.col("nn_custkey")).alias("m"))
+        .select(*_nn_decode(F.col("m")))
+        .first()
+    )
+    assert decoded.nn_custkey != -2_000_000_000_000_000_000

@@ -69,27 +69,27 @@ def test_gate_priority_orders_catalog():
     # (a local queries() shadowing the catalog's once silently undid it)
     assert list(__spark_entry__.queries()) == ordered
     assert len(ordered) == len(set(ordered)) == len(catalog.QUERIES)
-    # round-18 evidence policy: the r15-front cohort (the oldest — its
-    # last DISTINCT verdict window is r15, three windows back after
-    # this round's gates) takes the front, with FIVE retirement swaps
-    # (each family stays value-gated by an r17-green sibling; full
-    # oracle compares live in tests/test_retired.py) making room for
-    # five entrants: the three r16-cohort adaptive window levers whose
-    # plan-selection inputs changed at r17 (PROBE_MAX_FILES 64->256,
-    # footer fan-out, scheme dispatch — the changed-code rule), plus
-    # the first driver gates for training_order_shuffle and the
-    # compaction planner. The remaining 47 r16-front queries park at
-    # slots 51-97 (r19's front); the freshly-gated r17 cohort appends
-    # unlisted at 98-147 (r20's front). (The general freshness
-    # invariant is asserted mechanically in tests/test_gate_freshness.py
-    # — this pins only the current round's specific obligations.)
+    # round-19 evidence policy: the r16-front cohort minus the three
+    # levers fronted at r18 (the oldest — its last DISTINCT verdict
+    # window is r16, three windows back after this round's gates)
+    # takes the front, plus the never-gated r18 overflow
+    # jpeg_pixel_stats, plus — in the two spare slots — two of the 15
+    # r18-optimization-changed query paths (the r18 driver sample
+    # covered none of them; r18 VERDICT #9): near_dup_transitivity
+    # (memo threshold floor) and geo_nn_on_sphere (packed-decimal
+    # top-1 + row-count repartition window). The 48 remaining
+    # r17-front queries park at slots 51-98 (r20's front); the
+    # freshly-gated r18 cohort appends unlisted at 99-148 (r21's
+    # front). (The general freshness invariant is asserted
+    # mechanically in tests/test_gate_freshness.py — this pins only
+    # the current round's specific obligations.)
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r15 = set(json.loads((repo / "CORRECTNESS_r15.json").read_text()))
     r16 = set(json.loads((repo / "CORRECTNESS_r16.json").read_text()))
     r17 = set(json.loads((repo / "CORRECTNESS_r17.json").read_text()))
+    r18 = set(json.loads((repo / "CORRECTNESS_r18.json").read_text()))
     retired_r18 = {
         "dedup_minhash_portable",
         "dedup_simhash_portable",
@@ -102,24 +102,20 @@ def test_gate_priority_orders_catalog():
         "event_gap_stats",
         "funnel_conversion",
     }
-    assert set(ordered[:50]) == (r15 - retired_r18) | fronted_levers | {
-        "training_shuffle_order",
-        "compaction_plan_ffd",
-    }, (
-        "round-18 window must be the 45 surviving r15-front queries "
-        "plus the three probe-affected r16-cohort levers plus the two "
-        "new operator gates"
+    fronted_r18_changed = {"near_dup_transitivity", "geo_nn_on_sphere"}
+    assert set(ordered[:50]) == (r16 - fronted_levers) | {
+        "jpeg_pixel_stats"
+    } | fronted_r18_changed, (
+        "round-19 window must be the 47 r16-front queries (minus the "
+        "levers already re-gated at r18) plus the jpeg_pixel_stats "
+        "overflow plus the two fronted r18-changed queries"
     )
-    assert set(ordered[50:97]) == r16 - fronted_levers, (
-        "the 47 remaining r16-front queries must park at slots 51-97 "
-        "(r19's front)"
+    assert set(ordered[50:98]) == r17 - fronted_r18_changed, (
+        "the 48 remaining r17-front queries must park at slots 51-98 "
+        "(r20's front)"
     )
-    assert ordered[97] == "jpeg_pixel_stats", (
-        "the never-gated r18 overflow (baseline-JPEG gate) parks "
-        "immediately past the r16 park, first in line for r19"
-    )
-    assert set(ordered[98:]) == r17, (
-        "the freshly-gated r17 cohort appends at slots 99-148"
+    assert set(ordered[98:]) == r18, (
+        "the freshly-gated r18 cohort appends at slots 99-148"
     )
     assert "ilike_filter_count" not in ordered  # retired at r08
     assert "ann_rand_lsh" not in ordered  # retired at r17
