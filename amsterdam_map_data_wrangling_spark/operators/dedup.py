@@ -340,19 +340,30 @@ def minhash_near_dup_pairs(
         ).localCheckpoint(eager=False)
     # one representative (min id, its text) + multiplicity per distinct
     # normalized text; lazily checkpointed — it feeds the shingle
-    # pipeline and the multiplicity/expansion joins
+    # pipeline and the multiplicity/expansion joins.
+    #
+    # DERIVED FROM fp, never a second scan (r19 optimization round):
+    # the former shape re-selected (id, text, fingerprint_cs(text))
+    # from df and grouped by _f — a SECOND full corpus pass through the
+    # normalize+md5 fingerprint AND a shuffle of every text through the
+    # groupBy (min_by(_t, id) ships the payload to the reducer). ids
+    # are unique, so min_by(_t, id) is exactly "the text of the min-id
+    # row": aggregate the tiny (id, 32-char md5) fp relation instead,
+    # then fetch ONE text per representative by an id equi-join against
+    # the corpus — the join moves each rep's text once and the md5 runs
+    # once per corpus row total (in fp). At 100 TB the same argument
+    # holds: the groupBy shape shuffled all N texts; the join shape
+    # shuffles (or broadcast-prunes to) one text per DISTINCT text.
     reps = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("_t"),
-            fingerprint_cs(F.col(text_col)).alias("_f"),
+        fp.groupBy("_f")
+        .agg(F.min("id").alias("id"), F.count("*").alias("_mult"))
+        .join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+            ),
+            "id",
         )
-        .groupBy("_f")
-        .agg(
-            F.min("id").alias("id"),
-            F.min_by("_t", "id").alias("_t"),
-            F.count("*").alias("_mult"),
-        )
+        .select("_f", "id", "_t", "_mult")
         .localCheckpoint(eager=False)
     )
     sig = minhash_signatures(shingle_hashes(reps, "id", "_t", w), k)

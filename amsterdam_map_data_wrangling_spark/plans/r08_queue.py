@@ -352,8 +352,16 @@ def cluster_hist_build(spark, sf_dir):
     # the component relation is the session-shared one (see
     # plans/dedup.py:_GRAPH_MEMO) — already checkpoint-backed, and the
     # same labels dedup_clusters / dedup_keep_canonical read
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        SHARED_PAIRS_CONSUMER_THRESHOLDS,
+    )
+
     comp = shared_jaccard_components(
-        spark, sf_dir, w=5, threshold=0.5, df_cap=50
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["cluster_hist (r08_queue)"],
+        df_cap=50,
     )
     csz = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     hist = csz.groupBy("sz").agg(F.count("*").alias("n_clusters"))
@@ -1385,7 +1393,17 @@ def degree_hist_build(spark, sf_dir):
         shared_jaccard_pairs,
     )
 
-    pairs = shared_jaccard_pairs(spark, sf_dir, w=5, threshold=0.5, df_cap=50)
+    from amsterdam_map_data_wrangling_spark.plans.dedup import (
+        SHARED_PAIRS_CONSUMER_THRESHOLDS,
+    )
+
+    pairs = shared_jaccard_pairs(
+        spark,
+        sf_dir,
+        w=5,
+        threshold=SHARED_PAIRS_CONSUMER_THRESHOLDS["degree_hist (r08_queue)"],
+        df_cap=50,
+    )
     edges = pairs.select(F.col("id_a").alias("src")).unionByName(
         pairs.select(F.col("id_b").alias("src"))
     )

@@ -288,30 +288,44 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in slowest.items()},
-                "n_queries": len(timings),
-                "mean_sec_per_query": round(total / max(len(timings), 1), 4),
-                "noise_med_over_min": noise_med_over_min,
-                "close_accepted": close_info["accepted"],
-                "canary_ratio": canary_ratio,
-                "value_normalized": value_normalized,
-                "budget_sec": budget,
-                "over_budget": over,
-                "sf": sf,
-                "queries_file": "bench_results.json",
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Widen the stdout per-query map as far as the driver's stdout
+    # capture allows (r18 VERDICT #2: top-10-only coverage manufactured
+    # two phantom "dropped_from_bench" signals when queries merely left
+    # the top-10). The driver keeps only the LAST ~2000 bytes of stdout
+    # and json-parses them — BENCH_r03.json is the fossil of a full
+    # 72-query map overflowing that window ("parsed": null), and the
+    # 148-query map serializes to ~4.4 KB, so inlining ALL queries is
+    # impossible by construction. Instead: fill "queries" slowest-first
+    # until the whole line reaches LINE_BYTE_BUDGET (safely under 2000
+    # with headroom for field growth), typically ~45-55 entries —
+    # everything above ~0.5 s is visible round-over-round, and a
+    # "dropped" signal now requires falling below the mid-tail, not
+    # rank 11. The FULL map stays in bench_results.json (committed; the
+    # "queries_file" pointer below).
+    LINE_BYTE_BUDGET = 1800
+    base = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "mean_sec_per_query": round(total / max(len(timings), 1), 4),
+        "noise_med_over_min": noise_med_over_min,
+        "close_accepted": close_info["accepted"],
+        "canary_ratio": canary_ratio,
+        "value_normalized": value_normalized,
+        "budget_sec": budget,
+        "over_budget": over,
+        "sf": sf,
+        "queries_file": "bench_results.json",
+    }
+    slowest_first = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k, v in slowest_first:
+        base["queries"][k] = round(v, 3)
+        if len(json.dumps(base, separators=(",", ":"))) > LINE_BYTE_BUDGET:
+            del base["queries"][k]
+            break
+    print(json.dumps(base, separators=(",", ":")))
     spark.stop()
     if over:
         print(

@@ -749,3 +749,30 @@ def test_minhash_expanded_default_is_value_identical_to_naive(spark):
     assert not any(
         a in short_ids or b in short_ids for (a, b) in naive
     ), "short docs must emit no pairs in the reference itself"
+
+
+def test_shared_pairs_floor_derived_from_consumer_registry(spark):
+    """r18 VERDICT #7: the memo's build floor must be DERIVED from the
+    consumer threshold registry (min over registered consumers), so a
+    future lower-threshold consumer lowers the floor instead of
+    silently reintroducing the per-pass double build; and one build at
+    the floor must serve every registered threshold."""
+    from amsterdam_map_data_wrangling_spark.plans import dedup as D
+
+    assert D._PAIRS_THRESHOLD_FLOOR == min(
+        D.SHARED_PAIRS_CONSUMER_THRESHOLDS.values()
+    )
+    D.clear_graph_memo()
+    try:
+        sf = "/root/testdata/sf0.001"
+        D.shared_jaccard_pairs(spark, sf, w=5, threshold=0.5, df_cap=50)
+        assert len(D._GRAPH_MEMO) == 1
+        stored_thr, stored = next(iter(D._GRAPH_MEMO.values()))
+        assert stored_thr == D._PAIRS_THRESHOLD_FLOOR
+        # every registered threshold is served from the ONE stored build
+        for thr in sorted(set(D.SHARED_PAIRS_CONSUMER_THRESHOLDS.values())):
+            D.shared_jaccard_pairs(spark, sf, w=5, threshold=thr, df_cap=50)
+            assert len(D._GRAPH_MEMO) == 1
+            assert next(iter(D._GRAPH_MEMO.values()))[1] is stored
+    finally:
+        D.clear_graph_memo()
