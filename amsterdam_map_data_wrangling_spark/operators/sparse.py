@@ -295,6 +295,7 @@ def decontaminate(
     n: int = 5,
     docs_grams: DataFrame | None = None,
     bench_grams: DataFrame | None = None,
+    contaminated_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Remove training documents sharing an exact word n-gram with a
     benchmark set — the REMOVAL stage on top of the detection query
@@ -314,17 +315,25 @@ def decontaminate(
 
     # callers holding a session-shared (id, h) gram relation (see
     # plans/sparse.shared_gram5) pass the pre-split legs in; the hashes
-    # are the same xxhash64 identity convention either way
-    if bench_grams is None:
-        bench_grams = (
-            gram_hashes(bench, id_col, text_col, n).select("h").distinct()
+    # are the same xxhash64 identity convention either way. Callers that
+    # already materialized the (tiny) contaminated-id relation — the
+    # decontaminate_stats gate shares it with its residual audit — pass
+    # it as ``contaminated_ids`` (one column, the doc id) and skip the
+    # gram build here entirely.
+    if contaminated_ids is None:
+        if bench_grams is None:
+            bench_grams = (
+                gram_hashes(bench, id_col, text_col, n).select("h").distinct()
+            )
+        if docs_grams is None:
+            docs_grams = gram_hashes(docs, id_col, text_col, n)
+        contaminated_ids = (
+            docs_grams.join(F.broadcast(bench_grams), "h")
+            .select("id")
+            .distinct()
         )
-    if docs_grams is None:
-        docs_grams = gram_hashes(docs, id_col, text_col, n)
-    contaminated = (
-        docs_grams.join(F.broadcast(bench_grams), "h")
-        .select("id")
-        .distinct()
+    contaminated = contaminated_ids.select(
+        F.col(contaminated_ids.columns[0]).alias("id")
     )
     return docs.join(
         contaminated, docs[id_col] == contaminated["id"], "left_anti"

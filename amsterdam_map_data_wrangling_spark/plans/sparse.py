@@ -283,27 +283,37 @@ def decontaminate_stats(spark, sf_dir):
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
-    # ONE corpus gram census (lazy checkpoint) feeds BOTH the removal
-    # decision and the residual re-detection — the r11 plan re-grammed
-    # the surviving text for the residual, a second full corpus-scale
-    # tokenize+hash pass (the measured sf1 tail, r11 verdict #2).
-    # Independence accounting for the shared census: a gram-COMPUTATION
-    # bug can no longer flip the literal-0 residual (both legs see the
-    # same census), but it cannot hide either — the DuckDB oracle
-    # recomputes corpus/removed/clean counts from raw text with its own
-    # census, so those hashes flip. What the literal-0 still guards
-    # non-circularly is the REMOVAL WIRING: an anti-join bug that keeps
-    # a contaminated doc leaves that doc's census grams matching the
-    # bench set, and the residual goes nonzero.
+    # ONE corpus gram census feeds BOTH the removal decision and the
+    # residual re-detection — the r11 plan re-grammed the surviving
+    # text for the residual, a second full corpus-scale tokenize+hash
+    # pass (the measured sf1 tail, r11 verdict #2). Since r19 the
+    # SHARED, checkpointed relation is the distinct CONTAMINATED-id
+    # set (bench-matching grams are rare, so this is tiny), not the
+    # full token-proportional gram stream: the stream recomputes
+    # faster under whole-stage codegen than it round-trips through a
+    # row-based checkpoint (the PLANS.md round-10 rule this plan was
+    # the documented exception to — the exception only paid while the
+    # stream itself was the shared unit). The census is now computed
+    # exactly once per pass, fused into the scan, and only ids are
+    # ever materialized.
+    # Independence accounting for the shared census/ids: a
+    # gram-COMPUTATION bug can no longer flip the literal-0 residual
+    # (both legs see the same census), but it cannot hide either — the
+    # DuckDB oracle recomputes corpus/removed/clean counts from raw
+    # text with its own census, so those hashes flip. What the
+    # literal-0 still guards non-circularly is the REMOVAL WIRING: an
+    # anti-join bug that keeps a contaminated doc leaves that doc's id
+    # in the contaminated set, and the residual goes nonzero.
     bench_grams = (
-        gram_hashes(bench, "doc_id", "text", n=5)
-        .select("h")
+        gram_hashes(bench, "doc_id", "text", n=5).select("h").distinct()
+    )
+    contaminated_ids = (
+        gram_hashes(corpus, "doc_id", "text", n=5)
+        .join(F.broadcast(bench_grams), "h")
+        .select("id")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    corpus_grams = gram_hashes(
-        corpus, "doc_id", "text", n=5
-    ).localCheckpoint(eager=False)
     clean_ids = (
         decontaminate(
             corpus,
@@ -311,22 +321,20 @@ def decontaminate_stats(spark, sf_dir):
             "doc_id",
             "text",
             n=5,
-            docs_grams=corpus_grams,
-            bench_grams=bench_grams,
+            contaminated_ids=contaminated_ids,
         )
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    # bench-matching grams first (rare → tiny relation), then keep only
-    # matches whose doc SURVIVED removal
+    # the residual audit reads the ASSIGNMENT output (clean_ids), never
+    # the unit construction: contaminated ids that SURVIVED removal
     residual = (
-        corpus_grams.join(F.broadcast(bench_grams), "h")
-        .join(
+        contaminated_ids.join(
             clean_ids.withColumnRenamed("doc_id", "id"),
             "id",
             "left_semi",
         )
-        .agg(F.countDistinct("id").alias("residual_overlap_docs"))
+        .agg(F.count("*").alias("residual_overlap_docs"))
     )
     counts = (
         corpus.agg(F.count("*").alias("corpus_docs"))
