@@ -312,3 +312,65 @@ def test_bit_reader_accumulator_stays_bounded():
     assert seen and max(seen) <= 40, (
         f"accumulator grew to {max(seen)} bits — unread-bit masking lost"
     )
+
+
+def test_jpeg_row_count_parallelism_window(spark, tmp_path):
+    """r19: the JPEG kernel costs ~130 us/row of Python, so the plan
+    inserts a rows-sized repartition when the input is under the
+    loader's byte floor but has enough rows to amortize the exchange.
+    Pin both regimes and the rows-based task sizing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amsterdam_map_data_wrangling_spark.plans.queries import QUERIES
+
+    # small regime: sf0.01 (500 rows, < 2000) — no repartition
+    plan_small = (
+        QUERIES["jpeg_pixel_stats"]
+        .build(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression" not in plan_small
+
+    # firing regime: sf0.1 (5000 rows, 0.6 MB < 4 MiB byte floor) —
+    # hash repartition on doc_id, sized rows // 500 (= 10), not cores
+    plan_big = (
+        QUERIES["jpeg_pixel_stats"]
+        .build(spark, "/root/testdata/sf0.1")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression [doc_id" in plan_big
+    assert ", 10" in plan_big  # 5000 rows // 500
+
+    # above the byte floor the loader already spread the scan: a
+    # synthetic 3000-row doc table padded past 4 MiB must NOT get the
+    # second exchange
+    big_dir = tmp_path / "fat_sf"
+    big_dir.mkdir()
+    # unique per-row padding so parquet's dictionary/RLE cannot shrink
+    # the file back under the floor
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3000), type=pa.int64()),
+                "text": pa.array(
+                    [f"{i:07d}" * 300 for i in range(3000)]
+                ),
+                "source": pa.array(["s"] * 3000),
+            }
+        ),
+        str(big_dir / "documents.parquet"),
+        compression="none",
+    )
+    plan_fat = (
+        QUERIES["jpeg_pixel_stats"]
+        .build(spark, str(big_dir))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression [doc_id" not in plan_fat
