@@ -65,23 +65,38 @@ def main() -> None:
 
     build_t: dict[str, list[float]] = {n: [] for n in names}
     exec_t: dict[str, list[float]] = {n: [] for n in names}
+    # jobs run DURING build: under AQE, a lazy localCheckpoint of a
+    # shuffle-bearing subtree materializes its intermediate stages at
+    # toRdd time (getFinalPhysicalPlan) — i.e. "build" time contains
+    # real executor work, not just py4j + Catalyst planning. This
+    # counter makes the two attributable per query.
+    tracker = spark.sparkContext.statusTracker()
+
+    def _n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup() or [])
+
+    build_jobs: dict[str, list[int]] = {n: [] for n in names}
     for _ in range(passes):
         clear_graph_memo()
         for n in names:
             spark.catalog.clearCache()
+            j0 = _n_jobs()
             t0 = time.perf_counter()
             df = QUERIES[n].build(spark, sf_dir)
             t1 = time.perf_counter()
+            j1 = _n_jobs()  # one ~0.5 ms probe between the regions
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
             build_t[n].append(round(t1 - t0, 4))
             exec_t[n].append(round(t2 - t1, 4))
+            build_jobs[n].append(j1 - j0)
 
     rows = [
         {
             "query": n,
             "build_min": min(build_t[n]),
             "exec_min": min(exec_t[n]),
+            "build_jobs": max(build_jobs[n]),
             "build_all": build_t[n],
             "exec_all": exec_t[n],
         }
